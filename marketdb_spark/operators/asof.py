@@ -1,0 +1,74 @@
+"""As-of join — the backtesting staple the reference expresses by merging
+trade and order series into one time-ordered stream and folding over it
+(marketdb-iteratee/.../TimeSeriesEnumerator.scala:48-99; heterogeneous merge
+test MultipleTimeSeriesEnumeratorTest.scala:137-186).
+
+Spark has no built-in as-of join. This implementation is the *union trick*:
+tag both sides, union on a common schema, and take ``last(right, ignorenulls)``
+over a window ordered by (time, side) — i.e. exactly the reference's k-way
+merge followed by a stateful "remember the latest right row" fold.
+
+Scale properties: ONE shuffle (on the join key), no UDF, no broadcast of
+either side, and skew behaves like any window over the key. This beats the
+`merge_asof`-in-`applyInPandas` alternative (which materializes each key
+group in pandas) whenever groups are large; at 100 TB the window form
+streams through each key partition sorted, spilling via the sort machinery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.time <= left.time`` and equal join keys (backward as-of,
+    inclusive — matching the reference's end-inclusive interval semantics,
+    MarketDB.scala:80).
+
+    right_cols: columns of ``right`` to carry (default: all non-key,
+    non-time). They appear suffixed on the output, plus
+    ``{right_time}{suffix}`` for the matched timestamp.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, right_time)]
+    payload = F.struct(
+        F.col(right_time).alias("__t"), *[F.col(c) for c in right_cols]
+    )
+
+    left_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__payload", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    ).withColumn("__time", F.col(left_time))
+    right_tagged = (
+        right.select(*on, payload.alias("__payload"), F.col(right_time).alias("__time"))
+        .withColumn("__is_left", F.lit(0))
+    )
+
+    unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    # Right rows sort before left rows at equal time → a right row at exactly
+    # left.time is visible to it (inclusive bound).
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__time"), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__match.__t").alias(f"{right_time}{suffix}"))
+    out_cols.extend(F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols)
+    return matched.select(*out_cols)

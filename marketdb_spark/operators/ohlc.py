@@ -1,0 +1,47 @@
+"""OHLC bar aggregation — the minute-bucket rollup implied by the
+reference's row-key clock (year, dayOfYear, minuteOfDay)
+(marketdb-core/.../model/Trade.scala:24-27): all events of one instrument
+in one minute share a row, which is exactly a bar grouping.
+
+Implemented as a plain groupBy over a truncated timestamp with
+min_by/max_by for open/close — single shuffle, fully codegen'd, no UDF.
+Deterministic tie-break on (time, id) mirrors the reference's stable merge
+(TimeSeriesEnumerator.scala:86-93).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketdb_spark.functions.exact import dsum
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bar: str = "hour",
+) -> DataFrame:
+    """Per (keys, bar) compute open/high/low/close/volume/n_events.
+
+    ``bar`` is a date_trunc unit ('minute', 'hour', 'day', ...). ``id_col``
+    breaks ties between events with equal timestamps deterministically.
+    """
+    tie = F.struct(F.col(time_col), F.col(id_col))
+    return (
+        df.withColumn("bar_start", F.date_trunc(bar, F.col(time_col)))
+        .groupBy(*key_cols, "bar_start")
+        .agg(
+            F.min_by(value_col, tie).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, tie).alias("close"),
+            dsum(F.col(value_col), scale=6).alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+    )

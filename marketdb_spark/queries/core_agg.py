@@ -1,0 +1,233 @@
+"""Grouped / rollup / cube / distinct aggregation queries (SURVEY §2B
+"Aggregation"). Generalizes the reference's counter fold
+(marketdb-iteratee/.../MarketIteratees.scala:7-21) to the full Spark SQL
+aggregation surface. All double sums go through exact decimal casts
+(see marketdb_spark.functions.exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.catalog import load
+from marketdb_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from marketdb_spark.queries.registry import query
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {oracle_dsum('l_quantity')} AS sum_qty,
+      {oracle_dsum('l_extendedprice')} AS sum_base_price,
+      {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+      {oracle_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+      {oracle_davg('l_quantity')} AS avg_qty,
+      {oracle_davg('l_extendedprice')} AS avg_price,
+      {oracle_davg('l_discount')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial aggs."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=4).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan → global aggregate. All four
+    predicates are pushable to the parquet reader (min/max stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — Spark expands to two-phase aggregate automatically."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_orderkey").alias("n_order"),
+    )
+
+
+@query(
+    "agg_rollup_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "agg_cube_flags",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT l_orderkey,
+           ARRAY_TO_STRING(LIST(l_linenumber ORDER BY l_linenumber), ',')
+             AS line_numbers,
+           CAST(LEN(LIST(l_linenumber)) AS INT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered materialization of a group into an array — the Spark analog
+    of the reference's `sequencer` fold (MarketIteratees.scala:23-37).
+    (Serialized to a string: array-typed outputs stringify differently
+    across engines/pandas, which would break the value-hash compare.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber"))).alias(
+                "line_numbers"
+            ),
+            F.count("l_linenumber").cast("int").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey) AS rn_min,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rn_max
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MAX(CASE WHEN rn_min = 1 THEN l_orderkey END) AS cheapest_order,
+           MAX(CASE WHEN rn_max = 1 THEN l_orderkey END) AS dearest_order
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max and argmin/argmax with a deterministic (value, key) tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    pair = F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min_by("l_orderkey", pair).alias("cheapest_order"),
+        F.max_by("l_orderkey", pair).alias("dearest_order"),
+    )

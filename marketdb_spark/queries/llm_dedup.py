@@ -1,0 +1,142 @@
+"""Deduplication queries on `documents` (SURVEY §2B [N]): exact, n-gram
+Jaccard, MinHash+LSH, SimHash. Spark implementations live in
+marketdb_spark.operators.dedup; the oracles below reproduce the same
+md5-derived hashes bit-for-bit in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.catalog import load
+from marketdb_spark.operators.dedup import (
+    MINHASH_A0,
+    MINHASH_A_STEP,
+    MINHASH_B0,
+    MINHASH_B_STEP,
+    MINHASH_P,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from marketdb_spark.queries.registry import query
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+# word 2-gram shingles, distinct (1-indexed lists in DuckDB)
+_SHINGLES2 = (
+    f"list_distinct(list_transform(range(1, len({_TOKS})), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))"
+)
+# portable 60-bit hash of a string s (first 15 md5 hex digits)
+_H64 = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep min id."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES2} AS s
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               ELSE 0.0 END >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-2-gram Jaccard over a bounded slice — the verification
+    primitive that runs on LSH candidates at scale (int/int division only:
+    engine-exact)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return jaccard_pairs(docs, n=2, threshold=0.05)
+
+
+_MINHASH_ORACLE = f"""
+    WITH shingled AS (
+      SELECT doc_id AS id, UNNEST({_SHINGLES2}) AS s
+      FROM documents
+    ),
+    hashed AS (
+      SELECT id, {_H64.format(s='s')} % {MINHASH_P} AS h FROM shingled
+    ),
+    sig AS (
+      SELECT id, i,
+             MIN((({MINHASH_A0} + {MINHASH_A_STEP} * i) * h
+                  + ({MINHASH_B0} + {MINHASH_B_STEP} * i)) % {MINHASH_P}) AS v
+      FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i)
+      GROUP BY id, i
+    ),
+    banded AS (
+      SELECT id, CAST(i // 2 AS INT) AS band_id,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS band_hash
+      FROM sig
+      GROUP BY id, i // 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.id < b.id
+"""
+
+
+@query("dedup_minhash_pairs", oracle=_MINHASH_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: k=16 minima over 2-gram shingles, 8
+    bands × 2 rows. Map-side signatures; the only shuffle is the band join."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), j ->
+               list_reduce(
+                 list_transform(ts, t ->
+                   (({_H64.format(s='t')} >> j) & 1) * 2 - 1),
+                 (acc, v) -> acc + v)) AS bit_sums
+      FROM toks
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(0, 32), j ->
+               CASE WHEN bit_sums[j + 1] > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+             (acc, v) -> acc + v) AS simhash
+    FROM sums
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (map-side only; near-dup = small hamming
+    distance, verified in tests/test_operators.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text", n_bits=32).alias("simhash"))

@@ -1,0 +1,113 @@
+"""Embedding similarity queries on `embeddings` (SURVEY §2B [N]).
+
+All float arithmetic is a sequential left-to-right double fold on both
+engines (Spark F.aggregate ↔ DuckDB list_reduce), so cosine values are
+bit-identical and the oracle hash matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.catalog import load
+from marketdb_spark.operators.similarity import cosine_topk, norm
+from marketdb_spark.queries.registry import query
+
+# DuckDB sequential-fold fragments (1-indexed lists).
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, v) -> acc + v))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a='q.qv', b='c.embedding')}
+               / ({_NORM.format(a='q.qv')} * {_NORM.format(a='c.embedding')})
+               AS cosine_sim
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors: broadcast the
+    query side, one pass over the corpus, per-query top-k window."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "sim_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           MIN({_NORM.format(a='embedding')}) AS min_norm,
+           MAX({_NORM.format(a='embedding')}) AS max_norm,
+           CAST(SUM(CAST({_NORM.format(a='embedding')} AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm profile per label (decimal-exact sum of norms)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min(n).alias("min_norm"),
+        F.max(n).alias("max_norm"),
+        F.sum(n.cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_vectors
+    FROM (
+      SELECT vec_id,
+             list_reduce(
+               list_transform(range(1, 9), i ->
+                 CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+               (acc, v) -> acc + v) AS bucket
+      FROM embeddings
+    )
+    GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketing (first 8 dimensions → 256 buckets) — the
+    scale path: ANN search only compares vectors within a bucket. This
+    query materializes the bucket histogram; top-k-within-bucket reuses
+    cosine_topk per bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return emb.select("vec_id", bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors")
+    )

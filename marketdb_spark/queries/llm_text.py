@@ -1,0 +1,147 @@
+"""Text-analysis queries on `documents` (SURVEY §2B [N]): stats, token
+counting, language-ID, fingerprinting. Spark side is pure built-in column
+functions (marketdb_spark.functions.text); oracles mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.catalog import load
+from marketdb_spark.functions.text import (
+    avg_token_len,
+    fingerprint,
+    language_id,
+    punct_count,
+    token_count,
+    tokens,
+)
+from marketdb_spark.queries.registry import query
+
+# DuckDB fragments kept in lockstep with functions/text.py
+_ORACLE_TOKENS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+_ORACLE_NTOK = f"CAST(len({_ORACLE_TOKENS}) AS BIGINT)"
+
+
+@query(
+    "doc_text_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           {_ORACLE_NTOK} AS n_tokens,
+           CASE WHEN {_ORACLE_NTOK} > 0
+                THEN CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / {_ORACLE_NTOK}
+           END AS avg_token_len,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats — all JVM-side column functions, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        avg_token_len("text").alias("avg_token_len"),
+        punct_count("text").alias("n_punct"),
+    )
+
+
+@query(
+    "doc_token_totals",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM({_ORACLE_NTOK}) AS BIGINT) AS total_tokens,
+           (CAST(SUM({_ORACLE_NTOK}) AS DOUBLE) / COUNT(*)) AS avg_tokens_per_doc,
+           CAST(MAX({_ORACLE_NTOK}) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (integer sums: exact anywhere)."""
+    docs = load(spark, sf_dir, "documents")
+    n = token_count("text")
+    return docs.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"),
+        (F.sum(n).cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+# Tie-break must mirror F.array_max over (score, lang) structs: highest
+# score wins; on ties the lexicographically *last* language code wins.
+_LANG_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter({toks}, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+        len(list_filter({toks}, t -> t IN ('le','la','et','les','des','un','une'))) AS s_fr,
+        len(list_filter({toks}, t -> t IN ('el','los','las','y','una','que','por'))) AS s_es,
+        len(list_filter({toks}, t -> t IN ('der','die','das','und','ein','nicht','ist'))) AS s_de
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        WHEN s_de > 0 THEN 'de'
+        ELSE 'und'
+      END AS predicted_lang
+    FROM scored
+""".format(toks=_ORACLE_TOKENS)
+
+
+@query("doc_language_id", oracle=_LANG_ORACLE)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic heuristic; the operator
+    shape matters, not linguistic accuracy — see functions/text.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id("text").alias("predicted_lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text (portable across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "doc_vocab_topwords",
+    oracle=f"""
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS total_occurrences
+    FROM (
+      SELECT doc_id, UNNEST({_ORACLE_TOKENS}) AS token
+      FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def doc_vocab_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: explode tokens, count global occurrences — the
+    map-side-combine aggregation shape that matters at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_occurrences"),
+        )
+    )

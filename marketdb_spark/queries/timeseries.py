@@ -1,0 +1,210 @@
+"""Time-series queries on the `events` table — the marketdb domain surface
+(scan, k-way merge, as-of join, OHLC bars, interval expansion) exercised on
+driver data so each has a DuckDB oracle.
+
+The reference computes `(market, security, interval) -> ordered stream`
+(MarketDB.scala:66-106) and client-side merge/folds
+(TimeSeriesEnumerator.scala:48-99). `events(user_id, ts, event_type, value)`
+plays the role of the (market, security) keyed stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.api import merge_series, scan_series
+from marketdb_spark.catalog import load
+from marketdb_spark.operators.asof import asof_join
+from marketdb_spark.operators.ohlc import ohlc_bars
+from marketdb_spark.queries.registry import query
+
+_START = "2024-01-10 00:00:00"
+_END = "2024-01-20 23:59:59"
+
+
+@query(
+    "ts_scan_series",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '{_START}'
+      AND ts <= TIMESTAMP '{_END}'
+    """,
+)
+def ts_scan_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one true query: key-equality + inclusive time range,
+    ordered by time (MarketDB.scala:79-81; inclusive-end per SURVEY §3.2).
+    Predicates push down to the parquet scan."""
+    ev = load(spark, sf_dir, "events")
+    return scan_series(
+        ev, "ts", _START, _END, tie_cols=["event_id"], user_id=7
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "ts_merge_series",
+    oracle=f"""
+    SELECT kind, event_id, ts, user_id, value
+    FROM (
+      SELECT 'clicks' AS kind, event_id, ts, user_id, value
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click' AND user_id <= 20
+      UNION ALL
+      SELECT 'purchases' AS kind, event_id, ts, user_id, value
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase' AND user_id <= 20
+    )
+    """,
+)
+def ts_merge_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-way heterogeneous merge into one globally time-ordered stream with
+    deterministic (time, kind, id) tie-break — the reference's min-head
+    merge (TimeSeriesEnumerator.scala:86-93) as unionByName + orderBy."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return merge_series(
+        [clicks, purchases],
+        time_col="ts",
+        tie_cols=["event_id"],
+        kind_col="kind",
+        kinds=["clicks", "purchases"],
+    ).select("kind", "event_id", "ts", "user_id", "value")
+
+
+@query(
+    "ts_asof_join",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts, a.value,
+           b.ts AS ts_right, b.value AS value_right
+    FROM (SELECT * FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the latest purchase at-or-before
+    it for the same user — the backtesting staple (SURVEY §2B), one shuffle,
+    no UDF (see marketdb_spark.operators.asof)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+    )
+
+
+@query(
+    "ts_ohlc_hourly",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+    )
+    SELECT user_id, bar_start,
+           MAX(CASE WHEN rn_open  = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, bar_start
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user — the reference's minute-bucket row-key
+    rollup (Trade.scala:24-27) generalized (see marketdb_spark.operators.ohlc)."""
+    ev = load(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev,
+        key_cols=["user_id"],
+        time_col="ts",
+        value_col="value",
+        id_col="event_id",
+        bar="hour",
+    )
+
+
+@query(
+    "ts_interval_days",
+    oracle="""
+    SELECT user_id,
+           CAST(CAST(UNNEST(generate_series(
+             CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE), INTERVAL 1 DAY
+           )) AS DATE) AS TIMESTAMP) AS day
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+    WHERE user_id <= 5
+    GROUP BY user_id
+    """,
+)
+def ts_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval→days expansion (the loader's per-day loop,
+    marketdb-loader/.../util/Implicits.scala:12-26): sequence + explode."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    # day emitted as TIMESTAMP, not DATE: date-typed outputs stringify
+    # differently across engines/pandas and would break the hash compare.
+    return spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("first_day"), F.col("last_day"), F.expr("interval 1 day")
+            )
+        ).alias("day_date"),
+    ).select("user_id", F.col("day_date").cast("timestamp").alias("day"))
+
+
+@query(
+    "ts_session_gaps",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                THEN 1 ELSE 0 END AS INT) AS is_session_start
+    FROM (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+      WHERE user_id <= 10
+    )
+    """,
+)
+def ts_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization primitive: mark rows starting a new session after a
+    >1h gap (batch analog of streaming session windows, SURVEY §2B)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev.isNull() | (gap_us > 3_600_000_000), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_session_start"),
+    )

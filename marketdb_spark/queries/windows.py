@@ -1,0 +1,197 @@
+"""Window-function surface (SURVEY §2B "Window functions"): ranking,
+analytic lag/lead, running frames, top-k per group.
+
+These generalize the reference's ordered-stream folds — an iteratee holding
+incremental state over a time-ordered scan (marketdb-iteratee/
+.../MarketIteratees.scala:6-55) is exactly a window frame over
+``partitionBy(series).orderBy(time)``.
+
+Determinism contract: every ORDER BY inside a window carries a unique
+tie-break key, mirroring the reference's stable-merge tie-break
+(TimeSeriesEnumerator.scala:86-93 / SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from marketdb_spark.catalog import load
+from marketdb_spark.queries.registry import query
+
+
+@query(
+    "win_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter — the distributed
+    top-k-per-group idiom (no global sort; one shuffle on the group key)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(RANK()       OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4)     OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one window definition."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer — decimal-exact so any engine agrees on
+    every prefix (see marketdb_spark.functions.exact)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "win_lag_lead_price",
+    oracle="""
+    SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+           LAG(l_extendedprice)  OVER w AS prev_price,
+           LEAD(l_extendedprice) OVER w AS next_price
+    FROM lineitem
+    WHERE l_partkey % 50 = 0
+    WINDOW w AS (
+      PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    )
+    """,
+)
+def win_lag_lead_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the ship-date sequence of each part."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    w = W.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              / COUNT(value) OVER w) AS moving_avg_value
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average per user over event time — the rolling-VWAP
+    shape from the reference's iteratee incremental state (SURVEY §2B)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg_value"),
+    )
+
+
+@query(
+    "win_first_last_range",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           FIRST_VALUE(value) OVER w AS first_in_window,
+           LAST_VALUE(value)  OVER w AS last_in_window
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+    WHERE user_id % 10 = 0
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_first_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit frame (deterministic order)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.first("value").over(w).alias("first_in_window"),
+        F.last("value").over(w).alias("last_in_window"),
+    )
