@@ -96,26 +96,32 @@ def minhash_signatures(
     k: int = 16,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Per-document MinHash signature: array of k minima over the shingle
-    set under k affine hash functions mod a prime.
+    """Per-document MinHash signature: k minima over the shingle set under
+    k affine hash functions mod a prime, as columns m0..m{k-1}.
 
-    Entirely map-side (no shuffle): tokens → shingles → portable 60-bit
-    hash → k affine transforms → array minima."""
+    Shape: explode shingles → hash each ONCE → groupBy(doc) with k min
+    aggregates. The md5 runs once per (doc, shingle); the k affine
+    transforms are cheap integer ops feeding map-side partial mins, and the
+    single shuffle keys on doc id (uniform — no skew). Do NOT express this
+    as nested array lambdas over a signature array: every downstream
+    element_at would re-inline (and re-execute) the whole md5 pipeline.
+
+    Documents with no shingles (< shingle_n tokens) produce no signature."""
     sh = shingles(text_col, shingle_n)
-    hashed = F.transform(sh, lambda s: token_hash64(s) % MINHASH_P)
-
-    # NB: the per-i lambda must stay unary — pyspark passes the array INDEX
-    # to a second lambda arg, so `lambda h, i=i: ...` would silently receive
-    # the element position instead of the hash-function number.
-    def _affine(i: int):
-        a = MINHASH_A0 + MINHASH_A_STEP * i
-        b = MINHASH_B0 + MINHASH_B_STEP * i
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashed, _affine(i))) for i in range(k)]
+    hashed = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
+        "id", (token_hash64(F.col("s")) % MINHASH_P).alias("h")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    aggs = [
+        F.min(
+            (
+                F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * F.col("h")
+                + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
+            )
+            % MINHASH_P
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -143,10 +149,7 @@ def minhash_lsh_pairs(
                         F.md5(
                             F.concat_ws(
                                 ",",
-                                *[
-                                    F.element_at("sig", b * rows + r + 1)
-                                    for r in range(rows)
-                                ],
+                                *[F.col(f"m{b * rows + r}") for r in range(rows)],
                             )
                         ).alias("band_hash"),
                     )

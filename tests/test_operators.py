@@ -1,0 +1,140 @@
+"""Unit tests for custom operators: as-of join, OHLC, top-k, dedup family,
+similarity. Small in-memory frames with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdb_spark.operators.asof import asof_join
+from marketdb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from marketdb_spark.operators.ohlc import ohlc_bars
+from marketdb_spark.operators.similarity import cosine_topk
+from marketdb_spark.operators.topk import top_k_per_group
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(10)), (1, _ts(20)), (1, _ts(5))], "k int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(10), 100.0), (1, _ts(18), 200.0)], "k int, t timestamp, v double"
+        )
+        got = {
+            r.t: (r.t_right, r.v_right)
+            for r in asof_join(left, right, ["k"], "t", "t").collect()
+        }
+        assert got[_ts(5)] == (None, None)  # nothing at-or-before
+        assert got[_ts(10)] == (_ts(10), 100.0)  # inclusive: equal time matches
+        assert got[_ts(20)] == (_ts(18), 200.0)  # latest at-or-before
+
+    def test_no_cross_key_leak(self, spark):
+        left = spark.createDataFrame([(1, _ts(10)), (2, _ts(10))], "k int, t timestamp")
+        right = spark.createDataFrame([(1, _ts(5), 1.0)], "k int, t timestamp, v double")
+        got = {r.k: r.v_right for r in asof_join(left, right, ["k"], "t", "t").collect()}
+        assert got[1] == 1.0 and got[2] is None
+
+
+class TestOhlc:
+    def test_bar_semantics(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("A", 1, _ts(0), 10.0),
+                ("A", 2, _ts(30), 50.0),
+                ("A", 3, _ts(59), 20.0),
+                ("A", 4, _ts(60), 99.0),  # next minute bar
+            ],
+            "sec string, id long, t timestamp, px double",
+        )
+        bars = {
+            r.bar_start: r
+            for r in ohlc_bars(df, ["sec"], "t", "px", "id", bar="minute").collect()
+        }
+        b0 = bars[T0]
+        assert (b0.open, b0.high, b0.low, b0.close) == (10.0, 50.0, 10.0, 20.0)
+        assert b0.volume == 80.0 and b0.n_events == 3
+        assert bars[_ts(60)].open == 99.0
+
+    def test_tie_break_on_id(self, spark):
+        df = spark.createDataFrame(
+            [("A", 2, _ts(0), 7.0), ("A", 1, _ts(0), 3.0)],
+            "sec string, id long, t timestamp, px double",
+        )
+        b = ohlc_bars(df, ["sec"], "t", "px", "id", bar="minute").collect()[0]
+        assert b.open == 3.0 and b.close == 7.0  # (time, id) deterministic
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i % 3)) for i in range(9)], "g string, id int, v double"
+    )
+    got = top_k_per_group(df, ["g"], [F.desc("v"), "id"], k=2).collect()
+    assert [(r.id, r.v) for r in got] == [(2, 2.0), (5, 2.0)]
+
+
+class TestDedup:
+    def test_exact_dedup_normalizes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+            "doc_id long, text string",
+        )
+        got = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+        assert got == {1: 2, 3: 1}  # case/whitespace-insensitive group
+
+    def test_jaccard_identical_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, n=2).collect()}
+        assert pairs == {(1, 2): 1.0}  # identical → 1.0; disjoint → below threshold
+
+    def test_minhash_finds_duplicates(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "completely unrelated words here now")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+    def test_simhash_near_duplicates_close(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " mu"), (3, "totally different content words")],
+            "doc_id long, text string",
+        )
+        fp = {
+            r.doc_id: r.s
+            for r in df.select("doc_id", simhash64("text").alias("s")).collect()
+        }
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]  # by descending cosine
+    assert got[0].cosine_sim == pytest.approx(0.9938, abs=1e-3)

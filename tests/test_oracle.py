@@ -1,0 +1,45 @@
+"""The local correctness gate: every registered query must match its
+DuckDB oracle bit-exact at sf0.001 (the driver runs the same comparison at
+sf0.01 — see marketdb_spark/oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from marketdb_spark.oracle import compare, duckdb_connection
+from marketdb_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_SMALL)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, con, name):
+    spec = REGISTRY[name]
+    if spec.oracle is None:
+        df = spec.fn(spark, SF_SMALL)
+        assert df.count() >= 0  # rows-only check, mirrors the driver
+        return
+    result = compare(name, spec.fn(spark, SF_SMALL), spec.oracle, con)
+    assert result.ok, str(result)
+
+
+def test_registry_complete():
+    """Every query is callable and oracle coverage is total (no silent
+    rows-only fallbacks without an explicit None)."""
+    assert len(REGISTRY) >= 40
+    missing = [n for n, s in REGISTRY.items() if s.oracle is None]
+    assert missing == [], f"queries without oracle: {missing}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
