@@ -1,0 +1,73 @@
+"""Partitioned Parquet trade/order store — the Spark replacement for the
+reference's HBase layout (SURVEY §1.4).
+
+Reference key: marketId ++ securityId ++ (year, dayOfYear, minuteOfDay)
+(Trade.scala:22-30) with the event id as column qualifier. Here:
+directory partitioning by (market, date) + in-file ordering by
+(security, time) gives the same access path — partition pruning replaces
+the key-prefix scan, parquet min/max stats replace the time-range seek,
+and sortWithinPartitions replaces key ordering. Security stays OUT of the
+directory key: at 16M securities (MarketDB.scala:24) per-security
+directories would be millions of tiny files; row-group stats on the
+sorted security column prune just as well.
+
+Idempotent-by-key ingest (the reference's deterministic row+qualifier,
+Trade.scala:56-57, under at-least-once delivery MarketLoader.scala:119)
+becomes dedup-on-write by the natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRADE_KEY = ["market", "security", "time", "trade_id"]
+ORDER_KEY = ["market", "security", "time", "order_id"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a trade-shaped frame partitioned by (market, date), sorted by
+    (security, time) within files, deduped by the natural key."""
+    key_cols = key_cols or TRADE_KEY
+    out = (
+        df.dropDuplicates(key_cols)
+        .withColumn("date", F.col("time").cast("date"))
+        .repartition("market", "date")
+        .sortWithinPartitions("security", "time")
+    )
+    out.write.partitionBy("market", "date").mode(mode).parquet(path)
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def idempotent_append(
+    spark: SparkSession, df: DataFrame, path: str, key_cols: list[str] | None = None
+) -> None:
+    """Append only rows whose key is not already present — re-ingesting the
+    same batch is a no-op (FIXTURES.md §7 'idempotent re-ingest').
+
+    The anti-join reads only the partitions the batch touches (date range
+    predicate → partition pruning), so cost scales with the batch's time
+    span, not the store size."""
+    key_cols = key_cols or TRADE_KEY
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write — no store yet
+        write_partitioned(df, path, key_cols)
+        return
+    bounds = df.agg(
+        F.min(F.col("time").cast("date")).alias("lo"),
+        F.max(F.col("time").cast("date")).alias("hi"),
+    ).first()
+    touched = existing.filter(
+        (F.col("date") >= bounds.lo) & (F.col("date") <= bounds.hi)
+    ).select(*key_cols)
+    fresh = df.join(touched, on=key_cols, how="left_anti")
+    write_partitioned(fresh, path, key_cols)

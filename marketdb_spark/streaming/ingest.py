@@ -1,0 +1,114 @@
+"""Streaming ingest — the reference's Kestrel consumer loop
+(marketdb-app/.../MarketLoader.scala:33-55,76-121: reliable read handles,
+buffered(1000), deserialize, validate/enrich, async HBase put, ack) as
+Structured Streaming:
+
+  readStream (file source ≙ queue; Kafka drops in with the same code)
+    → parse/validate → quarantine split (V1, Trade.scala:52-54)
+    → foreachBatch dual-write (main + quarantine), idempotent by key
+
+Delivery semantics: the reference acks after dispatch → at-least-once
+with idempotent puts (deterministic row+qualifier, Trade.scala:56-57,
+MarketLoader.scala:119). Here: checkpointing gives at-least-once batch
+replay, and the sink dedups by the same natural key — plus
+`dropDuplicatesWithinWatermark` bounds in-flight dedup state, which the
+reference never solved (SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from marketdb_spark.sources.store import TRADE_KEY, idempotent_append
+
+TRADES_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("market", T.StringType(), True),
+        T.StructField("security", T.StringType(), True),
+        T.StructField("trade_id", T.LongType(), True),
+        T.StructField("price", T.DecimalType(18, 8), True),
+        T.StructField("amount", T.IntegerType(), True),
+        T.StructField("time", T.TimestampType(), True),
+        T.StructField("nosystem", T.BooleanType(), True),
+    ]
+)
+
+
+def read_trade_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+    watermark: str = "10 minutes",
+    dedup_within_watermark: bool = True,
+) -> DataFrame:
+    """File-source stream of JSON-lines trade events. maxFilesPerTrigger is
+    the batching knob (≙ the reference's buffered(1000) read handle,
+    MarketLoader.scala:49). Watermark bounds late data AND the dedup state."""
+    stream = (
+        spark.readStream.schema(TRADES_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+        .withWatermark("time", watermark)
+    )
+    if dedup_within_watermark:
+        stream = stream.dropDuplicatesWithinWatermark(TRADE_KEY)
+    return stream
+
+
+def validate_split(df: DataFrame) -> DataFrame:
+    """Tag each event valid/rejected with a reason (V1 pipeline). Returns
+    one frame with `reject_reason` (null = valid) so a single stream feeds
+    the dual write."""
+    reason = (
+        F.when(F.col("market").isNull() | (F.col("market") == ""), "missing market")
+        .when(F.col("security").isNull() | (F.col("security") == ""), "missing security")
+        .when(F.col("trade_id").isNull(), "missing trade_id")
+        .when(F.col("price").isNull() | (F.col("price") <= 0), "bad price")
+        .when(F.col("amount").isNull() | (F.col("amount") <= 0), "bad amount")
+        .when(F.col("time").isNull(), "missing time")
+    )
+    return df.withColumn("reject_reason", reason)
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    **stream_opts,
+) -> StreamingQuery:
+    """Wire the full ingest: stream → validate → dual-write via
+    foreachBatch. Each micro-batch appends idempotently to the main store
+    (partitioned by market/date) and appends rejects to quarantine —
+    the reference's persisted-vs-Rejected split (MarketDB.scala:157-210)."""
+    stream = read_trade_stream(spark, source_path, **stream_opts)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        tagged = validate_split(batch).cache()
+        try:
+            valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+            # engine-wide quarantine record shape: (reject_reason, source,
+            # payload-json) — shared with the batch CSV path so one
+            # quarantine store serves every ingest source.
+            rejects = tagged.filter(F.col("reject_reason").isNotNull()).select(
+                "reject_reason",
+                F.lit("trade_stream").alias("source"),
+                F.to_json(F.struct(*[c for c in batch.columns])).alias("payload"),
+            )
+            if valid.limit(1).count():
+                idempotent_append(spark, valid, store_path)
+            if rejects.limit(1).count():
+                rejects.write.mode("append").parquet(quarantine_path)
+        finally:
+            tagged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

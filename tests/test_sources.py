@@ -1,0 +1,111 @@
+"""RTS CSV parsing + quarantine, uid dictionary, idempotent store —
+mirrors the reference's loader and write-path suites (SURVEY §5:
+TradeDataIterateeTest, MarketDbTradesTest reject cases, UIDProviderTest)."""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdb_spark.sources.rts_csv import parse_trades, read_rts_csv
+from marketdb_spark.sources.store import idempotent_append, read_store, write_partitioned
+from marketdb_spark.sources.uid import build_uid, decode, encode, validate_uid
+
+RTS_LINES = """code;contract;price;amount;time;trade_id;nosystem
+RIH3;RTS-3.13;152070.00000;2;2013-02-01 10:00:00.047;424524580;0
+RIH3;RTS-3.13;152075.50000;1;2013-02-01 10:00:01.115;424524581;1
+
+code;contract;price;amount;time;trade_id;nosystem
+RIM3;RTS-6.13;153000.00000;5;2013-02-01 10:00:02.000;424524582;0
+RIH3;RTS-3.13;not_a_price;2;2013-02-01 10:00:03.000;424524583;0
+RIH3;;152070.00000;2;2013-02-01 10:00:04.000;424524584;0
+RIH3;RTS-3.13;152070.00000;-2;2013-02-01 10:00:05.000;424524585;0
+"""
+
+
+@pytest.fixture(scope="module")
+def rts_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("rts") / "FT130201.csv"
+    p.write_text(RTS_LINES)
+    return str(p)
+
+
+class TestRtsCsv:
+    def test_parse_split(self, spark, rts_file):
+        valid, quarantine = parse_trades(read_rts_csv(spark, rts_file))
+        v = valid.orderBy("trade_id").collect()
+        assert [r.trade_id for r in v] == [424524580, 424524581, 424524582]
+        assert v[0].market == "RTS" and v[0].security == "RTS-3.13"
+        assert v[0].price == Decimal("152070.00000000")
+        assert v[0].nosystem is False and v[1].nosystem is True
+        assert v[0].time.microsecond == 47000  # .047 ms parsed
+
+        q = {
+            json.loads(r.payload)["trade_id"]: r.reject_reason
+            for r in quarantine.collect()
+        }
+        assert q["424524583"] == "bad price"
+        assert q["424524584"] == "missing contract"
+        assert q["424524585"] == "non-positive amount"
+        assert {r.source for r in quarantine.collect()} == {"rts_csv"}
+
+    def test_headers_and_blanks_skipped(self, spark, rts_file):
+        valid, quarantine = parse_trades(read_rts_csv(spark, rts_file))
+        # 8 physical lines: 2 headers + 1 blank skipped, 3 valid, 3 rejects
+        assert valid.count() + quarantine.count() == 6
+
+
+class TestUid:
+    def test_dense_deterministic(self, spark, trades_df):
+        uid = build_uid(trades_df, {"Market": "market", "Security": "security"})
+        rows = {(r.kind, r.name): r.id for r in uid.collect()}
+        assert rows[("Market", "RTS")] == 1
+        assert rows[("Security", "RTS-3.13")] == 1
+        assert rows[("Security", "RTS-3.14")] == 2
+        # deterministic across rebuilds (the reference needed row locks
+        # and retries for this — UIDProvider.scala:267-324)
+        again = {(r.kind, r.name): r.id for r in
+                 build_uid(trades_df, {"Market": "market", "Security": "security"}).collect()}
+        assert rows == again
+        assert validate_uid(uid).count() == 0
+
+    def test_encode_decode_roundtrip(self, spark, trades_df):
+        uid = build_uid(trades_df, {"Market": "market", "Security": "security"})
+        enc = encode(trades_df, uid, "Security", "security", "security_id")
+        assert enc.filter(F.col("security_id").isNull()).count() == 0
+        dec = decode(
+            enc.drop("security"), uid, "Security", "security_id", "security"
+        )
+        assert (
+            dec.filter(F.col("security") == "RTS-3.14").count()
+            == trades_df.filter(F.col("security") == "RTS-3.14").count()
+        )
+
+
+class TestStore:
+    def test_partitioned_roundtrip(self, spark, trades_df, tmp_path):
+        path = str(tmp_path / "store")
+        write_partitioned(trades_df, path)
+        back = read_store(spark, path)
+        assert back.count() == trades_df.count()
+        assert "date" in back.columns  # partition column materialized
+        # partition pruning surface: filter by market+date prunes directories
+        plan = back.filter(
+            (F.col("market") == "RTS") & (F.col("date") == "2013-02-01")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or "partitionFilters" in plan.lower()
+
+    def test_idempotent_reingest(self, spark, trades_df, tmp_path):
+        """Re-ingesting the same batch is a no-op (FIXTURES.md §7)."""
+        path = str(tmp_path / "store")
+        idempotent_append(spark, trades_df, path)
+        n1 = read_store(spark, path).count()
+        idempotent_append(spark, trades_df, path)  # same batch again
+        assert read_store(spark, path).count() == n1
+        # a genuinely new row still lands
+        extra = trades_df.limit(1).withColumn("trade_id", F.lit(999_999))
+        idempotent_append(spark, extra, path)
+        assert read_store(spark, path).count() == n1 + 1

@@ -1,0 +1,129 @@
+"""Streaming ingest + windowed/stateful operators (SURVEY §2B streaming):
+file-source micro-batches, quarantine dual-write, idempotent re-delivery,
+watermark dedup, window aggregations, grouped stateful fold."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdb_spark.streaming.ingest import start_ingest
+from marketdb_spark.streaming.windows import (
+    running_fold,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _event(i, minutes=0.0, market="RTS", security="RTS-3.13", price="100.5", amount=1):
+    t = T0 + dt.timedelta(minutes=minutes)
+    return {
+        "market": market,
+        "security": security,
+        "trade_id": i,
+        "price": price,
+        "amount": amount,
+        "time": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+    }
+
+
+def _write_batch(dirpath, name, events):
+    (dirpath / name).write_text("\n".join(json.dumps(e) for e in events))
+
+
+class TestIngest:
+    def test_dual_write_and_idempotent_redelivery(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        good = [_event(i, minutes=i) for i in range(5)]
+        bad = [_event(99, amount=-5), _event(98, price="-1")]
+        dup = [good[0], good[1]]  # redelivered events (at-least-once)
+        _write_batch(src, "b0.json", good + bad)
+        _write_batch(src, "b1.json", dup)
+
+        store = str(tmp_path / "store")
+        quarantine = str(tmp_path / "quarantine")
+        q = start_ingest(
+            spark,
+            str(src),
+            store,
+            quarantine,
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        main = spark.read.parquet(store)
+        assert main.count() == 5  # dups dropped, bad rows diverted
+        assert main.filter(F.col("amount") <= 0).count() == 0
+        rejects = spark.read.parquet(quarantine)
+        reasons = {
+            json.loads(r.payload)["trade_id"]: r.reject_reason
+            for r in rejects.collect()
+        }
+        assert reasons == {99: "bad amount", 98: "bad price"}
+        assert {r.source for r in rejects.collect()} == {"trade_stream"}
+
+    def test_restart_with_checkpoint_no_duplicates(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch(src, "b0.json", [_event(i) for i in range(3)])
+        args = (
+            spark,
+            str(src),
+            str(tmp_path / "store"),
+            str(tmp_path / "quarantine"),
+            str(tmp_path / "ckpt"),
+        )
+        start_ingest(*args).awaitTermination(120)
+        # new file arrives; restart the query from the same checkpoint
+        _write_batch(src, "b1.json", [_event(i) for i in range(3, 5)])
+        start_ingest(*args).awaitTermination(120)
+        assert spark.read.parquet(str(tmp_path / "store")).count() == 5
+
+
+@pytest.fixture()
+def keyed_events(spark):
+    rows = [
+        ("A", T0 + dt.timedelta(minutes=m), float(v))
+        for m, v in [(0, 1), (0.5, 2), (1.2, 3), (7, 4), (7.4, 5)]
+    ] + [("B", T0 + dt.timedelta(minutes=20), 10.0)]
+    return spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+
+class TestWindows:
+    def test_tumbling(self, keyed_events):
+        got = {
+            (r.key, r.window_start): (r.n_events, r.sum_value)
+            for r in tumbling_counts(
+                keyed_events, "ts", ["key"], "1 minute", value_col="value"
+            ).collect()
+        }
+        assert got[("A", T0)] == (2, 3.0)
+        assert got[("A", T0 + dt.timedelta(minutes=1))] == (1, 3.0)
+        assert got[("A", T0 + dt.timedelta(minutes=7))] == (2, 9.0)
+
+    def test_sliding_overlap(self, keyed_events):
+        got = sliding_counts(keyed_events, "ts", ["key"], "2 minutes", "1 minute")
+        # the event at 1.2 min belongs to windows starting at 0 and 1
+        a = {r.window_start: r.n_events for r in got.filter(F.col("key") == "A").collect()}
+        assert a[T0] == 3 and a[T0 + dt.timedelta(minutes=1)] == 1
+
+    def test_session_gap(self, keyed_events):
+        got = session_counts(keyed_events, "ts", ["key"], gap="5 minutes")
+        a = sorted(
+            (r.session_start, r.n_events)
+            for r in got.filter(F.col("key") == "A").collect()
+        )
+        assert [n for _, n in a] == [3, 2]  # 5-min silence splits sessions
+
+    def test_running_fold(self, keyed_events):
+        got = {r.key: r for r in running_fold(keyed_events, ["key"], "ts", "value").collect()}
+        assert (got["A"].n_seen, got["A"].last_value, got["A"].total) == (5, 5.0, 15.0)
+        assert (got["B"].n_seen, got["B"].last_value) == (1, 10.0)
