@@ -170,6 +170,38 @@ def minhash_lsh_pairs(
     )
 
 
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The full near-dup pipeline: MinHash+LSH candidate generation, then
+    exact n-gram Jaccard verification of ONLY the candidates — the shape
+    that scales: the O(n²) verify runs on the candidate set, not the corpus.
+
+    Returns (id_a, id_b, jaccard) for verified pairs."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, k, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(text_col: Column | str, n_bits: int = 32) -> Column:
     """SimHash fingerprint over whitespace tokens: per bit j, sum ±1 across
     token hashes; bit set iff the sum is positive. Map-side only.

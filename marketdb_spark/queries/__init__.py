@@ -16,9 +16,11 @@ from marketdb_spark.queries import core_agg  # noqa: E402,F401
 from marketdb_spark.queries import joins  # noqa: E402,F401
 from marketdb_spark.queries import windows  # noqa: E402,F401
 from marketdb_spark.queries import setops  # noqa: E402,F401
+from marketdb_spark.queries import scalar  # noqa: E402,F401
 from marketdb_spark.queries import timeseries  # noqa: E402,F401
 from marketdb_spark.queries import llm_text  # noqa: E402,F401
 from marketdb_spark.queries import llm_dedup  # noqa: E402,F401
 from marketdb_spark.queries import llm_similarity  # noqa: E402,F401
+from marketdb_spark.queries import llm_multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

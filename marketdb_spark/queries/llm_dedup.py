@@ -20,6 +20,7 @@ from marketdb_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash64,
+    verified_near_dups,
 )
 from marketdb_spark.queries.registry import query
 
@@ -109,6 +110,30 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands × 2 rows. Map-side signatures; the only shuffle is the band join."""
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+
+
+@query(
+    "dedup_verified_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES2} AS s FROM documents
+    ),
+    cand AS ({_MINHASH_ORACLE})
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b
+    WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    """,
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: LSH candidates → exact Jaccard verify
+    (≥0.2) on candidates only — the scalable two-phase shape."""
+    return verified_near_dups(load(spark, sf_dir, "documents"), threshold=0.2)
 
 
 _SIMHASH_ORACLE = f"""

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketdb_spark.catalog import load
-from marketdb_spark.operators.similarity import cosine_topk, norm
+from marketdb_spark.operators.similarity import cosine, cosine_topk, norm
 from marketdb_spark.queries.registry import query
 
 # DuckDB sequential-fold fragments (1-indexed lists).
@@ -77,6 +77,75 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(n).alias("min_norm"),
         F.max(n).alias("max_norm"),
         F.sum(n.cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+    )
+
+
+_BUCKET = (
+    "list_reduce(list_transform(range(1, 9), i -> "
+    "CASE WHEN CAST({e}[i] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE 0 END), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "sim_bucket_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             {_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.embedding')})
+               AS cosine_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 50
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def sim_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — the scale path: candidates restricted to the query
+    vector's sign-LSH bucket, so compare cost is corpus/256 per query
+    instead of the full corpus. (Recall tradeoff documented; brute-force
+    sim_cosine_topk is the exactness baseline.)"""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cosine_sim")
     )
 
 
