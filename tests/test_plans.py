@@ -1,0 +1,84 @@
+"""Plan-quality gates: the scale-critical physical-plan properties every
+operator family must keep (SURVEY §4). A regression here means a query
+that works at sf0.01 but reads/shuffles 100× too much at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdb_spark.api import scan_series
+from marketdb_spark.catalog import load
+from marketdb_spark.plans.inspect import (
+    count_broadcast_joins,
+    count_shuffles,
+    pushed_filters,
+    read_schema_columns,
+    uses_take_ordered,
+)
+from marketdb_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def test_filter_pushdown_to_parquet(spark):
+    """Time-range + equality predicates must reach the parquet reader —
+    the Spark form of the reference's scan key range (MarketDB.scala:79-82)."""
+    li = load(spark, SF_SMALL, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") < 24)
+    )
+    pushed = " ".join(pushed_filters(li))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the other 9 columns."""
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(li)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_scan_series_pushdown(spark):
+    """The flagship scan pushes key-equality and both time bounds."""
+    ev = load(spark, SF_SMALL, "events")
+    q = scan_series(
+        ev, "ts", "2024-01-10 00:00:00", "2024-01-20 23:59:59", user_id=7
+    )
+    pushed = " ".join(pushed_filters(q))
+    assert "user_id" in pushed
+
+
+def test_q1_pushes_date_filter(spark):
+    q = REGISTRY["q01_pricing_summary"].fn(spark, SF_SMALL)
+    assert any("l_shipdate" in p for p in pushed_filters(q))
+
+
+@pytest.mark.parametrize("name,min_bcast", [
+    ("q03_shipping_priority", 1),
+    ("q05_local_supplier_volume", 4),
+    ("q10_returned_items", 2),
+    ("join_dim_enrich", 2),
+])
+def test_dim_joins_broadcast(spark, name, min_bcast):
+    """Dimension tables must broadcast — no shuffle of the fact side for
+    dim enrichment (the uid pattern, UIDProvider.scala:30-48)."""
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    assert count_broadcast_joins(df) >= min_bcast
+
+
+def test_global_topk_avoids_full_sort(spark):
+    df = REGISTRY["sort_global_topk"].fn(spark, SF_SMALL)
+    assert uses_take_ordered(df)
+
+
+def test_q1_single_shuffle(spark):
+    """Scan→partial agg→exchange→final agg: exactly one shuffle."""
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 1
+
+
+def test_minhash_shuffle_budget(spark):
+    """MinHash LSH pairs: signature agg + band self-join + distinct —
+    bounded shuffle count, none of them on skewed keys."""
+    df = REGISTRY["dedup_minhash_pairs"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) <= 6
