@@ -31,16 +31,20 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.time <= left.time`` and equal join keys (backward as-of,
-    inclusive — matching the reference's end-inclusive interval semantics,
-    MarketDB.scala:80).
+    """For each left row, attach the nearest right row with equal join keys:
+    ``direction='backward'`` (default) matches the most recent right row at
+    or before left.time — inclusive, matching the reference's end-inclusive
+    interval semantics (MarketDB.scala:80); ``direction='forward'`` matches
+    the earliest right row at or after left.time.
 
     right_cols: columns of ``right`` to carry (default: all non-key,
     non-time). They appear suffixed on the output, plus
     ``{right_time}{suffix}`` for the matched timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, right_time)]
@@ -57,16 +61,25 @@ def asof_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
-    # Right rows sort before left rows at equal time → a right row at exactly
-    # left.time is visible to it (inclusive bound).
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col("__time"), F.col("__is_left"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__is_left") == 1)
+    if direction == "backward":
+        # Right rows sort before left rows at equal time → a right row at
+        # exactly left.time is visible to it (inclusive bound).
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col("__time"), F.col("__is_left"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        match = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        # Forward: left rows sort before right rows at equal time, and we
+        # take the first right payload at-or-after the current row.
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col("__time"), F.desc("__is_left"))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        match = F.first("__payload", ignorenulls=True).over(w)
+    matched = unioned.withColumn("__match", match).filter(F.col("__is_left") == 1)
 
     out_cols: list[Column] = [F.col(c) for c in left.columns]
     out_cols.append(F.col("__match.__t").alias(f"{right_time}{suffix}"))

@@ -202,6 +202,42 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_quantity, 0.99) AS p99_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated quantiles over an integer-valued measure (interpolation
+    on integers is exact in double, so both engines agree; continuous
+    measures would differ in the last ulp across interpolation formulas)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("p99_qty"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch results are
+    algorithm-specific, so there is deliberately no SQL oracle (the driver
+    records a rows-only check); exact counts are covered by
+    agg_distinct_counts."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@query(
     "agg_minmax_by",
     oracle="""
     WITH ranked AS (

@@ -240,6 +240,68 @@ def join_outer_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_correlated_avg",
+    oracle=f"""
+    WITH order_avg AS (
+      SELECT l_orderkey AS avg_key,
+             {oracle_dsum('l_extendedprice')} / COUNT(*) AS avg_price
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice, avg_price
+    FROM lineitem JOIN order_avg ON l_orderkey = avg_key
+    WHERE l_extendedprice > 1.5 * avg_price
+    """,
+)
+def join_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (lineitems priced >1.5× their
+    order's mean) — decorrelated to an aggregate + self-join, the plan
+    Catalyst produces for the subquery form too."""
+    li = load(spark, sf_dir, "lineitem")
+    order_avg = li.groupBy(F.col("l_orderkey").alias("avg_key")).agg(
+        (dsum("l_extendedprice") / F.count("*")).alias("avg_price")
+    )
+    return (
+        li.join(order_avg, li.l_orderkey == order_avg.avg_key)
+        .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "avg_price")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             {oracle_dsum('l_quantity')} AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING {oracle_dsum('l_quantity')} > 150
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, then join back to
+    orders/customer. The aggregate runs first so the join input is tiny."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@query(
     "join_range_price_band",
     oracle="""
     SELECT p_brand,

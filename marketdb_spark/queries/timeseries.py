@@ -108,6 +108,37 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_asof_forward",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           b.ts AS ts_right, b.value AS value_right
+    FROM (SELECT * FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'signup') a
+    ASOF LEFT JOIN (SELECT * FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts <= b.ts
+    """,
+)
+def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup gets the user's FIRST purchase at or
+    after it (time-to-conversion analysis shape)."""
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+        direction="forward",
+    )
+
+
+@query(
     "ts_ohlc_hourly",
     oracle="""
     WITH ranked AS (

@@ -133,6 +133,31 @@ def win_lag_lead_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_cume_percent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(10) OVER w AS INT) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: ratios of small integers → exact doubles
+    on any engine (single division of identical ints)."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query(
     "win_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,

@@ -42,6 +42,23 @@ class TestAsofJoin:
         assert got[_ts(10)] == (_ts(10), 100.0)  # inclusive: equal time matches
         assert got[_ts(20)] == (_ts(18), 200.0)  # latest at-or-before
 
+    def test_forward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(10)), (1, _ts(20)), (1, _ts(25))], "k int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(10), 100.0), (1, _ts(22), 200.0)], "k int, t timestamp, v double"
+        )
+        got = {
+            r.t: (r.t_right, r.v_right)
+            for r in asof_join(
+                left, right, ["k"], "t", "t", direction="forward"
+            ).collect()
+        }
+        assert got[_ts(10)] == (_ts(10), 100.0)  # inclusive at equal time
+        assert got[_ts(20)] == (_ts(22), 200.0)  # earliest at-or-after
+        assert got[_ts(25)] == (None, None)  # nothing after
+
     def test_no_cross_key_leak(self, spark):
         left = spark.createDataFrame([(1, _ts(10)), (2, _ts(10))], "k int, t timestamp")
         right = spark.createDataFrame([(1, _ts(5), 1.0)], "k int, t timestamp, v double")

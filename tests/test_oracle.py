@@ -29,12 +29,16 @@ def test_query_matches_oracle(spark, con, name):
     assert result.ok, str(result)
 
 
+# Queries that legitimately have no SQL oracle (sketches etc.) — keep this
+# list tiny and justified in each query's docstring.
+ROWS_ONLY_OK = {"agg_approx_distinct"}
+
+
 def test_registry_complete():
-    """Every query is callable and oracle coverage is total (no silent
-    rows-only fallbacks without an explicit None)."""
+    """Every query is callable; rows-only fallbacks are explicit."""
     assert len(REGISTRY) >= 40
-    missing = [n for n, s in REGISTRY.items() if s.oracle is None]
-    assert missing == [], f"queries without oracle: {missing}"
+    missing = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert missing <= ROWS_ONLY_OK, f"queries without oracle: {missing - ROWS_ONLY_OK}"
 
 
 def test_entry_contract(spark):
