@@ -14,6 +14,7 @@ from marketdb_spark.queries.registry import REGISTRY, QuerySpec, query
 # Import for side effects: each module registers its queries.
 from marketdb_spark.queries import core_agg  # noqa: E402,F401
 from marketdb_spark.queries import joins  # noqa: E402,F401
+from marketdb_spark.queries import tpch_extra  # noqa: E402,F401
 from marketdb_spark.queries import windows  # noqa: E402,F401
 from marketdb_spark.queries import setops  # noqa: E402,F401
 from marketdb_spark.queries import scalar  # noqa: E402,F401
