@@ -48,9 +48,29 @@ def exact_dedup(
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a *small* input up to the session's default parallelism
+    before a CPU-bound map stage (hashing/shingling costs dominate IO here).
+
+    A tiny parquet file arrives as 1-2 partitions, which would serialize the
+    whole map stage on one core; at real scale inputs already carry ≥cores
+    partitions and this is a no-op (no shuffle is inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document, space-joined."""
-    toks = tokens(text_col)
+    """Distinct word n-gram shingles of a document, space-joined.
+
+    IMPORTANT (plan shape): evaluate this on a *materialized token array
+    column* (see tokenized()), not directly on raw text. Column expressions
+    referenced from inside transform() lambdas are re-inlined per element by
+    Catalyst, so building shingles straight off tokens(text) re-runs the
+    regex split of the whole document once per shingle — O(tokens²) per doc.
+    A bound column reference is free."""
+    toks = F.col(text_col) if isinstance(text_col, str) else text_col
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # empty if too short
     return F.array_distinct(
         F.transform(
@@ -59,6 +79,28 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
                 " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
+    )
+
+
+def tokenized(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "toks"
+) -> DataFrame:
+    """Project (id, token array) once. Downstream shingle/hash expressions
+    reference the array as a bound column — evaluated exactly once per row.
+    (Catalyst's CollapseProject keeps the projection separate because the
+    alias is expensive and multiply-referenced.)"""
+    return spread(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias(out_col)
+    )
+
+
+def shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_col: str = "sh"
+) -> DataFrame:
+    """Project (id, distinct n-gram shingle array) with single-evaluation
+    tokens (see tokenized)."""
+    return tokenized(df, id_col, text_col).select(
+        "id", shingles(F.col("toks"), n).alias(out_col)
     )
 
 
@@ -73,7 +115,7 @@ def jaccard_pairs(
 
     O(n²) cross join — the *verification* primitive. At scale, candidate
     pairs come from minhash_lsh_pairs and this only runs on candidates."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sh = shingled(df, id_col, text_col, n)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -106,10 +148,24 @@ def minhash_signatures(
     as nested array lambdas over a signature array: every downstream
     element_at would re-inline (and re-execute) the whole md5 pipeline.
 
-    Documents with no shingles (< shingle_n tokens) produce no signature."""
-    sh = shingles(text_col, shingle_n)
-    hashed = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).select(
-        "id", (token_hash64(F.col("s")) % MINHASH_P).alias("h")
+    Documents with no shingles (< shingle_n tokens) produce no signature.
+
+    explode_outer + null-filter, NOT plain explode: for explode, Catalyst's
+    InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`, and
+    predicate pushdown re-inlines the whole shingle expression into that
+    filter below the repartition — re-shingling the corpus twice on the
+    unspread input (measured 10× the pipeline cost at sf0.1). The outer
+    variant infers nothing; the null-filter on the *generated output* is
+    cheap and keeps the row semantics identical."""
+    return _signatures_from_sh(shingled(df, id_col, text_col, shingle_n), k)
+
+
+def _signatures_from_sh(sh: DataFrame, k: int) -> DataFrame:
+    """Signatures from a prepared (id, sh) frame — see minhash_signatures."""
+    hashed = (
+        sh.select("id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("id", (token_hash64(F.col("s")) % MINHASH_P).alias("h"))
     )
     aggs = [
         F.min(
@@ -137,8 +193,12 @@ def minhash_lsh_pairs(
 
     The self-join key (band_id, band_hash) is md5-uniform → no skew; output
     is deduped (a pair may collide in several bands)."""
-    rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    return _lsh_pairs_from_sigs(sigs, k, bands)
+
+
+def _lsh_pairs_from_sigs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    rows = k // bands
     banded = sigs.select(
         "id",
         F.explode(
@@ -183,9 +243,14 @@ def verified_near_dups(
     exact n-gram Jaccard verification of ONLY the candidates — the shape
     that scales: the O(n²) verify runs on the candidate set, not the corpus.
 
+    The shingle projection feeds three plan branches (signatures, verify
+    left, verify right); Spark recomputes it per branch, which is cheap
+    after the single-evaluation restructure (see shingles()). At 100 TB you
+    would materialize the shingle table once and join against it instead.
+
     Returns (id_a, id_b, jaccard) for verified pairs."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, k, bands, shingle_n)
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    sh = shingled(df, id_col, text_col, shingle_n)
+    cand = _lsh_pairs_from_sigs(_signatures_from_sh(sh, k), k, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -202,14 +267,17 @@ def verified_near_dups(
     )
 
 
-def simhash64(text_col: Column | str, n_bits: int = 32) -> Column:
-    """SimHash fingerprint over whitespace tokens: per bit j, sum ±1 across
-    token hashes; bit set iff the sum is positive. Map-side only.
+def simhash_bits(hashed_col: Column | str, n_bits: int = 32) -> Column:
+    """SimHash fingerprint from a *materialized* array of token hashes: per
+    bit j, sum ±1 across hashes; bit set iff the sum is positive.
+
+    Takes the hash array as a bound column on purpose: the expression
+    references it n_bits times, and an inline transform(tokens, md5…) would
+    be re-evaluated once per bit by Catalyst (32× the md5 work — measured).
 
     n_bits=32 keeps the per-row work (tokens × bits) codegen-friendly and
     the fingerprint comfortably inside a positive BIGINT."""
-    toks = tokens(text_col)
-    hashed = F.transform(toks, token_hash64)
+    hashed = F.col(hashed_col) if isinstance(hashed_col, str) else hashed_col
 
     # Per-bit ±1 vote sums. j is a Python int (F.shiftright requires a
     # literal shift), so this unrolls to n_bits aggregate expressions —
@@ -227,3 +295,20 @@ def simhash64(text_col: Column | str, n_bits: int = 32) -> Column:
             F.lit(0).cast("long")
         )
     return fp
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) per document. Two projections: tokenize+hash once,
+    then fold the bound hash array into the fingerprint. Map-side only —
+    zero shuffles at any scale."""
+    hashed = tokenized(df, id_col, text_col).select(
+        "id", F.transform("toks", token_hash64).alias("hs")
+    )
+    return hashed.select(
+        F.col("id").alias(id_col), simhash_bits(F.col("hs"), n_bits).alias("simhash")
+    )

@@ -19,7 +19,7 @@ from marketdb_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
-    simhash64,
+    simhash_fingerprints,
     verified_near_dups,
 )
 from marketdb_spark.queries.registry import query
@@ -164,4 +164,4 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (map-side only; near-dup = small hamming
     distance, verified in tests/test_operators.py)."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text", n_bits=32).alias("simhash"))
+    return simhash_fingerprints(docs, n_bits=32)

@@ -13,7 +13,7 @@ from marketdb_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
-    simhash64,
+    simhash_fingerprints,
 )
 from marketdb_spark.operators.ohlc import ohlc_bars
 from marketdb_spark.operators.similarity import cosine_topk
@@ -135,10 +135,7 @@ class TestDedup:
             [(1, base), (2, base + " mu"), (3, "totally different content words")],
             "doc_id long, text string",
         )
-        fp = {
-            r.doc_id: r.s
-            for r in df.select("doc_id", simhash64("text").alias("s")).collect()
-        }
+        fp = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
         ham = lambda a, b: bin(a ^ b).count("1")
         assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 

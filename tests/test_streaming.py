@@ -127,3 +127,47 @@ class TestWindows:
         got = {r.key: r for r in running_fold(keyed_events, ["key"], "ts", "value").collect()}
         assert (got["A"].n_seen, got["A"].last_value, got["A"].total) == (5, 5.0, 15.0)
         assert (got["B"].n_seen, got["B"].last_value) == (1, 10.0)
+
+
+class TestStatefulStream:
+    def test_running_fold_stream_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState fold accumulates across micro-batches and
+        its final per-key state matches the batch running_fold (iteratee
+        batch/stream parity)."""
+        from marketdb_spark.streaming.stateful import running_fold_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def row(key, minutes, value):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"key": key, "ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "value": value}
+
+        _write_batch(src, "b0.json", [row("A", 0, 1.0), row("A", 1, 2.0), row("B", 0, 5.0)])
+        _write_batch(src, "b1.json", [row("A", 2, 3.0), row("B", 3, 7.0)])
+
+        stream = (
+            spark.readStream.schema("key string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            running_fold_stream(stream, ["key"], "ts", "value")
+            .writeStream.format("memory")
+            .queryName("fold_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        out = spark.sql("SELECT * FROM fold_out").collect()
+        # one emission per (key, batch) — keep each key's final state
+        final = {}
+        for r in out:
+            if r.key not in final or r.n_seen > final[r.key].n_seen:
+                final[r.key] = r
+        assert (final["A"].n_seen, final["A"].last_value, final["A"].total) == (3, 3.0, 6.0)
+        assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
