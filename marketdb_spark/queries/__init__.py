@@ -18,6 +18,7 @@ from marketdb_spark.queries import tpch_extra  # noqa: E402,F401
 from marketdb_spark.queries import windows  # noqa: E402,F401
 from marketdb_spark.queries import setops  # noqa: E402,F401
 from marketdb_spark.queries import scalar  # noqa: E402,F401
+from marketdb_spark.queries import udf_surface  # noqa: E402,F401
 from marketdb_spark.queries import timeseries  # noqa: E402,F401
 from marketdb_spark.queries import llm_text  # noqa: E402,F401
 from marketdb_spark.queries import llm_dedup  # noqa: E402,F401

@@ -135,10 +135,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_vocab_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary builder: explode tokens, count global occurrences — the
-    map-side-combine aggregation shape that matters at corpus scale."""
+    map-side-combine aggregation shape that matters at corpus scale.
+    explode_outer + null-filter so InferFiltersFromGenerate doesn't push a
+    re-inlined tokenization into the scan (see operators.dedup docstring)."""
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        docs.select("doc_id", F.explode_outer(tokens("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

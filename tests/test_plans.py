@@ -58,6 +58,13 @@ def test_q1_pushes_date_filter(spark):
     ("q05_local_supplier_volume", 4),
     ("q10_returned_items", 2),
     ("join_dim_enrich", 2),
+    ("q02_best_supplier", 4),
+    ("q07_volume_shipping", 4),
+    ("q08_market_share", 6),
+    ("q09_product_profit", 3),
+    ("q14_promo_revenue", 1),
+    ("q16_supplier_count", 2),
+    ("q19_discounted_revenue", 1),
 ])
 def test_dim_joins_broadcast(spark, name, min_bcast):
     """Dimension tables must broadcast — no shuffle of the fact side for
@@ -82,3 +89,32 @@ def test_minhash_shuffle_budget(spark):
     bounded shuffle count, none of them on skewed keys."""
     df = REGISTRY["dedup_minhash_pairs"].fn(spark, SF_SMALL)
     assert count_shuffles(df) <= 6
+
+
+def test_no_generate_filter_reinlining(spark):
+    """The shingle/token expression must be evaluated once per row: Spark's
+    InferFiltersFromGenerate + predicate pushdown would otherwise re-inline
+    the whole array expression into a scan-side filter (the 10× dedup
+    regression fixed in operators.dedup — explode_outer pattern)."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    for name in ("dedup_minhash_pairs", "doc_vocab_topwords"):
+        plan = physical_plan(REGISTRY[name].fn(spark, SF_SMALL))
+        # one split() per corpus branch; re-inlining would put split() into
+        # a Filter above the scan too, doubling occurrences per branch
+        n_branches = plan.count("Scan parquet")
+        assert plan.count("split(") <= n_branches, name
+
+
+def test_q12_fact_join_shuffles(spark):
+    """orders⋈lineitem is a genuine fact-fact join: shuffle on the order
+    key plus one aggregate exchange — but never more."""
+    df = REGISTRY["q12_priority_lines"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) <= 3
+
+
+def test_q17_correlated_avg_plan(spark):
+    """Decorrelated per-part average joins against broadcast part dim; the
+    self-aggregate side shuffles once on l_partkey."""
+    df = REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_SMALL)
+    assert count_broadcast_joins(df) >= 1
