@@ -28,8 +28,25 @@ def main() -> None:
 
     spark = get_session(app_name="marketdb_spark_bench")
 
-    # JVM/codegen warm-up on a trivial plan (not counted).
+    # Warm-up (not counted): JIT the codepaths every query shares — parquet
+    # reader, hash aggregate, broadcast join, python/Arrow workers — on the
+    # tiniest SF so steady-state throughput is what gets measured.
+    warm_dir = "/root/testdata/sf0.001"
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{warm_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{warm_dir}/part.parquet")
+        (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"), F.approx_count_distinct("l_partkey"))
+            .collect()
+        )
+        li.limit(64).mapInPandas(lambda it: it, schema=li.schema).collect()
+    except Exception:
+        pass  # warm-up must never fail the bench
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

@@ -97,3 +97,90 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, real_codec: bool = False
+) -> DataFrame:
+    """Resize stub over mapInPandas: blob-in/blob-out, 1:1 rows, Arrow both
+    ways — the plumbing a real `PIL.Image.resize` body would use unchanged.
+
+    The deterministic fake treats the blob as a flat byte "image" and
+    nearest-neighbor samples it to out_w*out_h bytes (stride indexing), so
+    outputs are reproducible for tests. real_codec=True is the marked stub
+    boundary (NotImplementedError until an image library ships)."""
+    if real_codec:
+        raise NotImplementedError(
+            "real resize requires an image codec; the deterministic "
+            "byte-stride fake below exercises the full Spark plumbing"
+        )
+    n_out = out_w * out_h
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b):
+                if b is None or len(b) == 0:
+                    return None
+                raw = bytes(b)
+                # nearest-neighbor over the flat byte plane
+                return bytes(raw[(i * len(raw)) // n_out] for i in range(n_out))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "blob": pdf["blob"].map(one),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return df.mapInPandas(_resize_batch, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, n_frames: int = 4
+) -> DataFrame:
+    """Frame-sampling stub: treat each blob as a concatenation of
+    fixed-size frames (≙ a video container) and emit ``n_frames`` evenly
+    spaced frames as rows — the 1→N mapInPandas shape (each input batch
+    yields a longer output batch; Arrow handles the fan-out, no explode
+    shuffle). A real decoder would replace the slicing with codec calls."""
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                total = max(len(raw) // frame_size, 1)
+                take = min(n_frames, total)
+                for j in range(take):
+                    k = (j * total) // take  # evenly spaced frame index
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[k * frame_size : (k + 1) * frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)

@@ -140,6 +140,50 @@ class TestDedup:
         assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
 
+class TestMultimodal:
+    @pytest.fixture()
+    def media(self, spark):
+        from marketdb_spark.operators.multimodal import attach_blob
+
+        df = spark.createDataFrame(
+            [(1, "abcdefgh" * 32, "s1"), (2, "xy", "s2")],
+            "doc_id long, text string, source string",
+        )
+        return attach_blob(df, "doc_id", "text", "application/octet-stream")
+
+    def test_decode_features(self, media):
+        from marketdb_spark.operators.multimodal import decode_media
+
+        got = {r.media_id: r for r in decode_media(media).collect()}
+        assert got[1].byte_len == 256
+        assert got[2].fake_width == (ord("x") << 8) | ord("y")
+        with pytest.raises(NotImplementedError):
+            decode_media(media, real_codec=True)
+
+    def test_resize_stride(self, media):
+        from marketdb_spark.operators.multimodal import resize_media
+
+        got = {r.media_id: r for r in resize_media(media, 4, 2).collect()}
+        assert all(len(r.blob) == 8 for r in got.values())
+        # nearest-neighbor of a constant-pattern blob stays in-alphabet
+        assert set(bytes(got[1].blob)) <= set(b"abcdefgh")
+        assert (got[1].out_w, got[1].out_h) == (4, 2)
+
+    def test_sample_frames_even_spacing(self, media):
+        from marketdb_spark.operators.multimodal import sample_frames
+
+        rows = sample_frames(media, frame_size=64, n_frames=2).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        # blob 1: 256 bytes = 4 frames of 64 → sample frames 0 and 2
+        assert sorted(r.frame_idx for r in by_id[1]) == [0, 2]
+        assert all(len(r.frame) == 64 for r in by_id[1])
+        # blob 2: shorter than one frame → single partial frame 0
+        assert [r.frame_idx for r in by_id[2]] == [0]
+        assert bytes(by_id[2][0].frame) == b"xy"
+
+
 def test_cosine_topk(spark):
     rows = [
         (0, [1.0, 0.0]),

@@ -171,3 +171,54 @@ class TestStatefulStream:
                 final[r.key] = r
         assert (final["A"].n_seen, final["A"].last_value, final["A"].total) == (3, 3.0, 6.0)
         assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
+
+
+class TestStreamStaticJoin:
+    def test_uid_enrichment_in_flight(self, spark, tmp_path):
+        """Stream-static broadcast join: in-flight dictionary encoding of a
+        trade stream against the batch-built uid dim (the reference resolves
+        uids per event during ingest — MarketDB.scala:144-150; here the dim
+        broadcasts once and every micro-batch joins map-side)."""
+        from marketdb_spark.sources.uid import build_uid, encode
+
+        src = tmp_path / "src"
+        src.mkdir()
+        events = [
+            _event(1, market="RTS", security="RIH3"),
+            _event(2, market="RTS", security="RIM3"),
+            _event(3, market="FORTS", security="RIH3"),
+        ]
+        _write_batch(src, "b0.json", events)
+
+        static = spark.createDataFrame(
+            [("RTS", "RIH3"), ("RTS", "RIM3"), ("FORTS", "RIH3")],
+            "market string, security string",
+        )
+        uid = build_uid(static, {"Market": "market", "Security": "security"})
+
+        stream = (
+            spark.readStream.schema(
+                "market string, security string, trade_id long, price decimal(18,8),"
+                " amount int, time timestamp"
+            )
+            .option("maxFilesPerTrigger", 10)
+            .json(str(src))
+        )
+        enriched = encode(
+            encode(stream, uid, "Market", "market", "market_id"),
+            uid, "Security", "security", "security_id",
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enriched_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.trade_id: (r.market_id, r.security_id)
+            for r in spark.sql("SELECT * FROM enriched_out").collect()
+        }
+        # deterministic ids: dense_rank over sorted names per kind
+        assert got == {1: (2, 1), 2: (2, 2), 3: (1, 1)}
