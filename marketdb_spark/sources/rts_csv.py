@@ -38,7 +38,43 @@ MARKET_ID_MAX = (1 << 8) - 1
 SECURITY_ID_MAX = (1 << 24) - 1
 
 
-def read_rts_csv(spark: SparkSession, path: str) -> DataFrame:
+def extract_rts_zip(
+    zip_path: str, work_dir: str, entry_suffix: str = "ft.csv"
+) -> list[str]:
+    """Extract the trade CSV entries (`*ft.csv`; orders are `*ot.csv` —
+    TradeData.scala:61-86) from an RTS archive into ``work_dir`` and return
+    their paths. Driver-side utility: one archive is one trading day
+    (~single-digit MB); the extracted CSVs are then scanned by Spark in
+    parallel. For 100 TB of archives, run this fan-out per-day first (it is
+    embarrassingly parallel) and point read_rts_csv at the whole directory."""
+    import zipfile
+    from pathlib import Path
+
+    out_dir = Path(work_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out: list[str] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for info in zf.infolist():
+            if info.filename.lower().endswith(entry_suffix):
+                target = out_dir / Path(info.filename).name
+                with zf.open(info) as src, open(target, "wb") as dst:
+                    dst.write(src.read())
+                out.append(str(target))
+    return out
+
+
+def read_rts_zip(
+    spark: SparkSession, zip_path: str, work_dir: str
+) -> DataFrame:
+    """CSV-in-ZIP batch source (SURVEY §2A S3): unzip the day's `*ft.csv`
+    entries, then scan them with the schema'd CSV reader."""
+    files = extract_rts_zip(zip_path, work_dir)
+    if not files:
+        raise FileNotFoundError(f"no *ft.csv entries in {zip_path}")
+    return read_rts_csv(spark, files)
+
+
+def read_rts_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Read raw RTS lines. All columns land as strings; parsing/validation
     happens in `parse_trades` so bad values quarantine instead of nulling
     silently (PERMISSIVE mode keeps the raw line in `_corrupt`)."""

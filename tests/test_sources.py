@@ -58,6 +58,116 @@ class TestRtsCsv:
         assert valid.count() + quarantine.count() == 6
 
 
+class TestRtsZip:
+    def test_zip_roundtrip(self, spark, tmp_path):
+        """CSV-in-ZIP source (S3): only *ft.csv entries load; ot.csv and
+        junk entries are ignored (TradeData.scala:61-86)."""
+        import zipfile
+
+        from marketdb_spark.sources.rts_csv import read_rts_zip
+
+        zp = tmp_path / "FT130201.zip"
+        with zipfile.ZipFile(zp, "w") as zf:
+            zf.writestr("day/FT130201ft.csv", RTS_LINES)
+            zf.writestr("day/FT130201ot.csv", "not;trades")
+            zf.writestr("readme.txt", "junk")
+        valid, quarantine = parse_trades(
+            read_rts_zip(spark, str(zp), str(tmp_path / "work"))
+        )
+        assert valid.count() == 3 and quarantine.count() == 3
+
+    def test_zip_without_trades_entry_raises(self, spark, tmp_path):
+        import zipfile
+
+        from marketdb_spark.sources.rts_csv import read_rts_zip
+
+        zp = tmp_path / "empty.zip"
+        with zipfile.ZipFile(zp, "w") as zf:
+            zf.writestr("readme.txt", "junk")
+        with pytest.raises(FileNotFoundError):
+            read_rts_zip(spark, str(zp), str(tmp_path / "work"))
+
+
+class TestResolver:
+    def test_local_then_remote_mirror_cache(self, tmp_path):
+        """local ≺ remote fallback with mirror caching
+        (TradeResolver.scala:10-57, DataRef.scala:70-110) — remote served
+        from a file:// base so no network is involved."""
+        import datetime as dt
+
+        from marketdb_spark.sources.resolver import RefResolver, day_archive_name
+
+        day = dt.date(2012, 2, 1)
+        name = day_archive_name(day)
+        assert name == "FT120201.zip"
+
+        remote = tmp_path / "remote"
+        remote.mkdir()
+        (remote / name).write_bytes(b"zipbytes")
+        mirror = tmp_path / "mirror"
+
+        r = RefResolver(str(mirror), remote_base=remote.as_uri())
+        # miss locally → downloaded into the mirror
+        p = r.resolve(day)
+        assert p is not None and p.read_bytes() == b"zipbytes"
+        assert (mirror / name).exists()
+        # second resolve hits the mirror even if the remote disappears
+        (remote / name).unlink()
+        assert r.resolve(day) == mirror / name
+        # unknown day, no remote copy → None
+        assert r.resolve(dt.date(2012, 2, 2)) is None
+
+    def test_resolve_interval_expands_days(self, tmp_path):
+        import datetime as dt
+
+        from marketdb_spark.sources.resolver import RefResolver
+
+        r = RefResolver(str(tmp_path / "mirror"))
+        got = r.resolve_interval(dt.date(2012, 2, 1), dt.date(2012, 2, 3))
+        assert list(got) == [dt.date(2012, 2, 1 + i) for i in range(3)]
+        assert all(v is None for v in got.values())
+
+
+class TestClient:
+    def test_quickstart_parity(self, spark, trades_df, orders_df, tmp_path):
+        """The reference quick-start (README.md:119-155): store trades,
+        scan (market, security, interval), run the counter fold — plus the
+        heterogeneous merge the iteratee layer offered."""
+        from marketdb_spark.client import MarketDb
+
+        db = MarketDb(
+            spark,
+            trades_path=str(tmp_path / "trades"),
+            orders_path=str(tmp_path / "orders"),
+        )
+        db.add_trades(trades_df)
+        db.add_orders(orders_df)
+
+        import datetime as dt
+
+        from tests.conftest import BASE
+
+        interval = (BASE, BASE + dt.timedelta(minutes=9))
+        ts = db.trades("RTS", "RTS-3.14", interval)  # lazy handle
+        assert ts.count() == 10  # counter fold (MarketIteratees.scala:7-21)
+        times = [r.time for r in ts.collect()]
+        assert times == sorted(times)
+
+        merged = MarketDb.merge(
+            db.trades("RTS", "RTS-3.14", interval),
+            db.orders("RTS", "RTS-3.13", interval),
+            kinds=["trade", "order"],
+        )
+        rows = merged.collect()
+        assert {r.kind for r in rows} == {"trade", "order"}
+        keys = [(r.time, r.kind) for r in rows]
+        assert keys == sorted(keys)
+
+        # idempotent re-ingest through the client surface
+        db.add_trades(trades_df)
+        assert db.trades("RTS", "RTS-3.14", interval).count() == 10
+
+
 class TestUid:
     def test_dense_deterministic(self, spark, trades_df):
         uid = build_uid(trades_df, {"Market": "market", "Security": "security"})
