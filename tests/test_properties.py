@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the invariants the oracle suite
+can't sweep: order-independence of exact decimal aggregation, as-of join
+equivalence to pandas merge_asof, and idempotent-ingest stability under
+arbitrary redelivery. The reference has no property tests (SURVEY §5);
+these pin the semantics its concurrency/mock suites pinned by hand.
+
+Each example runs Spark jobs, so example counts are deliberately small —
+the point is the random structure, not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from marketdb_spark.functions.exact import dsum
+from marketdb_spark.operators.asof import asof_join
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# 2-dp "prices" as floats, the shape of every money column in the testdata
+prices = st.lists(
+    st.integers(min_value=-10_000_00, max_value=10_000_00).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(xs=prices, seed=st.integers(min_value=0, max_value=2**31))
+def test_dsum_is_order_independent_and_exact(spark, xs, seed):
+    """dsum(xs) must equal the exact Decimal sum for ANY partition/order —
+    the invariant that makes the DuckDB hash-compare deterministic."""
+    import random
+
+    shuffled = xs[:]
+    random.Random(seed).shuffle(shuffled)
+    expect = float(sum(Decimal(str(x)) for x in xs))
+    for data in (xs, shuffled):
+        df = spark.createDataFrame([(x,) for x in data], "v double").repartition(7)
+        got = df.agg(dsum("v").alias("s")).first().s
+        assert got == pytest.approx(expect, abs=0.0), (data, got, expect)
+
+
+times = st.lists(
+    st.integers(min_value=0, max_value=3600), min_size=1, max_size=25
+)
+
+
+@SLOW
+@given(lt=times, rt=times)
+def test_asof_join_matches_pandas_merge_asof(spark, lt, rt):
+    """Backward as-of join ≡ pd.merge_asof for arbitrary event times
+    (duplicates included) — the backtesting semantics of the merged
+    trade←order stream (SURVEY §2B as-of row)."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s)) for s in sorted(set(lt))],
+        "k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(seconds=s), float(i))
+            for i, s in enumerate(sorted(set(rt)))
+        ],
+        "k int, t timestamp, v double",
+    )
+    got = {
+        r.t: r.v_right
+        for r in asof_join(left, right, ["k"], "t", "t").collect()
+    }
+    lp = pd.DataFrame({"t": [t0 + dt.timedelta(seconds=s) for s in sorted(set(lt))]})
+    rp = pd.DataFrame(
+        {
+            "t": [t0 + dt.timedelta(seconds=s) for s in sorted(set(rt))],
+            "v": [float(i) for i in range(len(set(rt)))],
+        }
+    )
+    expect = pd.merge_asof(lp, rp, on="t", direction="backward")
+    for t, v in zip(expect["t"], expect["v"]):
+        g = got[t.to_pydatetime()]
+        assert (g is None and pd.isna(v)) or g == v
+
+
+@SLOW
+@given(
+    n_rows=st.integers(min_value=1, max_value=12),
+    redeliver=st.lists(st.integers(min_value=0, max_value=11), max_size=12),
+)
+def test_idempotent_append_under_redelivery(spark, tmp_path_factory, n_rows, redeliver):
+    """Appending ANY subset of already-ingested rows (the at-least-once
+    redelivery space, MarketLoader.scala:119) never changes the store."""
+    from marketdb_spark.sources.store import idempotent_append, read_store
+
+    path = str(tmp_path_factory.mktemp("store") / "s")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("RTS", "RTS-3.13", t0 + dt.timedelta(minutes=i), i, 100.0 + i)
+        for i in range(n_rows)
+    ]
+    schema = "market string, security string, time timestamp, trade_id long, price double"
+    df = spark.createDataFrame(rows, schema)
+    idempotent_append(spark, df, path)
+    n1 = read_store(spark, path).count()
+    assert n1 == n_rows
+    dup_rows = [rows[i % n_rows] for i in redeliver]
+    if dup_rows:
+        idempotent_append(spark, spark.createDataFrame(dup_rows, schema), path)
+        assert read_store(spark, path).count() == n1
