@@ -150,6 +150,63 @@ def sim_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT CAST(vec_id / 31 AS INT) AS cell_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 31 * 16
+    ),
+    assigned AS (
+      SELECT id, vec, cell_id FROM (
+        SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_DOT.format(a='e.embedding', b='c.centroid')}
+                   / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.centroid')})
+                 DESC, c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT.format(a='q.embedding', b='c.centroid')}
+                   / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.centroid')})
+                 DESC, c.cell_id) AS rn
+        FROM embeddings q CROSS JOIN centroids c
+        WHERE q.vec_id < 8
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             {_DOT.format(a='p.q_vec', b='a.vec')}
+               / ({_NORM.format(a='p.q_vec')} * {_NORM.format(a='a.vec')})
+               AS cosine_sim
+      FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+      WHERE a.id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (operators.similarity.ivf_topk): deterministic
+    sampled centroids (every 31st id — the 500-vector sf0.001/sf0.01
+    corpus yields 16 cells; the oracle hardcodes the same step), probe the
+    4 nearest cells per query, brute-force within. Recall-vs-cost dial
+    validated against exact search in tests/test_operators.py."""
+    from marketdb_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+@query(
     "sim_lsh_buckets",
     oracle="""
     SELECT bucket, COUNT(*) AS n_vectors

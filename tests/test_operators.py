@@ -184,6 +184,29 @@ class TestMultimodal:
         assert bytes(by_id[2][0].frame) == b"xy"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF probe dial: recall grows with n_probe and reaches 1.0 when every
+    cell is probed (all-cells IVF ≡ brute force)."""
+    from marketdb_spark.operators.similarity import ivf_topk
+
+    from marketdb_spark.catalog import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(n_probe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=n_probe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    assert recall(8) >= 0.8
+    assert recall(16) == 1.0
+
+
 def test_cosine_topk(spark):
     rows = [
         (0, [1.0, 0.0]),
