@@ -302,6 +302,69 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_nation_profile",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk2, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(nk, nk2) AS nationkey, n_cust, n_supp
+    FROM c FULL OUTER JOIN s ON nk = nk2
+    """,
+)
+def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with disjoint key coverage (the
+    supplier filter guarantees nations on one side only → null rows on
+    both sides survive)."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 3000)
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return c.join(s, c.nk == s.nk2, "full_outer").select(
+        F.coalesce("nk", "nk2").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_nonequi_balance_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+           a.s_acctbal AS a_bal, b.s_acctbal AS b_bal
+    FROM supplier a
+    JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) < 10.0
+    """,
+)
+def join_nonequi_balance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi self-join (no equality key at all → broadcast
+    nested-loop): supplier pairs with near-identical balances. The BNLJ is
+    quadratic by nature — at scale, band-bucket the balance first
+    (join_range_price_band shows the equi+band hybrid that replaces this
+    when a bucketing key exists)."""
+    supp = load(spark, sf_dir, "supplier")
+    a = supp.select(
+        F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal")
+    )
+    b = supp.select(
+        F.col("s_suppkey").alias("b_key"), F.col("s_acctbal").alias("b_bal")
+    )
+    return a.join(
+        F.broadcast(b),
+        (F.col("a_key") < F.col("b_key"))
+        & (F.abs(F.col("a_bal") - F.col("b_bal")) < 10.0),
+    ).select("a_key", "b_key", "a_bal", "b_bal")
+
+
+@query(
     "join_range_price_band",
     oracle="""
     SELECT p_brand,
