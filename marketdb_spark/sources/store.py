@@ -30,17 +30,27 @@ def write_partitioned(
     path: str,
     key_cols: list[str] | None = None,
     mode: str = "append",
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Write a trade-shaped frame partitioned by (market, date), sorted by
-    (security, time) within files, deduped by the natural key."""
+    (security, time) within files, deduped by the natural key.
+
+    Parquet bloom filters on the event-id column give point-lookup
+    row-group skipping — parity with the reference's HBase ROW bloom
+    (install/create_tables.sh:36-39); min/max stats already cover the
+    sorted (security, time) prefix."""
     key_cols = key_cols or TRADE_KEY
+    bloom_cols = key_cols[-1:] if bloom_cols is None else bloom_cols
     out = (
         df.dropDuplicates(key_cols)
         .withColumn("date", F.col("time").cast("date"))
         .repartition("market", "date")
         .sortWithinPartitions("security", "time")
     )
-    out.write.partitionBy("market", "date").mode(mode).parquet(path)
+    writer = out.write.partitionBy("market", "date").mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:

@@ -208,6 +208,41 @@ class TestStore:
         )._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan or "partitionFilters" in plan.lower()
 
+    def test_bloom_filter_written(self, spark, trades_df, tmp_path):
+        """Bloom filters on the event id (HBase ROW-bloom parity,
+        create_tables.sh:36-39): same rows written with blooms must carry
+        extra filter bytes vs a bloom-less write, and read back identically.
+        (This pyarrow build exposes no bloom footer API, so presence is
+        asserted via the on-disk delta.)"""
+        import glob
+
+        def total_bytes(p):
+            import os
+
+            return sum(
+                os.path.getsize(f)
+                for f in glob.glob(f"{p}/**/*.parquet", recursive=True)
+            )
+
+        with_bloom = str(tmp_path / "bloom")
+        without = str(tmp_path / "plain")
+        write_partitioned(trades_df, with_bloom)
+        write_partitioned(trades_df, without, bloom_cols=[])
+        assert total_bytes(with_bloom) > total_bytes(without)
+        assert (
+            read_store(spark, with_bloom).orderBy("trade_id").collect()
+            == read_store(spark, without).orderBy("trade_id").collect()
+        )
+
+    def test_batch_json_source_roundtrip(self, spark, trades_df, tmp_path):
+        """Batch JSON scan with explicit schema (SURVEY §2B sources [S]) —
+        schema'd read, no inference pass, timestamps preserved."""
+        path = str(tmp_path / "json")
+        trades_df.write.json(path)
+        back = spark.read.schema(trades_df.schema).json(path)
+        assert back.count() == trades_df.count()
+        assert dict(back.dtypes) == dict(trades_df.dtypes)
+
     def test_idempotent_reingest(self, spark, trades_df, tmp_path):
         """Re-ingesting the same batch is a no-op (FIXTURES.md §7)."""
         path = str(tmp_path / "store")
