@@ -95,11 +95,27 @@ def tokenized(
 
 
 def shingled(
-    df: DataFrame, id_col: str, text_col: str, n: int, out_col: str = "sh"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_col: str = "sh",
+    require_nonempty: bool = False,
 ) -> DataFrame:
     """Project (id, distinct n-gram shingle array) with single-evaluation
-    tokens (see tokenized)."""
-    return tokenized(df, id_col, text_col).select(
+    tokens (see tokenized).
+
+    require_nonempty drops docs shorter than n tokens *before* the token
+    projection, as a deliberate scan-side filter on the raw text. Filtering
+    later (on the array columns) would be re-inlined below the projections
+    by predicate pushdown, recomputing the whole pipeline per row; this
+    early filter costs one extra tokenization of each row and guarantees
+    every downstream array aggregate (array_min in the minhash signature)
+    is non-null."""
+    src = spread(df)
+    if require_nonempty:
+        src = src.filter(F.size(tokens(text_col)) >= n)
+    return src.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")).select(
         "id", shingles(F.col("toks"), n).alias(out_col)
     )
 
@@ -148,36 +164,39 @@ def minhash_signatures(
     as nested array lambdas over a signature array: every downstream
     element_at would re-inline (and re-execute) the whole md5 pipeline.
 
-    Documents with no shingles (< shingle_n tokens) produce no signature.
-
-    explode_outer + null-filter, NOT plain explode: for explode, Catalyst's
-    InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`, and
-    predicate pushdown re-inlines the whole shingle expression into that
-    filter below the repartition — re-shingling the corpus twice on the
-    unspread input (measured 10× the pipeline cost at sf0.1). The outer
-    variant infers nothing; the null-filter on the *generated output* is
-    cheap and keeps the row semantics identical."""
-    return _signatures_from_sh(shingled(df, id_col, text_col, shingle_n), k)
+    Documents with no shingles (< shingle_n tokens) produce no signature
+    (dropped by the scan-side require_nonempty filter)."""
+    return _signatures_from_sh(
+        shingled(df, id_col, text_col, shingle_n, require_nonempty=True), k
+    )
 
 
 def _signatures_from_sh(sh: DataFrame, k: int) -> DataFrame:
-    """Signatures from a prepared (id, sh) frame — see minhash_signatures."""
-    hashed = (
-        sh.select("id", F.explode_outer("sh").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select("id", (token_hash64(F.col("s")) % MINHASH_P).alias("h"))
+    """Signatures from a prepared NON-EMPTY (id, sh) frame: hash every
+    shingle once into a bound array column, then take the k affine minima
+    with array_min — entirely MAP-SIDE, zero shuffles (the earlier
+    explode→groupBy(id) formulation shuffled one row per (doc, shingle):
+    ~50× the signature row count). Each array_min references the hash
+    array as a cheap bound column, so the md5 pass still runs exactly once
+    per shingle."""
+    hashed = sh.select(
+        "id",
+        F.transform("sh", lambda s: token_hash64(s) % MINHASH_P).alias("hs"),
     )
-    aggs = [
-        F.min(
-            (
-                F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * F.col("h")
-                + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
+    mins = [
+        F.array_min(
+            F.transform(
+                "hs",
+                lambda h: (
+                    F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * h
+                    + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
+                )
+                % MINHASH_P,
             )
-            % MINHASH_P
         ).alias(f"m{i}")
         for i in range(k)
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    return hashed.select("id", *mins)
 
 
 def minhash_lsh_pairs(
@@ -199,9 +218,13 @@ def minhash_lsh_pairs(
 
 def _lsh_pairs_from_sigs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
     rows = k // bands
+    # explode_outer on purpose: the band array is a length-`bands` literal,
+    # so outer ≡ inner — but inner explode would let InferFiltersFromGenerate
+    # re-inline the whole signature expression into a pushed-down filter
+    # (see minhash_signatures docstring; measured 2× the pipeline).
     banded = sigs.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -249,7 +272,9 @@ def verified_near_dups(
     would materialize the shingle table once and join against it instead.
 
     Returns (id_a, id_b, jaccard) for verified pairs."""
-    sh = shingled(df, id_col, text_col, shingle_n)
+    # non-empty required by the map-side signature; candidates (and hence
+    # the verify join) can only involve docs that have shingles anyway
+    sh = shingled(df, id_col, text_col, shingle_n, require_nonempty=True)
     cand = _lsh_pairs_from_sigs(_signatures_from_sh(sh, k), k, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
