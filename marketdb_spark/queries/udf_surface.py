@@ -105,6 +105,54 @@ def udtf_text_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_wavg_udaf():
+    """Grouped-aggregate pandas UDF (the UDAF shape): exact weighted mean
+    via python Decimal so the result is engine-portable (a float64 sum
+    would differ from DuckDB's fold order in the last bits)."""
+    from decimal import Decimal
+
+    @pandas_udf("double")
+    def _wavg(price: pd.Series, qty: pd.Series) -> float:
+        num = Decimal(0)
+        den = 0
+        for p, q in zip(price, qty):
+            num += Decimal(str(p)) * int(q)
+            den += int(q)
+        # float(num) and float(den) are exact (scaled sums < 2^53), so the
+        # single double division reproduces DuckDB's
+        # CAST(dec AS DOUBLE)/CAST(big AS DOUBLE) bit-for-bit
+        return float(num) / float(den) if den else None
+
+    return _wavg
+
+
+@query(
+    "udaf_weighted_avg_price",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS DOUBLE)
+             AS wavg_price
+    FROM lineitem
+    WHERE l_orderkey < 3000
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf GROUPED_AGG — a user-defined aggregate running per group
+    over Arrow batches (the iteratee-as-aggregation shape). Decimal-exact
+    numerator/denominator, one final double division, so the DuckDB oracle
+    hash-matches. Bounded to a key slice: the UDAF is the deliberate slow
+    path (quantified by bench.py), not the recommended form — dsum covers
+    the built-in route."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    wavg = _make_wavg_udaf()
+    return li.groupBy("l_returnflag").agg(
+        wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
+    )
+
+
 @query(
     "scalar_array_map_funcs",
     oracle="""
