@@ -173,6 +173,64 @@ class TestStatefulStream:
         assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
 
 
+class TestLateData:
+    def test_watermark_drops_late_events(self, spark, tmp_path):
+        """Event-time watermark + windowed agg: an event arriving in a
+        later micro-batch with a timestamp older than (max_seen - watermark)
+        is DROPPED from the aggregation — the late-data policy the
+        reference never defined (it trusted queue order; SURVEY §2B)."""
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def row(minutes, v):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "v": v}
+
+        # batch 0 advances the clock to minute 60; batch 2 delivers an
+        # event at minute 0 — 60 min late, far beyond the 10-min watermark.
+        # Two details pinned here: the file source orders batches by
+        # modification time (set explicitly), and Spark's late-event
+        # watermark LAGS the eviction watermark by one batch (the 3.4+
+        # two-watermark design), so the late arrival lands two batches
+        # after the clock-advancing one.
+        import os
+        import time as _time
+
+        _write_batch(src, "b0.json", [row(0, 1.0), row(60, 1.0)])
+        _write_batch(src, "b1.json", [row(61, 1.0)])
+        _write_batch(src, "b2.json", [row(0, 100.0), row(62, 1.0)])
+        now = _time.time()
+        for i, name in enumerate(["b0.json", "b1.json", "b2.json"]):
+            os.utime(src / name, (now - 120 + 30 * i,) * 2)
+
+        stream = (
+            spark.readStream.schema("ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "total", "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_out")
+            .outputMode("append")  # append: late rows drop, windows emit once final
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.ws: (r.total, r.n) for r in spark.sql("SELECT * FROM late_out").collect()}
+        # minute-0 window finalized with ONLY the on-time event: the 100.0
+        # arriving 60 min late (≫ the 10-min watermark) was discarded
+        assert got[T0] == (1.0, 1)
+        # the minute-60 windows never finalize before the stream ends
+        assert all(ws == T0 for ws in got)
+
+
 class TestStreamStaticJoin:
     def test_uid_enrichment_in_flight(self, spark, tmp_path):
         """Stream-static broadcast join: in-flight dictionary encoding of a
