@@ -302,6 +302,49 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_point_in_interval",
+    oracle="""
+    WITH periods AS (
+      SELECT CAST(y AS INT) AS year_key,
+             CAST(CAST(y AS VARCHAR) || '-01-01' AS TIMESTAMP) AS p_start,
+             CAST(CAST(y AS VARCHAR) || '-07-01' AS TIMESTAMP) AS p_end,
+             'H1-' || CAST(y AS VARCHAR) AS period_name
+      FROM (SELECT UNNEST(range(1995, 2002)) AS y)
+    )
+    SELECT period_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN periods
+      ON CAST(YEAR(o_orderdate) AS INT) = year_key
+     AND o_orderdate >= p_start AND o_orderdate < p_end
+    GROUP BY period_name
+    """,
+)
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with a bucketing key (the Q1 key-range scan
+    generalized to arbitrary intervals): the derived year bucket turns a
+    range-only join (BNLJ, quadratic) into an equi hash join + residual
+    range filter. At 100 TB: intervals spanning buckets are exploded to
+    one row per bucket first; the fact side never replicates."""
+    orders = load(spark, sf_dir, "orders")
+    periods = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("year_key"),
+        F.to_timestamp(F.concat(F.col("id"), F.lit("-01-01"))).alias("p_start"),
+        F.to_timestamp(F.concat(F.col("id"), F.lit("-07-01"))).alias("p_end"),
+        F.concat(F.lit("H1-"), F.col("id")).alias("period_name"),
+    )
+    return (
+        orders.join(
+            F.broadcast(periods),
+            (F.year("o_orderdate").cast("int") == F.col("year_key"))
+            & (F.col("o_orderdate") >= F.col("p_start"))
+            & (F.col("o_orderdate") < F.col("p_end")),
+        )
+        .groupBy("period_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
     "join_full_outer_nation_profile",
     oracle="""
     WITH c AS (
