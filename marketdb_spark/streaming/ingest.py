@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from marketdb_spark.sources.store import TRADE_KEY, idempotent_append
+from marketdb_spark.sources.store import ORDER_KEY, TRADE_KEY, idempotent_append
 
 TRADES_EVENT_SCHEMA = T.StructType(
     [
@@ -36,6 +36,33 @@ TRADES_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# OrderPayload (reference marketdb-api/.../model/Payload.scala:19-28):
+# nested nullable deal struct ≙ Option[(Long, BigDecimal)]
+ORDERS_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("market", T.StringType(), True),
+        T.StructField("security", T.StringType(), True),
+        T.StructField("order_id", T.LongType(), True),
+        T.StructField("time", T.TimestampType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("action", T.ShortType(), True),
+        T.StructField("dir", T.ShortType(), True),
+        T.StructField("price", T.DecimalType(18, 8), True),
+        T.StructField("amount", T.IntegerType(), True),
+        T.StructField("amount_rest", T.IntegerType(), True),
+        T.StructField(
+            "deal",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType(), True),
+                    T.StructField("price", T.DecimalType(18, 8), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
 
 def read_trade_stream(
     spark: SparkSession,
@@ -43,33 +70,57 @@ def read_trade_stream(
     max_files_per_trigger: int = 10,
     watermark: str = "10 minutes",
     dedup_within_watermark: bool = True,
+    kind: str = "trades",
 ) -> DataFrame:
-    """File-source stream of JSON-lines trade events. maxFilesPerTrigger is
-    the batching knob (≙ the reference's buffered(1000) read handle,
-    MarketLoader.scala:49). Watermark bounds late data AND the dedup state."""
+    """File-source stream of JSON-lines trade/order events.
+    maxFilesPerTrigger is the batching knob (≙ the reference's
+    buffered(1000) read handle, MarketLoader.scala:49). Watermark bounds
+    late data AND the dedup state."""
+    schema, key = (
+        (TRADES_EVENT_SCHEMA, TRADE_KEY)
+        if kind == "trades"
+        else (ORDERS_EVENT_SCHEMA, ORDER_KEY)
+    )
     stream = (
-        spark.readStream.schema(TRADES_EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
         .withWatermark("time", watermark)
     )
     if dedup_within_watermark:
-        stream = stream.dropDuplicatesWithinWatermark(TRADE_KEY)
+        stream = stream.dropDuplicatesWithinWatermark(key)
     return stream
 
 
-def validate_split(df: DataFrame) -> DataFrame:
-    """Tag each event valid/rejected with a reason (V1 pipeline). Returns
-    one frame with `reject_reason` (null = valid) so a single stream feeds
-    the dual write."""
-    reason = (
-        F.when(F.col("market").isNull() | (F.col("market") == ""), "missing market")
-        .when(F.col("security").isNull() | (F.col("security") == ""), "missing security")
-        .when(F.col("trade_id").isNull(), "missing trade_id")
-        .when(F.col("price").isNull() | (F.col("price") <= 0), "bad price")
-        .when(F.col("amount").isNull() | (F.col("amount") <= 0), "bad amount")
-        .when(F.col("time").isNull(), "missing time")
+def validate_split(df: DataFrame, kind: str = "trades") -> DataFrame:
+    """Tag each event valid/rejected with a reason (V1 pipeline,
+    Trade.scala:52-54 / Order.scala:53-55). Returns one frame with
+    `reject_reason` (null = valid) so a single stream feeds the dual
+    write."""
+    common = F.when(
+        F.col("market").isNull() | (F.col("market") == ""), "missing market"
+    ).when(
+        F.col("security").isNull() | (F.col("security") == ""), "missing security"
     )
+    if kind == "trades":
+        reason = (
+            common.when(F.col("trade_id").isNull(), "missing trade_id")
+            .when(F.col("price").isNull() | (F.col("price") <= 0), "bad price")
+            .when(F.col("amount").isNull() | (F.col("amount") <= 0), "bad amount")
+            .when(F.col("time").isNull(), "missing time")
+        )
+    else:
+        reason = (
+            common.when(F.col("order_id").isNull(), "missing order_id")
+            .when(F.col("price").isNull() | (F.col("price") <= 0), "bad price")
+            .when(F.col("amount").isNull() | (F.col("amount") <= 0), "bad amount")
+            .when(
+                F.col("amount_rest").isNull() | (F.col("amount_rest") < 0),
+                "bad amount_rest",
+            )
+            .when(~F.col("dir").isin(1, -1), "bad dir")
+            .when(F.col("time").isNull(), "missing time")
+        )
     return df.withColumn("reject_reason", reason)
 
 
@@ -79,16 +130,21 @@ def start_ingest(
     store_path: str,
     quarantine_path: str,
     checkpoint_path: str,
+    kind: str = "trades",
     **stream_opts,
 ) -> StreamingQuery:
     """Wire the full ingest: stream → validate → dual-write via
     foreachBatch. Each micro-batch appends idempotently to the main store
     (partitioned by market/date) and appends rejects to quarantine —
-    the reference's persisted-vs-Rejected split (MarketDB.scala:157-210)."""
-    stream = read_trade_stream(spark, source_path, **stream_opts)
+    the reference's persisted-vs-Rejected split (MarketDB.scala:157-210).
+
+    kind='trades' | 'orders' — the reference's loader consumes both queues
+    with the same machinery (MarketLoader.scala:76-121)."""
+    stream = read_trade_stream(spark, source_path, kind=kind, **stream_opts)
+    key_cols = TRADE_KEY if kind == "trades" else ORDER_KEY
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        tagged = validate_split(batch).cache()
+        tagged = validate_split(batch, kind=kind).cache()
         try:
             valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
             # engine-wide quarantine record shape: (reject_reason, source,
@@ -96,11 +152,11 @@ def start_ingest(
             # quarantine store serves every ingest source.
             rejects = tagged.filter(F.col("reject_reason").isNotNull()).select(
                 "reject_reason",
-                F.lit("trade_stream").alias("source"),
+                F.lit(f"{kind[:-1]}_stream").alias("source"),
                 F.to_json(F.struct(*[c for c in batch.columns])).alias("payload"),
             )
             if valid.limit(1).count():
-                idempotent_append(spark, valid, store_path)
+                idempotent_append(spark, valid, store_path, key_cols)
             if rejects.limit(1).count():
                 rejects.write.mode("append").parquet(quarantine_path)
         finally:

@@ -70,6 +70,44 @@ class TestIngest:
         assert reasons == {99: "bad amount", 98: "bad price"}
         assert {r.source for r in rejects.collect()} == {"trade_stream"}
 
+    def test_orders_ingest_with_nested_deal(self, spark, tmp_path):
+        """Orders queue (reference MarketLoader consumes trades AND orders,
+        MarketLoader.scala:135-180): same ingest machinery, order-specific
+        validation (dir ∈ {1,-1}), nested nullable deal struct survives."""
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def order(i, dir=1, amount=10, deal=None):
+            t = T0 + dt.timedelta(minutes=i)
+            return {
+                "market": "RTS", "security": "RTS-3.13", "order_id": 2000 + i,
+                "time": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "status": 1, "action": 1, "dir": dir,
+                "price": "152070.5", "amount": amount, "amount_rest": 5,
+                **({"deal": deal} if deal else {}),
+            }
+
+        good = [order(0, deal={"id": 100, "price": "152070.5"}), order(1), order(2)]
+        bad = [order(90, dir=7), order(91, amount=-1)]
+        _write_batch(src, "b0.json", good + bad)
+
+        store = str(tmp_path / "orders")
+        q = start_ingest(
+            spark, str(src), store, str(tmp_path / "quar"),
+            str(tmp_path / "ckpt"), kind="orders",
+        )
+        q.awaitTermination(120)
+
+        main = spark.read.parquet(store)
+        assert main.count() == 3
+        with_deal = main.filter(F.col("deal").isNotNull()).collect()
+        assert len(with_deal) == 1 and with_deal[0].deal.id == 100
+        reasons = {
+            json.loads(r.payload)["order_id"]: r.reject_reason
+            for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+        }
+        assert reasons == {2090: "bad dir", 2091: "bad amount"}
+
     def test_restart_with_checkpoint_no_duplicates(self, spark, tmp_path):
         src = tmp_path / "src"
         src.mkdir()
