@@ -41,9 +41,10 @@ SECURITY_ID_MAX = (1 << 24) - 1
 def extract_rts_zip(
     zip_path: str, work_dir: str, entry_suffix: str = "ft.csv"
 ) -> list[str]:
-    """Extract the trade CSV entries (`*ft.csv`; orders are `*ot.csv` —
-    TradeData.scala:61-86) from an RTS archive into ``work_dir`` and return
-    their paths. Driver-side utility: one archive is one trading day
+    """Extract the trade CSV entries from an RTS archive into ``work_dir``
+    and return their paths. `*ft.csv` = futures trades, `*ot.csv` = options
+    trades (TradeData.scala:33-34) — same line format, so either suffix
+    feeds the same parser. Driver-side utility: one archive is one trading day
     (~single-digit MB); the extracted CSVs are then scanned by Spark in
     parallel. For 100 TB of archives, run this fan-out per-day first (it is
     embarrassingly parallel) and point read_rts_csv at the whole directory."""
@@ -64,11 +65,12 @@ def extract_rts_zip(
 
 
 def read_rts_zip(
-    spark: SparkSession, zip_path: str, work_dir: str
+    spark: SparkSession, zip_path: str, work_dir: str, entry_suffix: str = "ft.csv"
 ) -> DataFrame:
-    """CSV-in-ZIP batch source (SURVEY §2A S3): unzip the day's `*ft.csv`
-    entries, then scan them with the schema'd CSV reader."""
-    files = extract_rts_zip(zip_path, work_dir)
+    """CSV-in-ZIP batch source (SURVEY §2A S3): unzip the day's trade
+    entries (futures by default; pass entry_suffix='ot.csv' for options),
+    then scan them with the schema'd CSV reader."""
+    files = extract_rts_zip(zip_path, work_dir, entry_suffix)
     if not files:
         raise FileNotFoundError(f"no *ft.csv entries in {zip_path}")
     return read_rts_csv(spark, files)

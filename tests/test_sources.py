@@ -60,21 +60,33 @@ class TestRtsCsv:
 
 class TestRtsZip:
     def test_zip_roundtrip(self, spark, tmp_path):
-        """CSV-in-ZIP source (S3): only *ft.csv entries load; ot.csv and
-        junk entries are ignored (TradeData.scala:61-86)."""
+        """CSV-in-ZIP source (S3): only the requested suffix loads —
+        *ft.csv = futures trades, *ot.csv = options trades (same format,
+        TradeData.scala:33-34); junk entries are ignored."""
         import zipfile
 
         from marketdb_spark.sources.rts_csv import read_rts_zip
 
+        opt_lines = (
+            "code;contract;price;amount;time;trade_id;nosystem\n"
+            "RIH3;RTS-O-130213;95.5;1;2013-02-01 10:00:00.000;500000001;0\n"
+        )
         zp = tmp_path / "FT130201.zip"
         with zipfile.ZipFile(zp, "w") as zf:
             zf.writestr("day/FT130201ft.csv", RTS_LINES)
-            zf.writestr("day/FT130201ot.csv", "not;trades")
+            zf.writestr("day/FT130201ot.csv", opt_lines)
             zf.writestr("readme.txt", "junk")
         valid, quarantine = parse_trades(
             read_rts_zip(spark, str(zp), str(tmp_path / "work"))
         )
         assert valid.count() == 3 and quarantine.count() == 3
+        # options trades load through the same parser with the ot suffix
+        from marketdb_spark.sources.rts_csv import read_rts_zip as rz
+
+        ov, oq = parse_trades(
+            rz(spark, str(zp), str(tmp_path / "work_ot"), entry_suffix="ot.csv")
+        )
+        assert ov.count() == 1 and oq.count() == 0
 
     def test_zip_without_trades_entry_raises(self, spark, tmp_path):
         import zipfile
