@@ -269,6 +269,69 @@ class TestLateData:
         assert all(ws == T0 for ws in got)
 
 
+class TestStreamStreamJoin:
+    def test_interval_join_trades_orders_streams(self, spark, tmp_path):
+        """Stream-stream event-time interval join — the watermark-safe form
+        of the as-of enrichment (SURVEY §7 risk register): each trade joins
+        the orders within its trailing 2-minute window; watermarks on both
+        sides bound the join state."""
+        tsrc, osrc = tmp_path / "t", tmp_path / "o"
+        tsrc.mkdir(), osrc.mkdir()
+
+        def ev(minutes, **kv):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), **kv}
+
+        _write_batch(
+            tsrc, "b0.json", [ev(5, sec="A", trade_id=1), ev(10, sec="A", trade_id=2)]
+        )
+        _write_batch(
+            osrc,
+            "b0.json",
+            [ev(4, sec="A", order_id=10), ev(5, sec="A", order_id=11),
+             ev(2, sec="A", order_id=12), ev(9.5, sec="A", order_id=13),
+             ev(5, sec="B", order_id=14)],  # other instrument: never joins
+        )
+
+        trades = (
+            spark.readStream.schema("ts timestamp, sec string, trade_id long")
+            .json(str(tsrc))
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("ts").alias("t_ts"), F.col("sec").alias("t_sec"), "trade_id")
+        )
+        orders = (
+            spark.readStream.schema("ts timestamp, sec string, order_id long")
+            .json(str(osrc))
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("ts").alias("o_ts"), F.col("sec").alias("o_sec"), "order_id")
+        )
+        # stream-stream joins need an equality key (here: the instrument —
+        # exactly the reference's per-(market,security) series identity)
+        joined = trades.join(
+            orders,
+            (F.col("t_sec") == F.col("o_sec"))
+            & (F.col("o_ts") <= F.col("t_ts"))
+            & (F.col("o_ts") > F.col("t_ts") - F.expr("interval 2 minutes")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {}
+        for r in spark.sql("SELECT * FROM ss_join").collect():
+            got.setdefault(r.trade_id, set()).add(r.order_id)
+        # trade@5 sees orders at 4 and 5 (trailing 2-min window, inclusive
+        # end, exclusive start) but not the one at minute 2
+        assert got[1] == {10, 11}
+        # trade@10 sees only the order at 9.5
+        assert got[2] == {13}
+
+
 class TestStreamStaticJoin:
     def test_uid_enrichment_in_flight(self, spark, tmp_path):
         """Stream-static broadcast join: in-flight dictionary encoding of a
