@@ -239,3 +239,38 @@ def ts_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_session_start"),
     )
+
+
+@query(
+    "ts_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time buckets via F.window (the minute-bucket row-key
+    clock of the reference, Trade.scala:24-27, generalized). 15-minute
+    grids are epoch-aligned in Spark and 2000-01-01-aligned in DuckDB's
+    time_bucket — both origins sit on a 15-minute boundary, so the bucket
+    edges coincide and the oracle matches exactly."""
+    from marketdb_spark.functions.exact import dsum
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
