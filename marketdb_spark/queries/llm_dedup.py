@@ -165,3 +165,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, verified in tests/test_operators.py)."""
     docs = load(spark, sf_dir, "documents")
     return simhash_fingerprints(docs, n_bits=32)
+
+
+_EMB_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_EMB_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, v) -> acc + v))"
+)
+_EMB_BUCKET = (
+    "list_reduce(list_transform(range(1, 9), i -> "
+    "CASE WHEN CAST({e}[i] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE 0 END), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_EMB_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+             / ({_EMB_NORM.format(a='a.embedding')}
+                * {_EMB_NORM.format(a='b.embedding')}) AS cosine_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+            / ({_EMB_NORM.format(a='a.embedding')}
+               * {_EMB_NORM.format(a='b.embedding')}) >= 0.35
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the fifth dedup modality, SURVEY §2B [N]):
+    candidate pairs share a sign-LSH bucket (first 8 dims → 256 buckets, so
+    the pair space is corpus²/256 per bucket, not corpus²), then exact
+    cosine ≥ threshold verifies. Same candidates→verify shape as
+    dedup_verified_pairs, on vectors instead of shingles; cosine is a
+    sequential double fold on both engines (bit-exact oracle)."""
+    from marketdb_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a_side = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        "bucket",
+    )
+    b_side = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a_side.join(
+            b_side,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine_sim") >= 0.35)
+        .select("id_a", "id_b", "cosine_sim")
+    )
