@@ -267,3 +267,34 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_orderkey", pair).alias("cheapest_order"),
         F.max_by("l_orderkey", pair).alias("dearest_order"),
     )
+
+
+@query(
+    "sample_stratified_det",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           {oracle_dsum('o_totalprice')} AS sum_price,
+           {oracle_davg('o_totalprice')} AS avg_price
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via a multiplicative hash on the key
+    (Knuth LCG, pure BIGINT arithmetic → engine-exact and reproducible
+    across runs/engines, unlike rand()-based sampleBy). The predicate is a
+    scan-side filter — at 100 TB the sample never leaves the map stage, and
+    per-stratum statistics aggregate the sampled ~10% only."""
+    orders = load(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < 429496729
+    return (
+        orders.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+    )

@@ -16,6 +16,7 @@ from marketdb_spark.operators.dedup import (
     MINHASH_B0,
     MINHASH_B_STEP,
     MINHASH_P,
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -134,6 +135,35 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: LSH candidates → exact Jaccard verify
     (≥0.2) on candidates only — the scalable two-phase shape."""
     return verified_near_dups(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "dedup_cluster_docs",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: LSH candidate pairs → connected components →
+    (doc_id, cluster_id); docs with no near-dup are singleton clusters.
+    Min-label propagation (iterative joins, lineage-truncated); the oracle
+    computes the same fixpoint with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 _SIMHASH_ORACLE = f"""

@@ -148,3 +148,98 @@ def doc_vocab_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("total_occurrences"),
         )
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+# The synthetic corpus has no digits/emails, so a deterministic contact
+# string derived from doc_id is appended first — the *operator* under test
+# is regexp redaction at corpus scale, and the oracle replays the identical
+# construction. Patterns are restricted to the RE2 ∩ Java-regex dialect.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+\d-\d{3}-\d{4}"
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "doc_pii_redact",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_RAW_SQL} AS raw FROM documents),
+    red AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(raw, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                            '{_PHONE_PAT}', '[PHONE]', 'g') AS redacted
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+           CAST(LENGTH(redacted) AS BIGINT) AS clean_len,
+           right(redacted, 30) AS tail
+    FROM red
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails/phone
+    numbers with built-in regexp functions (JVM-side, map-only — no UDF).
+    At 100 TB this is a pure map stage: no shuffle, fully pushdown-friendly."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = docs.select(
+        "doc_id",
+        raw.alias("raw"),
+    ).select(
+        "doc_id",
+        "raw",
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_PAT, "[EMAIL]"), _PHONE_PAT, "[PHONE]"
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_PAT)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_PAT)).cast("long").alias("n_phones"),
+        F.length("redacted").cast("long").alias("clean_len"),
+        F.substring("redacted", -30, 30).alias("tail"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH t AS (SELECT {_ORACLE_NTOK} AS ntok, n_chars FROM documents)
+    SELECT ntok - ntok % 25 AS bin_lo,
+           COUNT(*) AS n_docs,
+           (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens
+    FROM t GROUP BY bin_lo
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: width-25 token-count bins (integer arithmetic
+    only — engine-exact), doc counts and char averages per bin. The groupBy
+    key has ~dozens of distinct values → map-side partial aggregation does
+    nearly all the work; safe at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    binned = docs.select(
+        (ntok - ntok % 25).alias("bin_lo"),
+        ntok.alias("ntok"),
+        "n_chars",
+    )
+    return binned.groupBy("bin_lo").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("ntok").alias("min_tokens"),
+        F.max("ntok").alias("max_tokens"),
+    )

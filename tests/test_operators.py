@@ -139,6 +139,22 @@ class TestDedup:
         ham = lambda a, b: bin(a ^ b).count("1")
         assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
+    def test_connected_components_path_and_singleton(self, spark):
+        # Path 1-2-3-4-5 (diameter 4 → several propagation rounds), a
+        # separate pair 10-11, and singleton 20 from the node universe.
+        from marketdb_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "id long"
+        )
+        got = {
+            r.id: r.label for r in connected_components(pairs, nodes).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
 
 class TestMultimodal:
     @pytest.fixture()
