@@ -125,3 +125,89 @@ def running_fold_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) ---------------------
+# Same running-fold semantics as running_fold_stream, on the newer
+# StatefulProcessor interface: typed named state slots (ValueState) instead
+# of one opaque state tuple, explicit timers, and TTL support — the closest
+# Spark analog yet of the reference's resumable iteratee objects
+# (marketdb-iteratee/.../MarketIteratees.scala:6-55, whose Cont/Done states
+# are exactly a value-state + emission protocol).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+_TWS_STATE_DDL = "n_seen BIGINT, last_value DOUBLE, total DOUBLE, last_time STRING"
+
+
+class _RunningFoldProcessor(StatefulProcessor):
+    """Per-key (n_seen, last_value, total) fold; one output row per
+    (key, micro-batch). Keys are hash-partitioned across the cluster's
+    state store; each batch shuffles only its new rows."""
+
+    def __init__(self, key_cols: Sequence[str], time_col: str, value_col: str):
+        self._key_cols = list(key_cols)
+        self._time_col = time_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("fold", _TWS_STATE_DDL)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n_seen, last_value, total, last_time = self._state.get()
+        else:
+            n_seen, last_value, total, last_time = 0, float("nan"), 0.0, ""
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(self._time_col)
+            n_seen += len(pdf)
+            total += float(pdf[self._value_col].sum())
+            t_max = str(pdf[self._time_col].iloc[-1])
+            if t_max >= last_time:
+                last_value = float(pdf[self._value_col].iloc[-1])
+                last_time = t_max
+        self._state.update((n_seen, last_value, total, last_time))
+        yield pd.DataFrame(
+            {
+                **{c: [k] for c, k in zip(self._key_cols, key)},
+                "n_seen": [n_seen],
+                "last_value": [last_value],
+                "total": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_fold_tws(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """running_fold_stream on the Spark 4 transformWithStateInPandas API.
+
+    Emits in Update mode (one refreshed row per key per batch). Batch/stream
+    parity with the applyInPandasWithState fold is pinned by
+    tests/test_streaming.py.
+
+    Runtime requirements: the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and the protobuf package
+    (the state protocol between the Python worker and the JVM state server
+    is protobuf-framed) — the test gates on both.
+    """
+    key_fields = [
+        StructField(name, df.schema[name].dataType) for name in key_cols
+    ]
+    return df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_RunningFoldProcessor(key_cols, time_col, value_col),
+        outputStructType=_out_schema(key_fields),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -210,6 +210,65 @@ class TestStatefulStream:
         assert (final["A"].n_seen, final["A"].last_value, final["A"].total) == (3, 3.0, 6.0)
         assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
 
+    def test_running_fold_transform_with_state(self, spark, tmp_path):
+        """Same fold on the Spark 4 transformWithStateInPandas API
+        (StatefulProcessor + typed ValueState): final per-key state must
+        agree with the applyInPandasWithState fold above.
+
+        Skipped when protobuf is unavailable: the transformWithState
+        Python↔JVM state protocol is protobuf-framed (its driver worker
+        imports pyspark.sql.streaming.proto at init)."""
+        pytest.importorskip("google.protobuf")
+        from marketdb_spark.streaming.stateful import running_fold_tws
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def row(key, minutes, value):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"key": key, "ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "value": value}
+
+        _write_batch(src, "b0.json", [row("A", 0, 1.0), row("A", 1, 2.0), row("B", 0, 5.0)])
+        _write_batch(src, "b1.json", [row("A", 2, 3.0), row("B", 3, 7.0)])
+
+        # transformWithState requires the RocksDB state store provider
+        # (the default HDFS-backed provider does not implement the new
+        # multi-column-family state layout).
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("key string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            running_fold_tws(stream, ["key"], "ts", "value")
+            .writeStream.format("memory")
+            .queryName("fold_tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+        out = spark.sql("SELECT * FROM fold_tws_out").collect()
+        final = {}
+        for r in out:
+            if r.key not in final or r.n_seen > final[r.key].n_seen:
+                final[r.key] = r
+        assert (final["A"].n_seen, final["A"].last_value, final["A"].total) == (3, 3.0, 6.0)
+        assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
+
 
 class TestLateData:
     def test_watermark_drops_late_events(self, spark, tmp_path):
