@@ -325,9 +325,13 @@ def connected_components(
     (marketdb-core/.../model/Trade.scala:56-57); this generalizes it to
     similarity-based identity ([N] mandate).
     """
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # union doubles the partition count; coalesce (no shuffle) so the
+        # per-iteration join doesn't pay 2× task overhead on tiny tasks
+        .coalesce(par)
         .localCheckpoint()  # also materializes: edges are re-read every round
     )
     labels = nodes.select(
@@ -335,22 +339,21 @@ def connected_components(
     ).localCheckpoint()
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+            F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("prev")
         )
+        self_rows = labels.select("id", "label", F.col("label").alias("prev"))
+        # min(label) = propagated label; min(prev) = the key's old label
+        # (present only on the self row) — carrying it through the same
+        # aggregation makes the convergence check a filter on the
+        # checkpointed result instead of a second join.
         new_labels = (
-            labels.union(prop)
+            self_rows.union(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.withColumnRenamed("label", "old_label"), "id")
-            .filter(F.col("label") < F.col("old_label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("prev")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels

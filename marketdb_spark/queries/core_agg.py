@@ -298,3 +298,38 @@ def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("o_totalprice").alias("avg_price"),
         )
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle=f"""
+    SELECT l_returnflag, metric,
+           {oracle_dsum('val')} AS total,
+           COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt, the inverse of pivot_status_by_flag)
+    + per-metric totals. Spark's unpivot is a zero-shuffle Expand node — each
+    input row fans out to one row per metric map-side; the only shuffle is
+    the final small-key aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        dsum("val").alias("total"), F.count("*").alias("n")
+    )
