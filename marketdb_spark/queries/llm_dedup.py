@@ -265,3 +265,62 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= 0.35)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT cc.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(n_chars) AS BIGINT) AS cluster_chars
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of corpus dedup: per duplicate cluster, elect one
+    canonical document (longest text; ties → smallest id) — pairs →
+    connected components → window top-1. Downstream training reads only
+    keep_doc_id rows; n_members/cluster_chars quantify the reduction.
+    The per-cluster window partitions on cluster_id (uniform, bounded
+    groups), so the rank shuffle is skew-free at scale."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    joined = cc.join(docs, cc["id"] == docs["doc_id"]).select(
+        F.col("label").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("cluster_chars"),
+        )
+    )

@@ -243,3 +243,41 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ntok").alias("min_tokens"),
         F.max("ntok").alias("max_tokens"),
     )
+
+
+@query(
+    "doc_token_bpe_est",
+    oracle=rf"""
+    SELECT doc_id,
+           {_ORACLE_NTOK} AS n_ws_tokens,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(text, '[A-Za-z0-9]+'),
+                  t -> (length(t) + 3) // 4)), 0)
+                + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+)
+def doc_token_bpe_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate (SURVEY §2B [N] "whitespace + a BPE-ish
+    regex"): alphanumeric runs contribute ceil(len/4) subword tokens
+    (~4 chars/token, the common BPE rule of thumb); every other non-space
+    symbol is one token. Pure integer arithmetic on regexp matches —
+    engine-exact, map-only, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    # (len+3)/4 on longs is double division in Spark — floor() pins the
+    # integer ceil-division semantics the oracle's // computes
+    n_sub = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    n_other = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    from marketdb_spark.functions.text import token_count as _tc
+
+    return docs.select(
+        "doc_id",
+        _tc("text").alias("n_ws_tokens"),
+        (n_sub + n_other).alias("n_bpe_est"),
+    )

@@ -81,3 +81,71 @@ def idempotent_append(
     ).select(*key_cols)
     fresh = df.join(touched, on=key_cols, how="left_anti")
     write_partitioned(fresh, path, key_cols)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Rewrite a partitioned store so every (market, date) partition holds
+    ~target-sized parquet files instead of the many small files streaming
+    ingest accumulates (one file per micro-batch per partition — the
+    small-files problem; the reference never hits it because HBase
+    compacts regions itself, but a file-based store must compact
+    explicitly).
+
+    Two-pass: (1) size each partition from the file listing (driver-side
+    metadata only — no data read), (2) rewrite partitions whose file count
+    exceeds ceil(bytes/target) via a per-partition repartition. The rewrite
+    reads/writes ONLY oversplit partitions — cost scales with fragmentation,
+    not store size. Returns {files_before, files_after, partitions_rewritten}.
+
+    At cluster scale the same logic runs as a maintenance job; target ~128 MB
+    keeps scan tasks full-sized (spark.sql.files.maxPartitionBytes default)
+    while bounding memory per write task.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    # Pass 1: per-partition file census from the filesystem listing.
+    parts: dict[str, tuple[int, int]] = {}  # rel_dir -> (n_files, bytes)
+    for root, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq:
+            continue
+        rel = os.path.relpath(root, path)
+        size = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+        parts[rel] = (len(pq), size)
+
+    files_before = sum(n for n, _ in parts.values())
+    rewritten = files_after = 0
+    for rel, (n_files, size) in parts.items():
+        want = max(1, math.ceil(size / target_file_bytes))
+        if n_files <= want:
+            files_after += n_files
+            continue
+        # Pass 2: rewrite this partition directory only. The partition
+        # columns live in the directory name, not the files, so the
+        # rewrite is a pure coalesce of row data.
+        src = os.path.join(path, rel)
+        part_df = spark.read.parquet(src)
+        tmp = tempfile.mkdtemp(dir=path, prefix="_compact_")
+        part_df.repartition(want).write.mode("overwrite").parquet(tmp)
+        new_files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(src, f))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                shutil.move(os.path.join(tmp, f), os.path.join(src, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        rewritten += 1
+        files_after += len(new_files)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "partitions_rewritten": rewritten,
+    }

@@ -255,6 +255,29 @@ class TestStore:
         assert back.count() == trades_df.count()
         assert dict(back.dtypes) == dict(trades_df.dtypes)
 
+    def test_compact_store_merges_small_files(self, spark, trades_df, tmp_path):
+        """Micro-batch ingest leaves one file per batch per partition; the
+        compactor must merge them to ~target-sized files, touch only
+        oversplit partitions, and preserve every row."""
+        from marketdb_spark.sources.store import compact_store
+
+        path = str(tmp_path / "store")
+        # simulate 5 micro-batches → 5 small files per (market, date) dir
+        for i in range(5):
+            batch = trades_df.withColumn(
+                "trade_id", F.col("trade_id") + F.lit(i * 10_000)
+            )
+            write_partitioned(batch, path, mode="append")
+        before = read_store(spark, path)
+        n_before = before.count()
+
+        stats = compact_store(spark, path, target_file_bytes=128 * 1024 * 1024)
+        assert stats["files_before"] > stats["files_after"]
+        assert stats["partitions_rewritten"] >= 1
+        after = read_store(spark, path)
+        assert after.count() == n_before
+        assert sorted(after.columns) == sorted(before.columns)
+
     def test_idempotent_reingest(self, spark, trades_df, tmp_path):
         """Re-ingesting the same batch is a no-op (FIXTURES.md §7)."""
         path = str(tmp_path / "store")
