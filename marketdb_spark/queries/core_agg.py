@@ -333,3 +333,39 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "metric").agg(
         dsum("val").alias("total"), F.count("*").alias("n")
     )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation via operators.skew.salted_agg: groupBy(key,
+    salt) partial → groupBy(key) final. events has 5 hot event_type keys —
+    the shape where one reducer would own 20% of a 100 TB table; salting
+    spreads each hot key over 16 reducers and the final phase combines 16
+    tiny rows per key. The result is identical to a plain GROUP BY (the
+    oracle), because count/sum/min/max are salt-decomposable (decimal sum
+    → order-independent)."""
+    from marketdb_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.col("value")),
+            "total_value": ("sum", F.col("value").cast("decimal(18,6)")),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))

@@ -122,3 +122,38 @@ def test_q17_correlated_avg_plan(spark):
     self-aggregate side shuffles once on l_partkey."""
     df = REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_SMALL)
     assert count_broadcast_joins(df) >= 1
+
+
+def test_unpivot_is_expand_one_shuffle(spark):
+    """Unpivot must compile to a map-side Expand (row fan-out without a
+    shuffle); the only exchange is the final small-key aggregation."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    df = REGISTRY["unpivot_lineitem_metrics"].fn(spark, SF_SMALL)
+    assert "Expand" in physical_plan(df)
+    assert count_shuffles(df) == 1
+
+
+def test_stratified_sample_pushes_scan_filter(spark):
+    """The deterministic sample predicate must run scan-side: at 100 TB the
+    rejected 90% never leaves the map stage (no pre-filter exchange)."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    df = REGISTRY["sample_stratified_det"].fn(spark, SF_SMALL)
+    # filter sits under the first (partial) aggregate — exactly one shuffle
+    assert count_shuffles(df) == 1
+    plan = physical_plan(df)
+    assert plan.index("Filter") > plan.index("HashAggregate")  # bottom-up text
+
+
+def test_pii_redact_is_map_only(spark):
+    """Regex scrub is a pure projection: zero shuffles at any scale."""
+    df = REGISTRY["doc_pii_redact"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 0
+
+
+def test_salted_agg_two_exchanges(spark):
+    """Salted two-phase aggregation: exactly two shuffles — (key, salt)
+    partial, then key final — never a third."""
+    df = REGISTRY["agg_salted_two_phase"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 2
