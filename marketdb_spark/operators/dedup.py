@@ -337,6 +337,7 @@ def connected_components(
     labels = nodes.select(
         F.col(node_id).alias("id"), F.col(node_id).alias("label")
     ).localCheckpoint()
+    prev_ckpt = labels
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("prev")
@@ -352,11 +353,26 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
             .localCheckpoint()
         )
+        # the superseded round's checkpoint blocks are dead the moment the
+        # (eager) new checkpoint exists — release them, or a long-lived
+        # session pins O(iterations) copies of the label table
+        _unpersist_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         changed = new_labels.filter(F.col("label") < F.col("prev")).limit(1).count()
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    _unpersist_checkpoint(edges)
     return labels
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks of a localCheckpoint'ed frame. The frame
+    must never be computed again afterwards (its lineage was truncated)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: leaked blocks degrade memory, not correctness
 
 
 def simhash_bits(hashed_col: Column | str, n_bits: int = 32) -> Column:
