@@ -116,3 +116,52 @@ def test_idempotent_append_under_redelivery(spark, tmp_path_factory, n_rows, red
     if dup_rows:
         idempotent_append(spark, spark.createDataFrame(dup_rows, schema), path)
         assert read_store(spark, path).count() == n1
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=40,
+    ),
+    n_nodes=st.integers(min_value=1, max_value=31),
+)
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """Spark min-label propagation must agree with a driver-side union-find
+    on arbitrary graphs — including chains (worst-case diameter), isolated
+    nodes, parallel edges, and edges touching nodes outside the universe."""
+    from marketdb_spark.operators.dedup import connected_components
+
+    nodes = list(range(n_nodes))
+    edges = [e for e in edges if e[0] < n_nodes and e[1] < n_nodes]
+
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id per component
+    comp: dict[int, list[int]] = {}
+    for i in nodes:
+        comp.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for members in comp.values() for i in members}
+
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:  # createDataFrame needs rows; a self-loop edge is a no-op
+        pairs_df = pairs_df.filter("id_a != id_a")
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {
+        r.id: r.label
+        for r in connected_components(pairs_df, nodes_df).collect()
+    }
+    assert got == expect
