@@ -45,3 +45,33 @@ def ohlc_bars(
             F.count("*").alias("n_events"),
         )
     )
+
+
+def rollup_bars(
+    bars: DataFrame,
+    key_cols: Sequence[str],
+    bar: str = "day",
+) -> DataFrame:
+    """Re-aggregate finer OHLC bars into coarser ones WITHOUT touching raw
+    events — the continuous-aggregate / hypertable-rollup pattern: at 100 TB
+    the daily job reads 24 hourly rows per key instead of re-scanning the
+    raw table (OHLC components compose: open = open of earliest sub-bar,
+    high = max, low = min, close = close of latest sub-bar, volume/count =
+    sums). bar_start is unique per (key, sub-bar), so min_by/max_by over it
+    are deterministic — no raw-level tie-break needed here; the sub-bar agg
+    already resolved ties on (time, id)."""
+    out = (
+        bars.withColumn("coarse_start", F.date_trunc(bar, F.col("bar_start")))
+        .groupBy(*key_cols, "coarse_start")
+        .agg(
+            F.min_by("open", F.col("bar_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bar_start")).alias("close"),
+            # hourly volume is an exact ≤6-dp decimal rendered as double —
+            # the re-cast is an identity, keeping the re-sum order-free
+            dsum(F.col("volume"), scale=6).alias("volume"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    return out.withColumnRenamed("coarse_start", "bar_start")

@@ -274,3 +274,45 @@ def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "ts_ohlc_daily_rollup",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) events
+    )
+    SELECT user_id, bar_start,
+           MAX(CASE WHEN rn_open  = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, bar_start
+    """,
+)
+def ts_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC computed by re-aggregating HOURLY bars (operators.ohlc.
+    rollup_bars) — the continuous-aggregate pattern. The oracle computes
+    daily bars directly from raw events: the hash match proves the rollup
+    composition is exactly equivalent, which is what licenses the cheap
+    cascade (raw → hourly → daily → …) at scale."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ohlc_bars(
+        ev,
+        key_cols=["user_id"],
+        time_col="ts",
+        value_col="value",
+        id_col="event_id",
+        bar="hour",
+    )
+    from marketdb_spark.operators.ohlc import rollup_bars
+
+    return rollup_bars(hourly, key_cols=["user_id"], bar="day")
