@@ -45,6 +45,10 @@ def main() -> None:
             .collect()
         )
         li.limit(64).mapInPandas(lambda it: it, schema=li.schema).collect()
+        # JIT the regex/md5/higher-order-function pipeline the dedup family
+        # shares — otherwise the alphabetically-first dedup query pays tens
+        # of seconds of codegen+JIT that belongs to no query in particular
+        REGISTRY["dedup_verified_pairs"].fn(spark, warm_dir).count()
     except Exception:
         pass  # warm-up must never fail the bench
 

@@ -320,3 +320,33 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_90d"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS masked,
+           event_id << 3 AS shifted_l,
+           event_id >> 2 AS shifted_r,
+           xor(event_id, user_id) AS xored,
+           (event_id >> 2) | (user_id & 7) AS mixed,
+           CAST(bit_count(event_id) AS BIGINT) AS n_bits
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar coverage (the primitives under simhash/bitmap/bucket
+    ops): and/or/xor, shifts, popcount — all JVM-side, map-only."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("masked"),
+        F.shiftleft(eid, 3).alias("shifted_l"),
+        F.shiftright(eid, 2).alias("shifted_r"),
+        eid.bitwiseXOR(uid).alias("xored"),
+        F.shiftright(eid, 2).bitwiseOR(uid.bitwiseAND(F.lit(7))).alias("mixed"),
+        F.bit_count(eid).cast("long").alias("n_bits"),
+    )
