@@ -32,6 +32,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row with equal join keys:
     ``direction='backward'`` (default) matches the most recent right row at
@@ -42,6 +43,13 @@ def asof_join(
     right_cols: columns of ``right`` to carry (default: all non-key,
     non-time). They appear suffixed on the output, plus
     ``{right_time}{suffix}`` for the matched timestamp.
+
+    tolerance_seconds: bounded staleness (pandas merge_asof semantics): the
+    nearest match is kept only if |left.time - right.time| ≤ tolerance —
+    otherwise the left row gets NULLs. There is no fall-forward to older
+    rows; a quote staler than the tolerance means "no quote". Applied as a
+    post-predicate on the matched payload, so the plan shape (one shuffle,
+    window scan) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -80,6 +88,14 @@ def asof_join(
         )
         match = F.first("__payload", ignorenulls=True).over(w)
     matched = unioned.withColumn("__match", match).filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        # epoch-seconds delta as double: sub-second precision preserved
+        delta = F.abs(
+            F.col("__time").cast("double") - F.col("__match.__t").cast("double")
+        )
+        matched = matched.withColumn(
+            "__match", F.when(delta <= F.lit(float(tolerance_seconds)), F.col("__match"))
+        )
 
     out_cols: list[Column] = [F.col(c) for c in left.columns]
     out_cols.append(F.col("__match.__t").alias(f"{right_time}{suffix}"))

@@ -316,3 +316,47 @@ def ts_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdb_spark.operators.ohlc import rollup_bars
 
     return rollup_bars(hourly, key_cols=["user_id"], bar="day")
+
+
+@query(
+    "ts_asof_tolerance",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value FROM events),
+    j AS (
+      SELECT a.event_id, a.user_id, a.ts, a.value,
+             b.ts AS m_ts, b.value AS m_value
+      FROM (SELECT * FROM ev WHERE event_type = 'click') a
+      ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN epoch(ts) - epoch(m_ts) <= 172800.0 THEN m_ts END
+             AS ts_right,
+           CASE WHEN epoch(ts) - epoch(m_ts) <= 172800.0 THEN m_value END
+             AS value_right
+    FROM j
+    """,
+)
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (merge_asof tolerance semantics): each
+    click gets the latest same-user purchase at-or-before it ONLY if that
+    purchase is ≤ 2 days old — a quote staler than the tolerance is no
+    quote, not a fall-back to an even older one. Same one-shuffle window
+    plan as ts_asof_join; the tolerance is a post-predicate."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+        tolerance_seconds=2 * 86400,
+    )

@@ -65,6 +65,24 @@ class TestAsofJoin:
         got = {r.k: r.v_right for r in asof_join(left, right, ["k"], "t", "t").collect()}
         assert got[1] == 1.0 and got[2] is None
 
+    def test_tolerance_rejects_stale_match(self, spark):
+        """merge_asof tolerance semantics: a nearest-match older than the
+        tolerance yields NULL, never a fall-back to something even older."""
+        left = spark.createDataFrame(
+            [(1, _ts(100)), (1, _ts(200))], "k int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(95), 1.0), (1, _ts(120), 2.0)], "k int, t timestamp, v double"
+        )
+        got = {
+            r.t: (r.t_right, r.v_right)
+            for r in asof_join(
+                left, right, ["k"], "t", "t", tolerance_seconds=30
+            ).collect()
+        }
+        assert got[_ts(100)] == (_ts(95), 1.0)  # 5s stale: within tolerance
+        assert got[_ts(200)] == (None, None)  # nearest is 80s stale: rejected
+
 
 class TestOhlc:
     def test_bar_semantics(self, spark):
