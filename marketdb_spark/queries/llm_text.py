@@ -281,3 +281,66 @@ def doc_token_bpe_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tc("text").alias("n_ws_tokens"),
         (n_sub + n_other).alias("n_bpe_est"),
     )
+
+
+# English stopword list shared with functions.text.LANG_STOPWORDS["en"]
+_EN_STOPS = "('the','a','of','and','to','in','is')"
+
+
+@query(
+    "doc_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             {_ORACLE_NTOK} AS ntok,
+             CAST(LENGTH(text) AS BIGINT) AS nchars,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS BIGINT) AS npunct,
+             CAST(len(list_filter({_ORACLE_TOKENS}, t -> t IN {_EN_STOPS}))
+                  AS BIGINT) AS nstop
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN ntok > 0 THEN CAST(nstop AS DOUBLE) / ntok ELSE 0.0 END
+             AS stopword_ratio,
+           CASE WHEN nchars > 0 THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END
+             AS punct_ratio,
+           CASE WHEN ntok BETWEEN 20 AND 1000
+                 AND (CASE WHEN ntok > 0
+                           THEN CAST(nstop AS DOUBLE) / ntok ELSE 0.0 END) >= 0.01
+                 AND (CASE WHEN nchars > 0
+                           THEN CAST(npunct AS DOUBLE) / nchars ELSE 0.0 END) < 0.1
+                THEN TRUE ELSE FALSE END AS keep
+    FROM m
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate for training corpora (SURVEY §2B [N]
+    "quality scoring (length/punct/stopword ratios)"): a doc is kept when
+    its length is in-band, it contains some English stopwords (fluency
+    proxy), and it is not punctuation-soup. All ratios are single
+    divisions of exact integer counts — engine-identical. Map-only; at
+    100 TB this is the pre-dedup filter pass that discards junk before any
+    shuffle happens."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ntok = token_count("text")
+    nchars = F.length("text").cast("long")
+    npunct = punct_count("text")
+    nstop = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"),
+        )
+    ).cast("long")
+    stop_ratio = F.when(ntok > 0, nstop.cast("double") / ntok).otherwise(0.0)
+    punct_ratio = F.when(nchars > 0, npunct.cast("double") / nchars).otherwise(0.0)
+    keep = (
+        ntok.between(20, 1000) & (stop_ratio >= 0.01) & (punct_ratio < 0.1)
+    )
+    return docs.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        keep.alias("keep"),
+    )
