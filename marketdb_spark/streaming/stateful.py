@@ -91,20 +91,28 @@ def running_fold_stream(
             n_seen, last_value, total, last_time = state.get
         else:
             n_seen, last_value, total, last_time = 0, float("nan"), 0.0, ""
+        ev_max_ms = 0
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(time_col)
             n_seen += len(pdf)
             total += float(pdf[value_col].sum())
+            ev_max_ms = max(ev_max_ms, pdf[time_col].iloc[-1].value // 1_000_000)
             t_max = str(pdf[time_col].iloc[-1])
             if t_max >= last_time:
                 last_value = float(pdf[value_col].iloc[-1])
                 last_time = t_max
         state.update((n_seen, last_value, total, last_time))
         if state_timeout:
-            # expire a key's state one watermark past its last activity
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+            # Expire a key one minute past its last activity IN EVENT TIME.
+            # The anchor must be max(watermark, this batch's own max event
+            # time): in the first batches the watermark is still 0 (it lags
+            # one batch), and anchoring there would set an epoch-1970
+            # timeout that instantly expires the state as soon as the
+            # watermark advances — including across a checkpoint restart.
+            anchor = max(state.getCurrentWatermarkMs(), ev_max_ms)
+            state.setTimeoutTimestamp(anchor + 60_000)
         yield pd.DataFrame(
             {
                 **{c: [k] for c, k in zip(key_cols, key)},

@@ -210,6 +210,55 @@ class TestStatefulStream:
         assert (final["A"].n_seen, final["A"].last_value, final["A"].total) == (3, 3.0, 6.0)
         assert (final["B"].n_seen, final["B"].last_value, final["B"].total) == (2, 7.0, 12.0)
 
+    def test_stateful_fold_survives_restart(self, spark, tmp_path):
+        """The per-key fold state must persist in the checkpoint across a
+        query stop/start: batch 2 processed by a NEW query object continues
+        from (n_seen, total) accumulated by the first — the durable-iteratee
+        property the reference gets from HBase persistence + at-least-once
+        (MarketLoader.scala:119); here the state store provides it."""
+        from marketdb_spark.streaming.stateful import running_fold_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt_restart")
+
+        def row(key, minutes, value):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"key": key, "ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "value": value}
+
+        out_dir = str(tmp_path / "out")
+
+        def run_once():
+            # memory sink cannot recover from a checkpoint; a parquet
+            # foreachBatch sink is the restart-capable shape (same as the
+            # ingest path's dual-write)
+            stream = (
+                spark.readStream.schema("key string, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+                .withWatermark("ts", "10 minutes")
+            )
+            q = (
+                running_fold_stream(stream, ["key"], "ts", "value")
+                .writeStream.foreachBatch(
+                    lambda df, _id: df.write.mode("append").parquet(out_dir)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write_batch(src, "b0.json", [row("A", 0, 1.0), row("A", 1, 2.0)])
+        run_once()
+        _write_batch(src, "b1.json", [row("A", 2, 4.0)])
+        run_once()  # fresh query object, same checkpoint
+
+        out = spark.read.parquet(out_dir).collect()
+        final = max((r for r in out if r.key == "A"), key=lambda r: r.n_seen)
+        assert (final.n_seen, final.last_value, final.total) == (3, 4.0, 7.0)
+
     def test_running_fold_transform_with_state(self, spark, tmp_path):
         """Same fold on the Spark 4 transformWithStateInPandas API
         (StatefulProcessor + typed ValueState): final per-key state must
