@@ -77,10 +77,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, n=2, threshold=0.05)
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(src: str = "documents") -> str:
+    """The MinHash+LSH candidate-pair pipeline as DuckDB SQL, over any
+    document-shaped relation ``src`` (doc_id, text) — kept in lockstep
+    with operators.dedup.minhash_lsh_pairs (k=16, 8 bands)."""
+    return f"""
     WITH shingled AS (
       SELECT doc_id AS id, UNNEST({_SHINGLES2}) AS s
-      FROM documents
+      FROM {src}
     ),
     hashed AS (
       SELECT id, {_H64.format(s='s')} % {MINHASH_P} AS h FROM shingled
@@ -103,6 +107,9 @@ _MINHASH_ORACLE = f"""
     JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
     WHERE a.id < b.id
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle("documents")
 
 
 @query("dedup_minhash_pairs", oracle=_MINHASH_ORACLE)
@@ -324,3 +331,56 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("cluster_chars"),
         )
     )
+
+
+# quality predicate kept in lockstep with operators.pipeline.quality_keep
+_QUALITY_SQL = f"""
+      len({_TOKS}) BETWEEN 20 AND 1000
+      AND (CASE WHEN len({_TOKS}) > 0
+                THEN CAST(len(list_filter({_TOKS},
+                     t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                     / len({_TOKS}) ELSE 0.0 END) >= 0.01
+      AND (CASE WHEN LENGTH(text) > 0
+                THEN CAST(LENGTH(text)
+                     - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text) ELSE 0.0 END) < 0.1
+"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE {_QUALITY_SQL}
+    ),
+    cand AS ({_minhash_oracle('kept')}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT k.doc_id, cc.cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY k.n_chars DESC, k.doc_id
+             ) AS rn
+      FROM cc JOIN kept k ON k.doc_id = cc.id
+    )
+    SELECT doc_id, cluster_id, rn = 1 AS is_canonical FROM ranked
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-cleaning pipeline in one call (operators.pipeline.
+    clean_corpus): quality gate → MinHash+LSH pairs → connected components
+    → per-cluster canonical election. One row per surviving doc with its
+    cluster and canonical flag; the oracle replays every stage in SQL."""
+    from marketdb_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(load(spark, sf_dir, "documents"))
