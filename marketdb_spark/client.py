@@ -90,6 +90,27 @@ class MarketDb:
         by the declared kind tag (deterministic — SURVEY §3.2)."""
         return merge_series(list(series), "time", kind_col="kind", kinds=kinds)
 
+    # -- derived series (bar aggregation over a scan handle)
+
+    def ohlc(
+        self, market: str, security: str, interval: Interval, bar: str = "minute"
+    ) -> DataFrame:
+        """OHLC bars for one instrument: open/high/low/close on price
+        (ties broken on trade_id), volume = sum(amount) — the minute-bucket
+        rollup the reference's row-key clock implies (Trade.scala:24-27)
+        surfaced as a first-class query. Lazy like every other handle."""
+        from marketdb_spark.operators.ohlc import ohlc_bars
+
+        return ohlc_bars(
+            self.trades(market, security, interval),
+            key_cols=["market", "security"],
+            time_col="time",
+            value_col="price",
+            id_col="trade_id",
+            bar=bar,
+            volume_col="amount",
+        )
+
     # -- ingest (addTrade/addOrder, MarketDB.scala:139-168) — idempotent
 
     def add_trades(self, df: DataFrame) -> None:
@@ -101,3 +122,19 @@ class MarketDb:
         if self.orders_path is None:
             raise ValueError("orders path not configured")
         idempotent_append(self.spark, df, self.orders_path, ORDER_KEY)
+
+    # -- maintenance (the HBase-region-compaction analog)
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Merge micro-batch small files in both stores; returns combined
+        {files_before, files_after, partitions_rewritten}."""
+        from marketdb_spark.sources.store import compact_store
+
+        totals = {"files_before": 0, "files_after": 0, "partitions_rewritten": 0}
+        for path in (self.trades_path, self.orders_path):
+            if path is None:
+                continue
+            stats = compact_store(self.spark, path, target_file_bytes)
+            for k in totals:
+                totals[k] += stats[k]
+        return totals

@@ -26,13 +26,22 @@ def ohlc_bars(
     value_col: str,
     id_col: str,
     bar: str = "hour",
+    volume_col: str | None = None,
 ) -> DataFrame:
     """Per (keys, bar) compute open/high/low/close/volume/n_events.
 
     ``bar`` is a date_trunc unit ('minute', 'hour', 'day', ...). ``id_col``
     breaks ties between events with equal timestamps deterministically.
+    ``volume_col``: when given (e.g. a trade's integer ``amount``), volume
+    is its plain sum; otherwise volume is the decimal-exact sum of
+    ``value_col`` (the events-table convention).
     """
     tie = F.struct(F.col(time_col), F.col(id_col))
+    vol = (
+        F.sum(volume_col).alias("volume")
+        if volume_col is not None
+        else dsum(F.col(value_col), scale=6).alias("volume")
+    )
     return (
         df.withColumn("bar_start", F.date_trunc(bar, F.col(time_col)))
         .groupBy(*key_cols, "bar_start")
@@ -41,7 +50,7 @@ def ohlc_bars(
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
             F.max_by(value_col, tie).alias("close"),
-            dsum(F.col(value_col), scale=6).alias("volume"),
+            vol,
             F.count("*").alias("n_events"),
         )
     )

@@ -179,6 +179,35 @@ class TestClient:
         db.add_trades(trades_df)
         assert db.trades("RTS", "RTS-3.14", interval).count() == 10
 
+    def test_client_ohlc_and_compact(self, spark, trades_df, tmp_path):
+        """db.ohlc: price OHLC + amount volume for one instrument; ties
+        resolved on trade_id; db.compact is a no-op on an already-compact
+        store but reports the census."""
+        import datetime as dt
+        from decimal import Decimal
+
+        from marketdb_spark.client import MarketDb
+        from tests.conftest import BASE
+
+        db = MarketDb(spark, trades_path=str(tmp_path / "trades"))
+        db.add_trades(trades_df)
+        interval = (BASE, BASE + dt.timedelta(minutes=9))
+        bars = db.ohlc("RTS", "RTS-3.13", interval, bar="hour").collect()
+        assert len(bars) == 1  # every fixture trade sits in one hour
+        bar = bars[0]
+        # fixture: the 10 per-minute trades (price 152070.5+i, amount 1+i)
+        # PLUS the two sub-minute straddle rows (amount 2 each) — the scan
+        # interval is end-inclusive, so all 12 land in the bar
+        assert bar.open == Decimal("152070.5")
+        assert bar.close == Decimal("152079.5")
+        assert (bar.high, bar.low) == (Decimal("152079.5"), Decimal("152070.5"))
+        assert bar.volume == sum(range(1, 11)) + 4
+        assert bar.n_events == 12
+
+        stats = db.compact()
+        assert stats["files_before"] == stats["files_after"] > 0
+        assert stats["partitions_rewritten"] == 0
+
 
 class TestUid:
     def test_dense_deterministic(self, spark, trades_df):
