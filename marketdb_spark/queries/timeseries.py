@@ -360,3 +360,88 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["value"],
         tolerance_seconds=2 * 86400,
     )
+
+
+@query(
+    "ts_similarity_paa",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+             COUNT(*) AS n
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+            FROM events) events
+      GROUP BY user_id HAVING COUNT(*) >= 8
+    ),
+    paa AS (
+      SELECT user_id,
+             list_transform(range(0, 8), j ->
+               list_reduce(vals[CAST(floor(j * n / 8) AS BIGINT) + 1
+                                : CAST(floor((j + 1) * n / 8) AS BIGINT)],
+                           (a, b) -> a + b)
+               / (floor((j + 1) * n / 8) - floor(j * n / 8))) AS sketch
+      FROM seq
+    )
+    SELECT a.user_id,
+           list_reduce(list_transform(range(0, 8), j ->
+             (a.sketch[j + 1] - q.sketch[j + 1])
+             * (a.sketch[j + 1] - q.sketch[j + 1])), (x, y) -> x + y) AS dist
+    FROM paa a, paa q
+    WHERE q.user_id = 0 AND a.user_id <> 0
+    """,
+)
+def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search via PAA sketches (piecewise aggregate
+    approximation — the dimensionality reduction distributed TS-similarity
+    systems use, cf. the EDBT'19 streaming-similarity and REPOSE
+    trajectory-search line of work): each user's event-value sequence
+    (ordered by ts, tie-break event_id) is reduced to 8 segment means
+    map-side, then every user's sketch is compared to user 0's by squared
+    Euclidean distance.
+
+    Scale shape: the sketch is computed in ONE groupBy (collect_list +
+    array folds — per-key data never leaves its partition after the
+    shuffle), and the comparison joins 8-double sketches, not raw series:
+    at 100 TB you broadcast the query sketch against billions of
+    fixed-width rows. All folds are sequential over identically-ordered
+    lists on both engines → bit-exact (zip_with/aggregate ↔ list_reduce).
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("sv")
+        )
+        .filter(F.size("sv") >= 8)
+        .select(
+            "user_id",
+            F.transform("sv", lambda s: s["value"]).alias("vals"),
+            F.size("sv").alias("n"),
+        )
+    )
+
+    def seg_mean(j):
+        lo = F.floor(j * F.col("n") / 8)
+        hi = F.floor((j + 1) * F.col("n") / 8)
+        sl = F.slice("vals", (lo + 1).cast("int"), (hi - lo).cast("int"))
+        return (
+            F.aggregate(sl, F.lit(0.0), lambda a, x: a + x) / (hi - lo)
+        )
+
+    paa = seq.select(
+        "user_id", F.array(*[seg_mean(F.lit(j)) for j in range(8)]).alias("sketch")
+    )
+    qsk = paa.filter(F.col("user_id") == 0).select(
+        F.col("sketch").alias("qsketch")
+    )
+    dist = F.aggregate(
+        F.zip_with("sketch", "qsketch", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        paa.filter(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(qsk))
+        .select("user_id", dist.alias("dist"))
+    )
