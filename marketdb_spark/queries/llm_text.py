@@ -344,3 +344,69 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         keep.alias("keep"),
     )
+
+
+_H60 = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, LENGTH(text) - 8 + 2),
+               i -> {_H60.format(s='substring(text, CAST(i AS INT), 8)')}) AS hs,
+             LENGTH(text) - 8 + 1 AS m
+      FROM documents WHERE LENGTH(text) >= 11
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_transform(range(1, m - 4 + 2),
+               j -> list_min(hs[j : j + 3])) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM sel
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03 — the MOSS algorithm): hash every char 8-gram (rolling
+    positions), then keep the minimum hash of each 4-window; the selected
+    set is the document's fingerprint (guaranteed-overlap substring
+    matching, robust to insertions unlike whole-doc md5). Reported as
+    (count, min, max) of the distinct selection — set summaries, no
+    array-typed output.
+
+    Plan shape: two projections so the hash array is computed ONCE and the
+    window-min pass references it as a bound column (Catalyst re-inlines
+    lambda-captured expressions per element — the repo's #1 perf trap);
+    entirely map-side, zero shuffles."""
+    from marketdb_spark.functions.text import token_hash64
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 11)
+    m = (F.length("text") - 7).cast("int")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: token_hash64(F.col("text").substr(i.cast("int"), F.lit(8))),
+        ).alias("hs"),
+        (m - 3).alias("n_win"),
+    )
+    sel = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_win")),
+            lambda j: F.array_min(F.slice("hs", j.cast("int"), 4)),
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        F.size(F.array_distinct("fps")).cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

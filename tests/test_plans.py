@@ -157,3 +157,15 @@ def test_salted_agg_two_exchanges(spark):
     partial, then key final — never a third."""
     df = REGISTRY["agg_salted_two_phase"].fn(spark, SF_SMALL)
     assert count_shuffles(df) == 2
+
+
+def test_winnow_hash_array_single_evaluation(spark):
+    """The rolling-hash array must be computed once per row: if the hs
+    projection collapses into the window-min transform, the md5 pipeline
+    re-executes per window (O(m²) — the lambda re-inline trap)."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    df = REGISTRY["doc_winnow_fingerprints"].fn(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert plan.count("md5") <= plan.count("Scan parquet")
+    assert count_shuffles(df) == 0
