@@ -69,6 +69,11 @@ class TestIngest:
         }
         assert reasons == {99: "bad amount", 98: "bad price"}
         assert {r.source for r in rejects.collect()} == {"trade_stream"}
+        # NOTE on metrics: df.observe() counters were tried here and
+        # reverted — under foreachBatch the observed metrics reflect
+        # whichever sink ACTION drove that execution (the limit(1) probe
+        # undercounts), so the reference's Ostrich-counter parity is the
+        # quarantine/main stores themselves, which are exactly countable.
 
     def test_orders_ingest_with_nested_deal(self, spark, tmp_path):
         """Orders queue (reference MarketLoader consumes trades AND orders,
