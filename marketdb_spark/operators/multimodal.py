@@ -99,6 +99,50 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
 
 
+def decode_media_arrow(df: DataFrame) -> DataFrame:
+    """decode_media on the mapInArrow API: the UDF receives/returns raw
+    ``pyarrow.RecordBatch``es — no pandas materialization at all, the
+    leanest path for binary-heavy rows (a pandas Series of blobs copies
+    every buffer; Arrow buffers are zero-copy slices of the IPC stream).
+    Same features as decode_media; parity pinned in tests."""
+    import pyarrow as pa
+
+    def _decode_batches(batches):
+        for batch in batches:
+            ids = batch.column("media_id")
+            blobs = batch.column("blob").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(
+                        [len(b) if b is not None else None for b in blobs],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        [
+                            hashlib.md5(bytes(b)).hexdigest()
+                            if b is not None
+                            else None
+                            for b in blobs
+                        ],
+                        type=pa.string(),
+                    ),
+                    pa.array(
+                        [
+                            (b[0] << 8 | b[1])
+                            if b is not None and len(b) >= 2
+                            else None
+                            for b in blobs
+                        ],
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["media_id", "byte_len", "content_md5", "fake_width"],
+            )
+
+    return df.mapInArrow(_decode_batches, schema=FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -194,6 +194,18 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_media(media, real_codec=True)
 
+    def test_decode_features_arrow_parity(self, media):
+        """mapInArrow and mapInPandas decoders must produce identical
+        features (the Arrow path skips pandas materialization entirely)."""
+        from marketdb_spark.operators.multimodal import (
+            decode_media,
+            decode_media_arrow,
+        )
+
+        pandas_rows = sorted(map(tuple, decode_media(media).collect()))
+        arrow_rows = sorted(map(tuple, decode_media_arrow(media).collect()))
+        assert pandas_rows == arrow_rows
+
     def test_resize_stride(self, media):
         from marketdb_spark.operators.multimodal import resize_media
 
