@@ -494,3 +494,74 @@ class TestStreamStaticJoin:
         }
         # deterministic ids: dense_rank over sorted names per kind
         assert got == {1: (2, 1), 2: (2, 2), 3: (1, 1)}
+
+
+class TestContinuousAggregate:
+    def test_streamed_bars_equal_batch_bars(self, spark, tmp_path):
+        """The incrementally-maintained OHLC table after N micro-batches
+        must equal ohlc_bars computed over all events in one batch pass —
+        the continuous-aggregate correctness contract (raw events are
+        read once per batch, the bar table is merged, never rebuilt from
+        history)."""
+        import json as _json
+
+        from marketdb_spark.operators.ohlc import ohlc_bars
+        from marketdb_spark.streaming.windows import start_ohlc_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def row(key, minutes, eid, value):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {
+                "key": key,
+                "ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "event_id": eid,
+                "value": value,
+            }
+
+        # batch 1 delivers EARLIER events for hour 0 than batch 0 carried,
+        # so the merged open must move backwards — the case a naive
+        # "first batch wins" merge gets wrong — and extends hour 1.
+        b0 = [row("A", 10, 1, 5.0), row("A", 20, 2, 3.0), row("B", 5, 3, 9.0)]
+        b1 = [row("A", 2, 4, 7.0), row("A", 61, 5, 4.0)]
+        _write_batch(src, "b0.json", b0)
+        _write_batch(src, "b1.json", b1)
+
+        stream = spark.readStream.schema(
+            "key string, ts timestamp, event_id long, value double"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        store = str(tmp_path / "bars")
+        q = start_ohlc_stream(
+            spark,
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            key_cols=["key"],
+            time_col="ts",
+            value_col="value",
+            id_col="event_id",
+            bar="hour",
+        )
+        q.awaitTermination(120)
+
+        cols = ["key", "bar_start", "open", "high", "low", "close", "volume", "n_events"]
+        got = sorted(
+            map(tuple, spark.read.parquet(store).select(*cols).collect())
+        )
+        all_events = spark.createDataFrame(
+            [
+                (r["key"], dt.datetime.strptime(r["ts"], "%Y-%m-%dT%H:%M:%S.000Z"), r["event_id"], r["value"])
+                for r in b0 + b1
+            ],
+            "key string, ts timestamp, event_id long, value double",
+        )
+        want = sorted(
+            map(
+                tuple,
+                ohlc_bars(
+                    all_events, ["key"], "ts", "value", "event_id", bar="hour"
+                ).select(*cols).collect(),
+            )
+        )
+        assert got == want
