@@ -87,3 +87,39 @@ def test_explode_days(spark):
     )
     days = [r.day for r in explode_days(df, "a", "b").collect()]
     assert days == [dt.date(2012, 2, 1 + i) for i in range(4)]
+
+
+def test_sql_surface_over_registered_views(spark):
+    """The SQL-string interface: catalog.register_views + spark.sql must
+    produce exactly what the DataFrame combinators produce (same Catalyst
+    plans underneath — this pins the façade SURVEY §7 stage 3 promises)."""
+    from marketdb_spark.catalog import register_views
+    from marketdb_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL)
+    sql_rows = sorted(
+        map(
+            tuple,
+            spark.sql(
+                """
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                       o_orderdate
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-03-15'
+                  AND l_shipdate > TIMESTAMP '1995-03-15'
+                GROUP BY l_orderkey, o_orderdate
+                ORDER BY revenue DESC, o_orderdate, l_orderkey
+                LIMIT 10
+                """
+            ).collect(),
+        )
+    )
+    df_rows = sorted(
+        map(tuple, REGISTRY["q03_shipping_priority"].fn(spark, SF_SMALL).collect())
+    )
+    assert sql_rows == df_rows
