@@ -32,6 +32,36 @@ def build_uid(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     return names.withColumn("id", F.dense_rank().over(w).cast("bigint"))
 
 
+def update_uid(existing: DataFrame, df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """Get-or-create over an EXISTING dictionary: names already present
+    keep their ids untouched (the reference's hard invariant — ids are
+    forever, UIDProvider's reverse-before-forward write ordering and
+    conflict-validating cache exist to protect it, UIDProvider.scala:
+    267-324, 350-402); genuinely new names get fresh ids starting past the
+    current per-kind maximum, assigned by the same deterministic
+    name-ordered rank. Re-running with the same input is a no-op.
+
+    This is the incremental analog of build_uid: an append-only batch job
+    instead of a row-locked distributed counter — the only coordination is
+    one small aggregate over the (tiny, broadcastable) dictionary."""
+    fresh_names = build_uid(df, columns).drop("id")
+    new_names = fresh_names.join(
+        existing.select("kind", "name"), on=["kind", "name"], how="left_anti"
+    )
+    base = existing.groupBy("kind").agg(F.max("id").alias("max_id"))
+    w = W.partitionBy("kind").orderBy("name")
+    assigned = (
+        new_names.withColumn("rank", F.dense_rank().over(w).cast("bigint"))
+        .join(F.broadcast(base), on="kind", how="left")
+        .select(
+            "kind",
+            "name",
+            (F.coalesce(F.col("max_id"), F.lit(0)) + F.col("rank")).alias("id"),
+        )
+    )
+    return existing.unionByName(assigned)
+
+
 def validate_uid(uid: DataFrame) -> DataFrame:
     """Rows violating the id-space caps (id >= 2^(8*width)) — the
     reference throws on overflow (UIDProvider.scala:256-265); we surface

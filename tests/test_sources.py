@@ -223,6 +223,37 @@ class TestUid:
         assert rows == again
         assert validate_uid(uid).count() == 0
 
+    def test_update_uid_get_or_create(self, spark, trades_df):
+        """Incremental dictionary update: existing ids NEVER change (the
+        reference's ids-are-forever invariant), new names extend the id
+        space past the per-kind max, and re-applying the same batch is a
+        no-op — the three properties UIDProviderTest pins with scripted
+        races, structurally guaranteed here."""
+        from marketdb_spark.sources.uid import update_uid
+
+        uid0 = build_uid(trades_df, {"Market": "market", "Security": "security"})
+        before = {(r.kind, r.name): r.id for r in uid0.collect()}
+
+        batch2 = spark.createDataFrame(
+            [("FORTS", "RTS-3.13"), ("FORTS", "Si-6.13"), ("RTS", "RTS-3.15")],
+            "market string, security string",
+        )
+        uid1 = update_uid(uid0, batch2, {"Market": "market", "Security": "security"})
+        after = {(r.kind, r.name): r.id for r in uid1.collect()}
+        # old ids untouched
+        assert all(after[k] == v for k, v in before.items())
+        # new names appended past the old max, dense and deterministic
+        assert after[("Market", "FORTS")] == 2
+        assert after[("Security", "RTS-3.15")] == 3
+        assert after[("Security", "Si-6.13")] == 4
+        # idempotent re-apply
+        uid2 = update_uid(uid1, batch2, {"Market": "market", "Security": "security"})
+        assert {(r.kind, r.name): r.id for r in uid2.collect()} == after
+        # no conflicts: one id per name, one name per id (UIDCache's
+        # bidirectional validation, UIDProvider.scala:350-402)
+        assert uid1.groupBy("kind", "name").count().filter("count > 1").count() == 0
+        assert uid1.groupBy("kind", "id").count().filter("count > 1").count() == 0
+
     def test_encode_decode_roundtrip(self, spark, trades_df):
         uid = build_uid(trades_df, {"Market": "market", "Security": "security"})
         enc = encode(trades_df, uid, "Security", "security", "security_id")
