@@ -298,7 +298,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     node_id: str = "id",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation — the clustering step that turns near-dup *pairs*
@@ -362,6 +362,17 @@ def connected_components(
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    else:
+        # Exhausting the budget without a fixpoint would return silently
+        # WRONG labels (partially propagated) — fail loudly instead. Only
+        # long-chain graphs hit this (propagation moves one hop per round);
+        # dedup graphs are near-cliques and converge in a handful.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter, or use a large-star/small-star formulation for "
+            "adversarial chain-shaped graphs"
+        )
     _unpersist_checkpoint(edges)
     return labels
 
