@@ -377,6 +377,110 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round formulation for graphs whose diameter defeats
+    min-label propagation (a chain of n nodes needs n rounds there, ~log n
+    here, because both operators rewire whole neighborhoods onto local
+    minima at once).
+
+    Per round: large-star connects every neighbor LARGER than u to the
+    minimum of u's neighborhood; small-star does the same for the
+    smaller-or-equal neighbors. The edge set converges to stars centered
+    at each component's minimum id. Same contract as connected_components:
+    returns (id, label) over the full ``nodes`` universe (singletons map
+    to themselves).
+
+    Shape per round: two groupBy(min) + join passes over the edge list —
+    heavier constants than the min-label loop, but round count is
+    O(log n); prefer this for deep graphs, the min-label loop for
+    near-clique dedup graphs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # group each node's smaller-or-equal neighbors; include the self
+        # pair so u itself re-attaches to the local minimum
+        le = _sym(e).filter(F.col("v") <= F.col("u"))
+        m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        rewired = le.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            rewired.union(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame):
+        # xor-fold of row hashes: order-independent and overflow-free
+        # (a SUM of full-range xxhash64 longs overflows under ANSI mode)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    fp = _fingerprint(edges)
+    for _ in range(max_rounds):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_fp = _fingerprint(new_edges)
+        _unpersist_checkpoint(edges)
+        edges = new_edges
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"star rounds did not converge in {max_rounds} iterations"
+        )
+
+    centers = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("id"), "label")
+    )
+    labels = (
+        nodes.select(F.col(node_id).alias("id"))
+        .join(centers, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    out = labels.localCheckpoint()
+    _unpersist_checkpoint(edges)
+    return out
+
+
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks of a localCheckpoint'ed frame. The frame
     must never be computed again afterwards (its lineage was truncated)."""

@@ -265,3 +265,18 @@ def test_cosine_topk(spark):
     order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
     assert order == [1, 2, 3]  # by descending cosine
     assert got[0].cosine_sim == pytest.approx(0.9938, abs=1e-3)
+
+
+def test_star_components_deep_chain(spark):
+    """A 60-node path (diameter 59): the min-label loop would need 59
+    rounds; the star formulation must converge within its default O(log n)
+    budget and still label every node with the chain head."""
+    from marketdb_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(61)], "id long")
+    got = {r.id: r.label for r in connected_components_star(pairs, nodes).collect()}
+    assert all(got[i] == 0 for i in range(60))
+    assert got[60] == 60  # isolated node stays a singleton

@@ -165,3 +165,49 @@ def test_connected_components_matches_union_find(spark, edges, n_nodes):
         for r in connected_components(pairs_df, nodes_df).collect()
     }
     assert got == expect
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=40,
+    ),
+    n_nodes=st.integers(min_value=1, max_value=31),
+)
+def test_star_components_match_union_find(spark, edges, n_nodes):
+    """The large-star/small-star formulation must agree with union-find on
+    arbitrary graphs, like the min-label loop does."""
+    from marketdb_spark.operators.dedup import connected_components_star
+
+    nodes = list(range(n_nodes))
+    edges = [e for e in edges if e[0] < n_nodes and e[1] < n_nodes]
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for i in nodes:
+        comp.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for members in comp.values() for i in members}
+
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("id_a != id_a")
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {
+        r.id: r.label
+        for r in connected_components_star(pairs_df, nodes_df).collect()
+    }
+    assert got == expect
