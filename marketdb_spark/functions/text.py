@@ -55,14 +55,17 @@ def stopword_score(text_tokens: Column, lang: str) -> Column:
 
 
 def language_id(text: Column | str) -> Column:
-    """Pick the language whose stopword hit-count is highest; ties broken by
-    language code order; all-zero → 'und'."""
+    """Pick the language whose stopword hit-count is highest; ties resolve
+    to the lexicographically LAST language code (array_max over
+    (score, lang) structs — the DuckDB oracle's CASE ordering in
+    _LANG_ORACLE deliberately mirrors this); all-zero → 'und'."""
     toks = tokens(text)
     scored = F.array(
         *[
             F.struct(
                 stopword_score(toks, lang).alias("score"),
-                # negate for "highest score, then lexicographically first"
+                # struct max = (highest score, then lexicographically LAST
+                # lang) — keep _LANG_ORACLE's CASE order in sync
                 F.lit(lang).alias("lang"),
             )
             for lang in sorted(LANG_STOPWORDS)

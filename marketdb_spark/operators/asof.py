@@ -21,6 +21,18 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Spark can ORDER BY any type except MapType (at any nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -69,12 +81,20 @@ def asof_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    # Deterministic tie-break among right rows sharing (key, time): order by
+    # the full payload struct — the generalization of the reference's stable
+    # (time, id) ordering (TimeSeriesEnumerator.scala:56-58). backward/last
+    # then always matches the MAX payload of the tied set, forward/first the
+    # MIN. Skipped only if the payload contains a MapType (not orderable);
+    # left rows (null payload) are unaffected — __is_left already places them.
+    payload_type = right.select(payload).schema[0].dataType
+    tie = [F.col("__payload")] if _orderable(payload_type) else []
     if direction == "backward":
         # Right rows sort before left rows at equal time → a right row at
         # exactly left.time is visible to it (inclusive bound).
         w = (
             W.partitionBy(*on)
-            .orderBy(F.col("__time"), F.col("__is_left"))
+            .orderBy(F.col("__time"), F.col("__is_left"), *tie)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         match = F.last("__payload", ignorenulls=True).over(w)
@@ -83,7 +103,7 @@ def asof_join(
         # take the first right payload at-or-after the current row.
         w = (
             W.partitionBy(*on)
-            .orderBy(F.col("__time"), F.desc("__is_left"))
+            .orderBy(F.col("__time"), F.desc("__is_left"), *tie)
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
         match = F.first("__payload", ignorenulls=True).over(w)

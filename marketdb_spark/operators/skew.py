@@ -72,7 +72,17 @@ def salted_join(
     every dim row across all n_salts salt values (explode), join on
     (key, salt). The hot key's rows land on n_salts reducers instead of
     one; dim grows n_salts× — bounded, unlike the hot reducer.
+
+    Only ``inner`` and ``left`` are supported: the dim side is replicated
+    n_salts×, so right/full outer would emit each unmatched dim row once
+    per salt, and semi/anti test against the replicated set — both wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (dim side is "
+            f"replicated {n_salts}x — outer/semi/anti would duplicate or "
+            f"mistest unmatched dim rows), got {how!r}"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.rand(seed=7) * n_salts).cast("int")
     )

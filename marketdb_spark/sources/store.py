@@ -25,6 +25,17 @@ TRADE_KEY = ["market", "security", "time", "trade_id"]
 ORDER_KEY = ["market", "security", "time", "order_id"]
 
 
+def store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff `path` exists on the store's filesystem (Hadoop FS API, so
+    any configured scheme works — local, HDFS, s3a). Used instead of
+    catching read failures: a corrupt footer or transient FS error must
+    propagate, not be mistaken for 'store not created yet'."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -67,11 +78,10 @@ def idempotent_append(
     predicate → partition pruning), so cost scales with the batch's time
     span, not the store size."""
     key_cols = key_cols or TRADE_KEY
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first write — no store yet
-        write_partitioned(df, path, key_cols)
+    if not store_exists(spark, path):  # first write — no store yet; real
+        write_partitioned(df, path, key_cols)  # read errors propagate
         return
+    existing = spark.read.parquet(path)
     bounds = df.agg(
         F.min(F.col("time").cast("date")).alias("lo"),
         F.max(F.col("time").cast("date")).alias("hi"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketdb_spark.functions.exact import dsum
+from marketdb_spark.sources.store import store_exists
 
 
 def tumbling_counts(
@@ -163,6 +164,51 @@ def combine_bars(bars: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     )
 
 
+def merge_bars_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    bar: str = "hour",
+) -> bool:
+    """Merge one micro-batch's partial bars into the stored bar table.
+    Returns False if the batch was already applied (replay skipped).
+
+    Exactly-once under foreachBatch's at-least-once replay: the id of the
+    last applied batch is stamped on every stored row (`_applied_batch_id`
+    column), so it commits atomically WITH the data in the same parquet
+    write — a replayed batch (crash after commit, before checkpoint) sees
+    its own id already in the store and skips, instead of double-counting
+    volume/n_events. This is the standard idempotent-foreachBatch pattern;
+    a side-car marker file would not be atomic with the overwrite.
+    """
+    key_cols = list(key_cols)
+    partial = partial_bars(batch, key_cols, time_col, value_col, id_col, bar)
+    if store_exists(spark, store_path):  # real read errors propagate —
+        existing = spark.read.parquet(store_path)  # never truncate the store
+        if "_applied_batch_id" in existing.columns:
+            last = existing.agg(F.max("_applied_batch_id")).first()[0]
+            if last is not None and batch_id <= last:
+                return False  # replayed batch — already merged
+            existing = existing.drop("_applied_batch_id")
+        merged = combine_bars(partial.unionByName(existing), key_cols)
+    else:  # first batch — store doesn't exist yet
+        merged = combine_bars(partial, key_cols)
+    merged = merged.withColumn("_applied_batch_id", F.lit(int(batch_id)))
+    # materialize before overwriting the store we just read
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(store_path)
+    try:
+        merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+    return True
+
+
 def start_ohlc_stream(
     spark,
     stream: DataFrame,
@@ -177,10 +223,8 @@ def start_ohlc_stream(
     """Continuously-maintained OHLC bar table (the hypertable
     continuous-aggregate pattern): each micro-batch computes its partial
     bars and merges them into the stored table — raw events are read once,
-    ever. Restart-safe via the checkpoint (a replayed batch re-merges the
-    same partials; open/high/low/close/min/max are idempotent under
-    re-merge, and volume/count duplicates are prevented by the streaming
-    dedup upstream — see read_trade_stream's dropDuplicatesWithinWatermark).
+    ever. Restart-safe: the checkpoint replays unacknowledged batches and
+    merge_bars_batch skips any batch id already stamped into the store.
 
     Local-mode note: the merge rewrites the whole (small) bar table; at
     scale you would partition the store by bar date and overwrite only the
@@ -190,20 +234,11 @@ def start_ohlc_stream(
     """
     key_cols = list(key_cols)
 
-    def _sink(batch: DataFrame, _batch_id: int) -> None:
-        partial = partial_bars(batch, key_cols, time_col, value_col, id_col, bar)
-        try:
-            existing = spark.read.parquet(store_path)
-            merged = combine_bars(partial.unionByName(existing), key_cols)
-        except Exception:  # first batch — store doesn't exist yet
-            merged = combine_bars(partial, key_cols)
-        # materialize before overwriting the store we just read
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(store_path)
-        try:
-            merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        merge_bars_batch(
+            spark, batch, batch_id, store_path, key_cols,
+            time_col, value_col, id_col, bar,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -565,3 +565,35 @@ class TestContinuousAggregate:
             )
         )
         assert got == want
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the store commit
+        and the checkpoint commit re-delivers the same (batch, batch_id).
+        The sink must skip it — volume/n_events are NOT idempotent under
+        re-merge. A genuinely new batch id with identical rows must still
+        merge (upstream dropDuplicatesWithinWatermark owns row dedup)."""
+        from marketdb_spark.streaming.windows import merge_bars_batch
+
+        batch = spark.createDataFrame(
+            [("A", T0, 1, 5.0), ("A", T0 + dt.timedelta(minutes=9), 2, 3.0)],
+            "key string, ts timestamp, event_id long, value double",
+        )
+        store = str(tmp_path / "bars")
+        kw = dict(
+            key_cols=["key"], time_col="ts", value_col="value",
+            id_col="event_id", bar="hour",
+        )
+        assert merge_bars_batch(spark, batch, 0, store, **kw) is True
+        before = sorted(map(tuple, spark.read.parquet(store).collect()))
+        assert merge_bars_batch(spark, batch, 0, store, **kw) is False
+        after = sorted(map(tuple, spark.read.parquet(store).collect()))
+        assert after == before
+
+        assert merge_bars_batch(spark, batch, 1, store, **kw) is True
+        row = (
+            spark.read.parquet(store)
+            .select("volume", "n_events", "open", "close")
+            .first()
+        )
+        assert (row.volume, row.n_events) == (16.0, 4)
+        assert (row.open, row.close) == (5.0, 3.0)
