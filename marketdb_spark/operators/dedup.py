@@ -61,8 +61,10 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document, space-joined.
+def shingles(text_col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a document, space-joined (distinct by
+    default; distinct=False keeps every positional occurrence — needed by
+    repetition/quality metrics that count duplicates).
 
     IMPORTANT (plan shape): evaluate this on a *materialized token array
     column* (see tokenized()), not directly on raw text. Column expressions
@@ -72,14 +74,13 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     A bound column reference is free."""
     toks = F.col(text_col) if isinstance(text_col, str) else text_col
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # empty if too short
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def tokenized(

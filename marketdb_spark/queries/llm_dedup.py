@@ -333,6 +333,93 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# word 3-gram shingles, distinct (mirrors operators.dedup.shingles n=3)
+_SHINGLES3 = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT UNNEST({_SHINGLES3}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    tr AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM documents WHERE doc_id % 97 <> 0
+    ),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM tr),
+    hits AS (
+      SELECT ex.doc_id, COUNT(*) AS n_overlap
+      FROM ex JOIN ev USING (s) GROUP BY ex.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN len(t.sh) > 0
+                THEN CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.sh)
+                ELSE 0.0 END AS overlap_ratio,
+           CASE WHEN len(t.sh) > 0
+                THEN CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.sh)
+                ELSE 0.0 END >= 0.1 AS contaminated
+    FROM tr t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing word
+    3-grams with a held-out eval set (here: doc_id % 97 == 0 stands in for
+    the benchmark corpus). Per train doc: its distinct 3-gram count, how
+    many of those appear in ANY eval doc, and the overlap ratio (≥0.1 →
+    contaminated — the n-gram-overlap decontamination rule used for LLM
+    training corpora).
+
+    Scale shape: the eval set is small by construction, so its distinct
+    shingles broadcast — the overlap check is a map-side broadcast join on
+    the exploded train shingles followed by a partial-agg count per doc;
+    the only shuffle is that count. The train shingle projection is built
+    twice (counts branch + explode branch) — at 100 TB you'd persist it or
+    carry len(sh) through the explode."""
+    from marketdb_spark.operators.dedup import shingled
+
+    docs = load(spark, sf_dir, "documents")
+    ev_sh = (
+        shingled(docs.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3)
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    tr = shingled(docs.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3)
+    hits = (
+        tr.select("id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(ev_sh), "s")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = (
+        tr.select("id", F.size("sh").cast("long").alias("n_grams"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_grams"),
+    ).otherwise(0.0)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= 0.1).alias("contaminated"),
+    )
+
+
 # quality predicate kept in lockstep with operators.pipeline.quality_keep
 _QUALITY_SQL = f"""
       len({_TOKS}) BETWEEN 20 AND 1000

@@ -346,6 +346,70 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# positional (non-distinct) word n-grams, mirroring operators.dedup.shingles
+# with distinct=False: range(1, len-n+2) yields one gram per start position
+_RAW_G2 = f"list_transform(range(1, len({_ORACLE_TOKENS})), i -> {_ORACLE_TOKENS}[i] || ' ' || {_ORACLE_TOKENS}[i+1])"
+_RAW_G3 = (
+    f"list_transform(range(1, len({_ORACLE_TOKENS}) - 1), "
+    f"i -> {_ORACLE_TOKENS}[i] || ' ' || {_ORACLE_TOKENS}[i+1]"
+    f" || ' ' || {_ORACLE_TOKENS}[i+2])"
+)
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_RAW_G2} AS g2, {_RAW_G3} AS g3 FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS dup_2gram_ratio,
+           CASE WHEN len(g3) > 0
+                THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS dup_3gram_ratio,
+           (CASE WHEN len(g2) > 0
+                 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                 ELSE 0.0 END) < 0.20
+           AND (CASE WHEN len(g3) > 0
+                     THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END) < 0.18 AS keep
+    FROM g
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (the Gopher/MassiveText rule family):
+    fraction of word 2-grams / 3-grams that are duplicates of an earlier
+    occurrence in the same document; boilerplate and spam score high.
+    keep = both ratios under the (Gopher-ish) 0.20/0.18 thresholds.
+
+    Integer counts and one double division — engine-exact. Map-only (zero
+    shuffles): at 100 TB this composes with doc_quality_score as the
+    pre-dedup gate. Plan shape: tokens materialized once, gram arrays built
+    from the bound column (see operators.dedup.shingles docstring)."""
+    from marketdb_spark.operators.dedup import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        shingles(F.col("toks"), 2, distinct=False).alias("g2"),
+        shingles(F.col("toks"), 3, distinct=False).alias("g3"),
+    )
+
+    def ratio(col: str):
+        n = F.size(F.col(col))
+        dup = n - F.size(F.array_distinct(F.col(col)))
+        return F.when(n > 0, dup.cast("double") / n).otherwise(0.0)
+
+    return g.select(
+        "doc_id",
+        ratio("g2").alias("dup_2gram_ratio"),
+        ratio("g3").alias("dup_3gram_ratio"),
+        ((ratio("g2") < 0.20) & (ratio("g3") < 0.18)).alias("keep"),
+    )
+
+
 _H60 = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
 
 

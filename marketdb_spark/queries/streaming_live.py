@@ -1,0 +1,103 @@
+"""Oracle-checked Structured Streaming queries.
+
+These run a REAL stream — ``readStream`` over the events parquet with an
+``availableNow`` trigger, a windowed stateful aggregation, and a memory
+sink — and return the sink table. Because the stream is bounded and the
+aggregation runs in ``complete`` output mode, the result is exactly the
+batch aggregation of the same data, so the standard DuckDB oracle applies:
+streaming correctness gets the same hash-compare gate as every batch query
+instead of a weaker rows-only check.
+
+This is the Spark analog of the reference's ingestion path feeding its
+query path (Kestrel consumer → HBase → scanner,
+marketdb-app/.../MarketLoader.scala:33-55 →
+marketdb-iteratee/.../TimeSeriesEnumerator.scala:36-46): events flow
+through the streaming engine, results land in a continuously-maintained
+table. At scale the memory sink becomes a partitioned parquet/Delta store
+maintained by foreachBatch (see streaming/windows.start_ohlc_stream) and
+the trigger becomes a real micro-batch cadence; the aggregation plan —
+stateful partial aggs keyed by (window, group) — is identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdb_spark.functions.exact import dsum
+from marketdb_spark.queries.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same TIMESTAMP(NANOS)
+    handling as catalog.load: the file source needs an explicit schema, so
+    reuse the batch reader's (ts arrives as nanos-long, truncate to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source's path must be a directory (it becomes basePath when
+    # the batch for each micro-batch is resolved); select the one table
+    # file with pathGlobFilter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    """Drain the bounded stream into a memory-sink table (complete mode) and
+    return it. Fresh table name per run — reruns in one session must not
+    collide with a prior sink."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, end to end through the
+    streaming engine: watermarked event-time, hourly windows per event
+    type, counts + exact value sums (functions.exact.dsum). complete mode
+    on a bounded availableNow stream ⇒ result == batch groupBy(window) ⇒
+    hash-checkable against the batch oracle. (In complete mode the
+    watermark drops nothing — every window stays addressable — which is
+    exactly what makes the comparison exact; append-mode late-data policy
+    is covered by tests/test_streaming.py.)"""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+    )
+    tbl = _run_to_memory(agg, "stream_tumbling", spark)
+    return tbl.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
