@@ -254,14 +254,22 @@ def join_outer_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar-aggregate subquery (lineitems priced >1.5× their
-    order's mean) — decorrelated to an aggregate + self-join, the plan
-    Catalyst produces for the subquery form too."""
+    order's mean). Catalyst decorrelates the subquery form to aggregate +
+    self-join — two scans and two shuffles of the fact. Expressed as an
+    unbounded window over l_orderkey instead: ONE scan, ONE shuffle, and
+    the per-group mean is computed where the rows already are. Same
+    decimal-exact arithmetic as dsum, so the oracle still matches
+    bit-for-bit."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
-    order_avg = li.groupBy(F.col("l_orderkey").alias("avg_key")).agg(
-        (dsum("l_extendedprice") / F.count("*")).alias("avg_price")
+    w = Window.partitionBy("l_orderkey")
+    avg_price = (
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("*").over(w)
     )
     return (
-        li.join(order_avg, li.l_orderkey == order_avg.avg_key)
+        li.withColumn("avg_price", avg_price)
         .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "avg_price")
     )

@@ -346,6 +346,48 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_NTOK} AS n_tokens FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tokens, "offset",
+           "offset" // 2048 AS start_chunk,
+           CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 2048
+                ELSE "offset" // 2048 END AS end_chunk,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN ("offset" + n_tokens - 1) // 2048
+                          - "offset" // 2048 + 1
+                     ELSE 0 END AS BIGINT) AS n_chunks
+    FROM p
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-then-split training layout): documents
+    laid out in doc_id order, the token stream cut every 2048 tokens; each
+    doc reports the chunk span it lands in. The global offset is a
+    distributed two-phase prefix sum (operators.packing) — NOT a
+    single-task Window.orderBy over the whole corpus, which is the
+    classic scale trap this operator exists to avoid."""
+    from marketdb_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("doc_id", token_count("text").alias("ntok")),
+        "doc_id",
+        "ntok",
+        seq_len=2048,
+    )
+
+
 # positional (non-distinct) word n-grams, mirroring operators.dedup.shingles
 # with distinct=False: range(1, len-n+2) yields one gram per start position
 _RAW_G2 = f"list_transform(range(1, len({_ORACLE_TOKENS})), i -> {_ORACLE_TOKENS}[i] || ' ' || {_ORACLE_TOKENS}[i+1])"

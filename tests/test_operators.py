@@ -280,3 +280,44 @@ def test_star_components_deep_chain(spark):
     got = {r.id: r.label for r in connected_components_star(pairs, nodes).collect()}
     assert all(got[i] == 0 for i in range(60))
     assert got[60] == 60  # isolated node stays a singleton
+
+
+class TestPacking:
+    def test_prefix_sum_matches_naive_window(self, spark):
+        """Distributed two-phase prefix sum == the single-task global
+        window, on data spread across many partitions with values that
+        exercise zero and large counts."""
+        from pyspark.sql import Window
+
+        from marketdb_spark.operators.packing import exclusive_prefix_sum
+
+        rows = [(i, (i * 37) % 101) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+        got = {
+            r.id: r.offset
+            for r in exclusive_prefix_sum(df, "id", "v").collect()
+        }
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r.id: r.off
+            for r in df.withColumn(
+                "off", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want
+
+    def test_pack_sequences_spans(self, spark):
+        from marketdb_spark.operators.packing import pack_sequences
+
+        rows = [(0, 100), (1, 0), (2, 30), (3, 10)]
+        df = spark.createDataFrame(rows, "id long, ntok long")
+        got = {
+            r.id: (r.offset, r.start_chunk, r.end_chunk, r.n_chunks)
+            for r in pack_sequences(df, "id", "ntok", seq_len=64).collect()
+        }
+        # doc0: [0,100) spans chunks 0-1; doc1 empty at 100; doc2 [100,130)
+        # spans chunk 1-2; doc3 [130,140) chunk 2
+        assert got[0] == (0, 0, 1, 2)
+        assert got[1] == (100, 1, 1, 0)
+        assert got[2] == (100, 1, 2, 2)
+        assert got[3] == (130, 2, 2, 1)

@@ -124,6 +124,14 @@ def test_q17_correlated_avg_plan(spark):
     assert count_broadcast_joins(df) >= 1
 
 
+def test_correlated_avg_single_shuffle(spark):
+    """The correlated per-order average is a window over l_orderkey —
+    one scan, one exchange. The decorrelated aggregate + self-join form
+    would scan and shuffle the fact twice."""
+    df = REGISTRY["join_correlated_avg"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 1
+
+
 def test_unpivot_is_expand_one_shuffle(spark):
     """Unpivot must compile to a map-side Expand (row fan-out without a
     shuffle); the only exchange is the final small-key aggregation."""
