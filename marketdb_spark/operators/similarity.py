@@ -73,24 +73,40 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: pick ``n_cells`` deterministic centroid
-    vectors (every (count/n_cells)-th id — reproducible without an
-    iterative k-means job; at real scale swap in pyspark.ml KMeans and keep
-    everything downstream unchanged), then assign every corpus vector to
-    its nearest centroid by cosine.
+    vectors — the ids with the smallest multiplicative hash
+    ``(id * 506952113) mod 2^31`` (Knuth-style scatter, computable
+    bit-identically in plain BIGINT arithmetic on any engine). That is a
+    deterministic pseudo-random sample needing no ``count()`` pass over
+    the corpus and no contiguous-id assumption; at real scale swap in
+    pyspark.ml KMeans and keep everything downstream unchanged. Then
+    assign every corpus vector to its nearest centroid by cosine.
 
     Returns (centroids(cell_id, centroid), assigned(id, vec, cell_id)).
-    Scale shape: centroids broadcast (n_cells ≪ corpus); assignment is one
-    map-side pass over the corpus + a top-1 window per vector id — the
-    corpus never shuffles by cell unless the caller repartitions."""
-    n = corpus.count()
-    step = max(n // n_cells, 1)
-    # ids 0, step, 2*step, … (i*step with i < n_cells): fully deterministic
-    # — a LIMIT would be order-dependent across engines/partitionings
-    centroids = corpus.filter(
-        (F.col(id_col) % step == 0) & (F.col(id_col) < step * n_cells)
-    ).select(
-        (F.col(id_col) / step).cast("int").alias("cell_id"),
-        F.col(vec_col).alias("centroid"),
+    Scale shape: centroid pick is TakeOrdered(n_cells) — one corpus pass,
+    no shuffle, no separate count job; centroids broadcast
+    (n_cells ≪ corpus); assignment is one map-side pass over the corpus +
+    a top-1 window per vector id — the corpus never shuffles by cell
+    unless the caller repartitions."""
+    m = 2147483648  # 2^31: keeps (id % m) * k inside BIGINT for any id
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(m)) * F.lit(506952113),
+        F.lit(m),
+    )
+    picked = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("centroid"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cid")  # TakeOrderedAndProject — no global sort
+        .limit(n_cells)
+    )
+    # row_number over n_cells rows post-limit: single tiny partition by design
+    centroids = picked.select(
+        (F.row_number().over(W.orderBy("h", "cid")) - 1)
+        .cast("int")
+        .alias("cell_id"),
+        "centroid",
     )
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     scored = c.join(F.broadcast(centroids)).withColumn(

@@ -152,9 +152,17 @@ def sim_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_topk",
     oracle=f"""
-    WITH centroids AS (
-      SELECT CAST(vec_id / 31 AS INT) AS cell_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 31 * 16
+    WITH hashed AS (
+      SELECT vec_id, embedding,
+             ((vec_id % 2147483648) * 506952113) % 2147483648 AS h
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT)
+               AS cell_id,
+             embedding AS centroid
+      FROM hashed
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
     ),
     assigned AS (
       SELECT id, vec, cell_id FROM (
@@ -195,9 +203,10 @@ def sim_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN (operators.similarity.ivf_topk): deterministic
-    sampled centroids (every 31st id — the 500-vector sf0.001/sf0.01
-    corpus yields 16 cells; the oracle hardcodes the same step), probe the
-    4 nearest cells per query, brute-force within. Recall-vs-cost dial
+    hash-sampled centroids (the 16 ids with smallest
+    ``(id * 506952113) mod 2^31`` — no count() pass, no contiguous-id
+    assumption; the oracle computes the identical hash), probe the 4
+    nearest cells per query, brute-force within. Recall-vs-cost dial
     validated against exact search in tests/test_operators.py."""
     from marketdb_spark.operators.similarity import ivf_topk
 

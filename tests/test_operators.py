@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketdb_spark.operators.asof import asof_join
@@ -251,6 +252,33 @@ def test_ivf_topk_recall(spark):
 
     assert recall(8) >= 0.8
     assert recall(16) == 1.0
+
+
+def test_ivf_assign_sparse_ids_no_count(spark, monkeypatch):
+    """Centroid pick is hash-based (round-2 verdict fix): non-contiguous
+    ids still yield exactly n_cells centroids with dense cell_ids, and
+    building the plan runs no eager count() pass over the corpus."""
+    from marketdb_spark.operators.similarity import ivf_assign
+
+    ids = [7, 17, 1001, 5003, 31337, 90001, 123457, 999983]  # gappy
+    rows = [
+        (i, [float((i * (d + 1)) % 13) - 6.0 for d in range(8)]) for i in ids
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def boom(self):
+        raise AssertionError("ivf_assign must not run a count() job")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    centroids, assigned = ivf_assign(df, n_cells=4)
+    monkeypatch.undo()
+
+    got = centroids.collect()
+    assert sorted(r.cell_id for r in got) == [0, 1, 2, 3]
+    # every vector assigned to exactly one cell, cells within range
+    arows = assigned.collect()
+    assert sorted(r.id for r in arows) == sorted(ids)
+    assert all(0 <= r.cell_id < 4 for r in arows)
 
 
 def test_cosine_topk(spark):
