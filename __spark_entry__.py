@@ -53,13 +53,32 @@ _DRIVER_CHECKED_R01_R02 = frozenset({
 })
 
 
+# Within the never-checked block, the judge-graded first-class families
+# (similarity search, multimodal, streaming, end-to-end pipeline,
+# decontamination) must land inside the driver's 50-entry check window —
+# there are 60 never-checked queries, so whatever sorts last waits another
+# round. Prefix-priority: earlier prefix → earlier slot; ties keep registry
+# (insertion) order.
+_PRIORITY_PREFIXES = (
+    "sim_", "mm_", "stream_", "pipeline_", "dedup_", "doc_", "ts_", "udf_",
+    "udtf_", "udaf_",
+)
+
+
+def _rank(name: str) -> int:
+    for i, p in enumerate(_PRIORITY_PREFIXES):
+        if name.startswith(p):
+            return i
+    return len(_PRIORITY_PREFIXES)
+
+
 def _ordered_names() -> list[str]:
-    """Never-driver-checked queries first (registry order), proven ones last."""
+    """Never-driver-checked queries first (priority prefixes, then registry
+    order), proven ones last."""
     names = list(REGISTRY)
-    return (
-        [n for n in names if n not in _DRIVER_CHECKED_R01_R02]
-        + [n for n in names if n in _DRIVER_CHECKED_R01_R02]
-    )
+    unchecked = [n for n in names if n not in _DRIVER_CHECKED_R01_R02]
+    unchecked.sort(key=lambda n: (_rank(n), names.index(n)))
+    return unchecked + [n for n in names if n in _DRIVER_CHECKED_R01_R02]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,344 @@
+"""Pure-stdlib image/audio codecs for the multimodal column pipeline.
+
+The container ships no image/audio libraries, so the "real codec" path is
+implemented from the published file-format specs directly (PNG RFC 2083,
+BMP BITMAPINFOHEADER, suckless farbfeld, GIF87a/89a, JPEG/JFIF marker
+segments, RIFF/WAVE) with nothing but ``struct`` + ``zlib``:
+
+- encoders: PNG (8-bit gray/RGB/RGBA, zlib'd scanlines, real CRCs),
+  BMP (24-bit bottom-up BGR with row padding), farbfeld (RGBA16 BE),
+  WAV (PCM16).
+- decoders: full pixel decode for PNG (all five scanline filters), BMP
+  and farbfeld; header-only dimension parsing additionally covers GIF and
+  JPEG (SOF scan), and WAV fmt chunks.
+
+These run inside Arrow-batched ``mapInPandas`` workers
+(operators/multimodal.py) — per-blob Python cost is the decode itself,
+batching amortizes everything else; nothing here touches the driver.
+
+Reference analog: the loader's real-fixture path (marketdb-loader/src/
+test/resources/data/FT120201.zip driven through TradeDataIterateeTest) —
+operate on genuinely-encoded bytes, not synthetic stand-ins.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_COLOR_BY_CHANNELS = {1: 0, 3: 2, 4: 6}
+_PNG_CHANNELS_BY_COLOR = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Minimal real PNG: 8-bit depth, filter 0 scanlines, one IDAT."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_BY_CHANNELS[channels], 0, 0, 0
+    )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit PNG to (width, height, channels, raw pixels).
+
+    Handles all five scanline filter types (None/Sub/Up/Average/Paeth), so
+    it decodes PNGs from real encoders, not just :func:`encode_png`."""
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = 8, 0, 0, 0, bytearray()
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            channels = _PNG_CHANNELS_BY_COLOR[color]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _y in range(height):
+        ftype = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit BITMAPINFOHEADER)
+# --------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """24-bit uncompressed BMP, bottom-up rows, 4-byte row padding."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            if channels == 1:
+                g = pixels[y * width + x]
+                row += bytes((g, g, g))
+            else:
+                off = (y * width + x) * channels
+                r, g, b = pixels[off], pixels[off + 1], pixels[off + 2]
+                row += bytes((b, g, r))
+        rows.append(bytes(row) + b"\x00" * pad)
+    data = b"".join(rows)
+    offset = 14 + 40
+    file_header = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 24-bit BMP to (width, height, 3, RGB pixels top-down)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", blob[10:14])
+    header_size, width, height = struct.unpack("<Iii", blob[14:26])
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    (bpp,) = struct.unpack("<H", blob[28:30])
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = width * 3 + ((-(width * 3)) % 4)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = blob[offset + src_y * stride : offset + src_y * stride + width * 3]
+        for x in range(width):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            o = (y * width + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return width, height, 3, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# farbfeld (suckless: 8-byte magic, BE u32 dims, RGBA16 BE pixels)
+# --------------------------------------------------------------------------
+
+def encode_farbfeld(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    out = bytearray(b"farbfeld" + struct.pack(">II", width, height))
+    for i in range(width * height):
+        if channels == 1:
+            r = g = b = pixels[i]
+        else:
+            off = i * channels
+            r, g, b = pixels[off], pixels[off + 1], pixels[off + 2]
+        # 8→16 bit: replicate the byte (0xAB → 0xABAB), the standard expansion
+        out += struct.pack(">HHHH", r * 257, g * 257, b * 257, 0xFFFF)
+    return bytes(out)
+
+
+def decode_farbfeld(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode farbfeld to (width, height, 3, RGB8 pixels) — alpha dropped,
+    16→8 bit via the high byte."""
+    if blob[:8] != b"farbfeld":
+        raise ValueError("not farbfeld")
+    width, height = struct.unpack(">II", blob[8:16])
+    out = bytearray(width * height * 3)
+    for i in range(width * height):
+        off = 16 + i * 8
+        out[3 * i] = blob[off]
+        out[3 * i + 1] = blob[off + 2]
+        out[3 * i + 2] = blob[off + 4]
+    return width, height, 3, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM)
+# --------------------------------------------------------------------------
+
+def encode_wav(
+    samples: bytes, sample_rate: int = 16000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal PCM WAV container around raw little-endian samples."""
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def parse_wav_header(blob: bytes) -> dict | None:
+    """Walk RIFF chunks for the fmt/data chunks → sample_rate, channels,
+    bits, n_samples (per channel)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, meta = 12, {}
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt " and len(data) >= 16:
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            meta.update(channels=channels, sample_rate=rate, bits=bits,
+                        _block=block_align)
+        elif tag == b"data":
+            meta["data_len"] = len(data)
+    if "sample_rate" not in meta:
+        return None
+    block = meta.pop("_block", None)
+    if block and "data_len" in meta:
+        meta["n_samples"] = meta.pop("data_len") // block
+    return meta
+
+
+# --------------------------------------------------------------------------
+# Header-only dimension sniffing (PNG/BMP/farbfeld/GIF/JPEG)
+# --------------------------------------------------------------------------
+
+# JPEG start-of-frame markers (every SOFn except DHT/JPG/DAC which share
+# the 0xCn range)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(blob: bytes | None) -> tuple[str, int, int] | None:
+    """Sniff (format, width, height) from real file headers. Returns None
+    for unknown/truncated blobs — callers surface that as null columns."""
+    if not blob or len(blob) < 10:
+        return None
+    b = bytes(blob)
+    try:
+        if b[:8] == PNG_SIG and b[12:16] == b"IHDR" and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h)
+        if b[:8] == b"farbfeld" and len(b) >= 16:
+            w, h = struct.unpack(">II", b[8:16])
+            return ("farbfeld", w, h)
+        if b[:2] == b"BM" and len(b) >= 26:
+            header_size, w, h = struct.unpack("<Iii", b[14:26])
+            if header_size >= 40:
+                return ("bmp", w, abs(h))
+            if header_size == 12 and len(b) >= 22:  # BITMAPCOREHEADER
+                w16, h16 = struct.unpack("<HH", b[18:22])
+                return ("bmp", w16, h16)
+            return None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h)
+        if b[:2] == b"\xff\xd8":  # JPEG: walk marker segments to a SOF
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone markers have no length
+                    continue
+                (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+                if marker in _JPEG_SOF:
+                    if pos + 9 > len(b):
+                        return None
+                    h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                    return ("jpeg", w, h)
+                pos += 2 + seg_len
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "farbfeld": decode_farbfeld}
+
+
+def decode_image(blob: bytes) -> tuple[str, int, int, int, bytes]:
+    """Full pixel decode: (fmt, width, height, channels, raw bytes).
+    Any malformed/truncated input surfaces as ValueError."""
+    sniffed = parse_image_header(blob)
+    if sniffed is None or sniffed[0] not in _DECODERS:
+        raise ValueError("undecodable blob")
+    fmt = sniffed[0]
+    try:
+        w, h, ch, px = _DECODERS[fmt](bytes(blob))
+    except (struct.error, zlib.error, KeyError, IndexError) as exc:
+        raise ValueError(f"corrupt {fmt} blob: {exc}") from exc
+    return fmt, w, h, ch, px
+
+
+def resample_nearest(
+    pixels: bytes, width: int, height: int, channels: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raw pixel buffer."""
+    out = bytearray(out_w * out_h * channels)
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            src = (sy * width + sx) * channels
+            dst = (y * out_w + x) * channels
+            out[dst : dst + channels] = pixels[src : src + channels]
+    return bytes(out)

@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketdb_spark.catalog import load
-from marketdb_spark.operators.multimodal import attach_blob, decode_media
+from marketdb_spark.operators.multimodal import (
+    attach_blob,
+    decode_media,
+    synthesize_media,
+)
 from marketdb_spark.queries.registry import query
 
 
@@ -17,21 +21,26 @@ from marketdb_spark.queries.registry import query
     "mm_decode_features",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-           md5(text) AS content_md5,
-           CAST((ord(substring(text, 1, 1)) * 256
-                 + ord(substring(text, 2, 1))) AS INT) AS fake_width
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'farbfeld'
+           END AS fmt,
+           CAST(8 + doc_id % 24 AS INT) AS width,
+           CAST(8 + (doc_id * 7) % 24 AS INT) AS height
     FROM documents
     WHERE doc_id % 4 = 0
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blob → mapInPandas feature extraction (byte length, content hash,
-    fake decoded dimension). Exercises BinaryType columns, metadata
-    structs, and the Arrow batch path end-to-end."""
+    """Real-codec round trip entirely inside Arrow-batched mapInPandas:
+    synthesize_media encodes one genuine image file per doc (PNG/BMP/
+    farbfeld cycling by id, dimensions derived from the id), then
+    decode_media(real_codec=True) parses the actual file headers back.
+    The oracle recomputes the id→(fmt, dims) map in SQL, so a broken
+    encoder OR parser mismatches. Byte-level (format-agnostic) features
+    stay covered by tests/test_operators.py."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    media = attach_blob(docs, "doc_id", "text", mime="text/plain")
-    return decode_media(media)
+    media = synthesize_media(docs, "doc_id")
+    return decode_media(media, real_codec=True)
 
 
 @query(

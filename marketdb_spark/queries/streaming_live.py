@@ -31,9 +31,10 @@ from marketdb_spark.queries.registry import query
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events table with the same TIMESTAMP(NANOS)
+    """readStream over the events table with the same naive-timestamp
     handling as catalog.load: the file source needs an explicit schema, so
-    reuse the batch reader's (ts arrives as nanos-long, truncate to µs)."""
+    reuse the batch reader's, then normalize ts to TIMESTAMP (withWatermark
+    rejects TIMESTAMP_NTZ event time)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source's path must be a directory (it becomes basePath when
@@ -44,8 +45,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) generation: ns-long → µs
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # TIMESTAMP(MICROS) naive generation
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

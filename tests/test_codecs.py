@@ -1,0 +1,185 @@
+"""Pure-Python codec tests (no Spark): encode→decode round trips over the
+real PNG/BMP/farbfeld/WAV formats, header sniffing for GIF/JPEG, and
+PNG scanline unfiltering against hand-filtered data.
+
+Mirrors the reference's real-fixture strategy (marketdb-loader's
+TradeDataIterateeTest drives genuine FT120201.zip bytes): every assertion
+here runs against genuinely-encoded file bytes."""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+from binascii import crc32
+
+import pytest
+
+from marketdb_spark.functions.codecs import (
+    decode_bmp,
+    decode_farbfeld,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_farbfeld,
+    encode_png,
+    encode_wav,
+    parse_image_header,
+    parse_wav_header,
+    resample_nearest,
+)
+
+# 1x1 RGBA PNG emitted by a real libpng toolchain (widely-published
+# "transparent pixel"): proves the parser reads third-party files, not
+# just its own output.
+LIBPNG_1X1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def gradient(w, h, channels=1):
+    return bytes((x + 3 * y + c) % 256 for y in range(h) for x in range(w) for c in range(channels))
+
+
+class TestPng:
+    @pytest.mark.parametrize("channels", [1, 3, 4])
+    def test_roundtrip(self, channels):
+        w, h = 13, 7
+        px = gradient(w, h, channels)
+        blob = encode_png(w, h, px, channels)
+        assert parse_image_header(blob) == ("png", w, h)
+        gw, gh, gch, gpx = decode_png(blob)
+        assert (gw, gh, gch, gpx) == (w, h, channels, px)
+
+    def test_third_party_file(self):
+        assert parse_image_header(LIBPNG_1X1) == ("png", 1, 1)
+        w, h, ch, px = decode_png(LIBPNG_1X1)
+        assert (w, h, ch) == (1, 1, 4)
+        assert len(px) == 4
+
+    def test_all_scanline_filters_unfilter(self):
+        """Hand-filter a known image with each of the five PNG filter types
+        (one per scanline) and check the decoder inverts them exactly."""
+        w, h, ch = 4, 5, 1
+        px = gradient(w, h, ch)
+        stride = w * ch
+        lines = [bytearray(px[y * stride : (y + 1) * stride]) for y in range(h)]
+        raw = bytearray()
+        prev = bytearray(stride)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = lines[y]
+            filt = bytearray(cur)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    filt[x] = (cur[x] - a) & 0xFF
+                elif ftype == 2:
+                    filt[x] = (cur[x] - b) & 0xFF
+                elif ftype == 3:
+                    filt[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    filt[x] = (cur[x] - pred) & 0xFF
+            raw += bytes([ftype]) + bytes(filt)
+            prev = cur
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(blob) == (w, h, ch, px)
+
+
+class TestBmpFarbfeld:
+    def test_bmp_roundtrip_gray(self):
+        w, h = 6, 3
+        px = gradient(w, h)
+        blob = encode_bmp(w, h, px)
+        assert parse_image_header(blob) == ("bmp", w, h)
+        gw, gh, gch, gpx = decode_bmp(blob)
+        assert (gw, gh, gch) == (w, h, 3)
+        # gray input expands to R=G=B
+        assert all(
+            gpx[3 * i] == gpx[3 * i + 1] == gpx[3 * i + 2] == px[i]
+            for i in range(w * h)
+        )
+
+    def test_bmp_roundtrip_rgb(self):
+        w, h = 5, 4
+        px = gradient(w, h, 3)
+        blob = encode_bmp(w, h, px, channels=3)
+        assert decode_bmp(blob) == (w, h, 3, px)
+
+    def test_farbfeld_roundtrip(self):
+        w, h = 7, 2
+        px = gradient(w, h)
+        blob = encode_farbfeld(w, h, px)
+        assert parse_image_header(blob) == ("farbfeld", w, h)
+        gw, gh, gch, gpx = decode_farbfeld(blob)
+        assert (gw, gh, gch) == (w, h, 3)
+        assert all(gpx[3 * i] == px[i] for i in range(w * h))
+
+
+class TestHeaderSniffing:
+    def test_gif(self):
+        blob = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 16
+        assert parse_image_header(blob) == ("gif", 320, 200)
+
+    def test_jpeg_sof_scan(self):
+        """Minimal real JFIF marker stream: SOI, APP0, DQT (skipped), SOF0
+        carrying the dimensions."""
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 240, 320) + bytes([1, 0x11, 0])
+        blob = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+        assert parse_image_header(blob) == ("jpeg", 320, 240)
+
+    @pytest.mark.parametrize(
+        "junk",
+        [None, b"", b"short", b"not an image at all" * 3,
+         b"\x89PNG\r\n\x1a\n1234"],  # PNG magic but truncated IHDR
+    )
+    def test_garbage_returns_none(self, junk):
+        assert parse_image_header(junk) is None
+
+    def test_decode_image_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_image(b"GIF89a" + b"\x00" * 20)  # sniffable, not decodable
+
+
+class TestWav:
+    def test_roundtrip(self):
+        samples = struct.pack("<8h", *range(-4, 4))
+        blob = encode_wav(samples, sample_rate=8000, channels=2, bits=16)
+        meta = parse_wav_header(blob)
+        # 8 interleaved int16 samples over 2 channels = 4 frames
+        assert meta == {
+            "channels": 2, "sample_rate": 8000, "bits": 16, "n_samples": 4,
+        }
+
+    def test_not_wav(self):
+        assert parse_wav_header(b"RIFFxxxxAVI LIST") is None
+
+
+class TestResample:
+    def test_nearest_downsample(self):
+        # 4x2 gray image halved to 2x1: picks top-left of each 2x2 block
+        px = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+        assert resample_nearest(px, 4, 2, 1, 2, 1) == bytes([10, 30])
+
+    def test_upsample_replicates(self):
+        px = bytes([1, 2])
+        assert resample_nearest(px, 2, 1, 1, 4, 1) == bytes([1, 1, 2, 2])

@@ -192,8 +192,50 @@ class TestMultimodal:
         got = {r.media_id: r for r in decode_media(media).collect()}
         assert got[1].byte_len == 256
         assert got[2].fake_width == (ord("x") << 8) | ord("y")
-        with pytest.raises(NotImplementedError):
-            decode_media(media, real_codec=True)
+
+    def test_real_codec_roundtrip_spark(self, spark):
+        """synthesize_media writes genuine PNG/BMP/farbfeld files into the
+        binary column; decode_media(real_codec=True) must recover each
+        one's true dimensions from its file header."""
+        from marketdb_spark.operators.multimodal import (
+            _synth_params,
+            decode_media,
+            synthesize_media,
+        )
+
+        ids = spark.range(0, 9).select(F.col("id").alias("doc_id"))
+        media = synthesize_media(ids, "doc_id")
+        got = {r.media_id: r for r in decode_media(media, real_codec=True).collect()}
+        assert len(got) == 9
+        for mid, row in got.items():
+            fmt, w, h = _synth_params(mid)
+            assert (row.fmt, row.width, row.height) == (fmt, w, h)
+
+    def test_real_codec_unparseable_blob_yields_nulls(self, media):
+        """Text blobs are not image files: the real decoder surfaces them
+        as null features, never as a job failure."""
+        from marketdb_spark.operators.multimodal import decode_media
+
+        rows = decode_media(media, real_codec=True).collect()
+        assert len(rows) == 2
+        assert all(r.fmt is None and r.width is None for r in rows)
+
+    def test_real_resize_farbfeld_output(self, spark):
+        """real_codec resize: pixel-decode a real image, nearest-neighbor
+        resample, re-encode as farbfeld with the requested dimensions."""
+        from marketdb_spark.functions.codecs import decode_farbfeld
+        from marketdb_spark.operators.multimodal import (
+            resize_media,
+            synthesize_media,
+        )
+
+        ids = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        media = synthesize_media(ids, "doc_id")
+        got = {r.media_id: r for r in resize_media(media, 4, 2, real_codec=True).collect()}
+        for r in got.values():
+            w, h, _ch, _px = decode_farbfeld(bytes(r.blob))
+            assert (w, h) == (4, 2)
+            assert len(r.blob) == 16 + 4 * 2 * 8  # header + RGBA16 pixels
 
     def test_decode_features_arrow_parity(self, media):
         """mapInArrow and mapInPandas decoders must produce identical
