@@ -62,15 +62,43 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # Round-over-round comparison: diff against the previous BENCH_FULL.json
+    # before overwriting it, so every bench run self-reports its regressions
+    # (round 1→2 lost its baseline to a truncated stdout line; never again).
+    full_path = os.path.join(os.path.dirname(__file__), "BENCH_FULL.json")
+    prev_total, deltas = None, {}
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            prev_total = prev.get("value")
+            deltas = {
+                n: round(t - prev["queries"][n], 4)
+                for n, t in timings.items()
+                if n in prev.get("queries", {})
+            }
+            moved = sorted(deltas, key=lambda n: deltas[n])
+            for n in moved[:3]:
+                print(f"# improved: {n} {deltas[n]:+.3f}s", file=sys.stderr)
+            for n in moved[-3:][::-1]:
+                print(f"# regressed: {n} {deltas[n]:+.3f}s", file=sys.stderr)
+    except (OSError, ValueError, KeyError):
+        pass
+
     # Full per-query detail to a side file (and stderr above); the stdout
     # JSON line is capped so it survives the driver's output-tail buffer
     # (~2000 chars) — round-1's full 106-query line got truncated and
     # failed to parse. Headline TPC-H queries always included, then the
     # slowest remaining queries until the budget is reached.
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
+    with open(full_path, "w") as f:
         json.dump(
             {"metric": "total_query_wall_clock", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf, "n_queries": len(timings)},
+             "queries": timings, "sf": sf, "n_queries": len(timings),
+             "prev_total": prev_total,
+             "delta_total": (
+                 round(total - prev_total, 4) if prev_total is not None else None
+             ),
+             "deltas_vs_prev": deltas},
             f, indent=1, sort_keys=True,
         )
 

@@ -345,3 +345,144 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio: real WAV containers in the binary column
+# --------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def _audio_params(media_id: int) -> tuple[int, int, int]:
+    """(channels, sample_rate, n_frames) derived from the id — oracle-
+    computable, like _synth_params."""
+    return 1 + media_id % 2, 8000 * (1 + media_id % 3), 100 + media_id % 50
+
+
+def synthesize_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """One real PCM16 WAV file per row (functions/codecs.encode_wav):
+    channels/rate/length derive from the id, samples are a deterministic
+    sawtooth. Same Arrow-batched encode-in-place shape as
+    synthesize_media."""
+    import struct as _struct
+
+    ids_only = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marketdb_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                ch, rate, n = _audio_params(int(mid))
+                samples = b"".join(
+                    _struct.pack("<h", ((int(mid) * 37 + i * 257) % 65536) - 32768)
+                    for i in range(n * ch)
+                )
+                blobs.append(encode_wav(samples, sample_rate=rate, channels=ch))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "blob": blobs})
+
+    return ids_only.mapInPandas(
+        _encode_batch, schema="media_id long, blob binary"
+    )
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """Parse each WAV blob's RIFF fmt/data chunks back into typed metadata
+    (mapInPandas; un-parseable blobs → nulls)."""
+
+    def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marketdb_spark.functions.codecs import parse_wav_header
+
+        for pdf in batches:
+            cols = {"channels": [], "sample_rate": [], "bits": [], "n_samples": []}
+            for b in pdf["blob"]:
+                meta = parse_wav_header(bytes(b)) if b is not None else None
+                for k in cols:
+                    cols[k].append(None if meta is None else meta.get(k))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": pd.array(cols["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "bits": pd.array(cols["bits"], dtype="Int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(_parse_batch, schema=AUDIO_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: concatenated farbfeld frames as the container format
+# --------------------------------------------------------------------------
+
+def synthesize_video(
+    df: DataFrame, id_col: str, n_frames: int = 6, w: int = 4, h: int = 3
+) -> DataFrame:
+    """A "video" blob = n real farbfeld images back to back (each frame
+    independently decodable at its parsed offset — the property a real
+    container shares and flat byte-slicing does not)."""
+    ids_only = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                frames = []
+                for k in range(n_frames):
+                    px = bytes((int(mid) + 17 * k + i) % 256 for i in range(w * h))
+                    frames.append(encode_farbfeld(w, h, px, channels=1))
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "blob": blobs})
+
+    return ids_only.mapInPandas(
+        _encode_batch, schema="media_id long, blob binary"
+    )
+
+
+def sample_frames_real(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Real frame sampling: walk the container by PARSING each farbfeld
+    frame header for its true extent (16-byte header + w*h*8 pixels),
+    then emit ``n_frames`` evenly spaced frames as standalone image blobs.
+    Same 1→N mapInPandas fan-out shape as the byte-slicing sample_frames."""
+    import struct as _struct
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                offsets = []
+                pos = 0
+                while pos + 16 <= len(raw) and raw[pos : pos + 8] == b"farbfeld":
+                    fw, fh = _struct.unpack(">II", raw[pos + 8 : pos + 16])
+                    end = pos + 16 + fw * fh * 8
+                    if end > len(raw):
+                        break  # truncated tail frame: stop at last whole one
+                    offsets.append((pos, end))
+                    pos = end
+                if not offsets:
+                    continue
+                take = min(n_frames, len(offsets))
+                for j in range(take):
+                    k = (j * len(offsets)) // take
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[offsets[k][0] : offsets[k][1]])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)

@@ -64,3 +64,27 @@ def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("blob")).alias("total_bytes"),
         F.max(F.length("blob")).cast("bigint").alias("max_bytes"),
     )
+
+
+@query(
+    "mm_audio_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(100 + doc_id % 50 AS BIGINT) AS n_samples
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality on real container bytes: synthesize_audio writes one
+    genuine PCM16 WAV per doc (channels/rate/length derived from the id),
+    audio_meta parses the RIFF fmt/data chunks back. The oracle recomputes
+    the id→parameters map, so a broken WAV writer OR chunk walker
+    mismatches."""
+    from marketdb_spark.operators.multimodal import audio_meta, synthesize_audio
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return audio_meta(synthesize_audio(docs, "doc_id"))

@@ -105,3 +105,100 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def _run_to_memory_append(out: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    """Drain a bounded append-mode stream into a memory sink and return it."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_asof_enrich",
+    oracle="""
+    WITH trades AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t_ts,
+               event_id AS trade_id, value AS trade_px
+        FROM events WHERE event_type = 'purchase'
+    ), quotes AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS q_ts, MAX(value) AS quote_px
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT t.user_id, t.trade_id, t.t_ts, t.trade_px, q.q_ts, q.quote_px
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND q.q_ts <= t.t_ts
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join, end to end through the streaming engine:
+    'purchase' events are trades, 'view' events are quotes, and each trade
+    is enriched with the latest quote at-or-before it per user — computed
+    by the watermark-safe stateful operator (streaming/asof.py), NOT a
+    batch window. The oracle is DuckDB's native ASOF LEFT JOIN, so the
+    held-until-watermark emission protocol is hash-checked exactly.
+
+    Two far-future flush quotes from a side temp source drain the tail:
+    the first advances the watermark past every real event, the second
+    gives the engine a data batch to emit against it (file sources never
+    run a trailing no-data batch under availableNow)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.streaming.asof import asof_join_stream
+
+    ev = _events_stream(spark, sf_dir)
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    quotes_real = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = tempfile.mkdtemp(prefix="asof_flush_")
+    try:
+        now = _time.time()
+        for i, hours in enumerate((1, 2)):
+            t = max_ts + dt.timedelta(hours=hours)
+            path = os.path.join(flush_dir, f"flush{i}.json")
+            with open(path, "w") as f:
+                f.write(
+                    '{"user_id": -1, "ts": "%s", "value": 0.0}\n'
+                    % t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                )
+            os.utime(path, (now + i,) * 2)
+        flush = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(flush_dir)
+        )
+        quotes = quotes_real.unionByName(flush)
+
+        out = asof_join_stream(
+            trades, quotes, "user_id", "ts", "event_id", "value", "value",
+            watermark="10 minutes",
+        )
+        tbl = _run_to_memory_append(out, "stream_asof", spark)
+        return tbl.select(
+            "user_id",
+            "trade_id",
+            F.timestamp_micros(F.col("t_ts_us")).alias("t_ts"),
+            "trade_px",
+            F.timestamp_micros(F.col("q_ts_us")).alias("q_ts"),
+            "quote_px",
+        )
+    finally:
+        shutil.rmtree(flush_dir, ignore_errors=True)

@@ -59,14 +59,19 @@ def asof_join_stream(
     id_col: str,
     trade_value_col: str,
     quote_value_col: str,
+    watermark: str = "10 minutes",
     tolerance_us: int | None = None,
     quote_ttl_ms: int = 3_600_000,
 ) -> DataFrame:
     """Join a trade stream to the most recent quote per key, streaming.
 
-    Both inputs must be watermarked on ``time_col``. Returns long-µs
-    timestamps (t_ts_us, q_ts_us) — callers convert with
-    ``F.timestamp_micros`` so no precision is lost in flight.
+    Pass the inputs UN-watermarked: the single watermark is applied here,
+    after the union, so one watermark node governs both sides. (Separate
+    per-input watermarks fall under Spark's multiple-watermark MIN policy
+    — a quiet or exhausted side then pins the global watermark and the
+    other side's trades are never released.) Returns long-µs timestamps
+    (t_ts_us, q_ts_us) — callers convert with ``F.timestamp_micros`` so
+    no precision is lost in flight.
 
     Quote ties on (key, ts) resolve to the max value on both this and the
     oracle side. ``quote_ttl_ms`` bounds how long a quote-only key keeps
@@ -85,7 +90,9 @@ def asof_join_stream(
         F.lit(None).cast("long").alias("ev_id"),
         F.col(quote_value_col).cast("double").alias("px"),
     )
-    unioned = tagged_trades.unionByName(tagged_quotes)
+    unioned = tagged_trades.unionByName(tagged_quotes).withWatermark(
+        "ts", watermark
+    )
 
     out_schema = StructType(
         [

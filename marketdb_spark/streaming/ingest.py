@@ -124,23 +124,11 @@ def validate_split(df: DataFrame, kind: str = "trades") -> DataFrame:
     return df.withColumn("reject_reason", reason)
 
 
-def start_ingest(
-    spark: SparkSession,
-    source_path: str,
-    store_path: str,
-    quarantine_path: str,
-    checkpoint_path: str,
-    kind: str = "trades",
-    **stream_opts,
-) -> StreamingQuery:
-    """Wire the full ingest: stream → validate → dual-write via
-    foreachBatch. Each micro-batch appends idempotently to the main store
-    (partitioned by market/date) and appends rejects to quarantine —
-    the reference's persisted-vs-Rejected split (MarketDB.scala:157-210).
-
-    kind='trades' | 'orders' — the reference's loader consumes both queues
-    with the same machinery (MarketLoader.scala:76-121)."""
-    stream = read_trade_stream(spark, source_path, kind=kind, **stream_opts)
+def _dual_write_sink(spark: SparkSession, kind: str, store_path: str, quarantine_path: str):
+    """foreachBatch body shared by every ingest topology: validate, then
+    idempotent-append valid rows to the main store and rejects to
+    quarantine — the reference's persisted-vs-Rejected split
+    (MarketDB.scala:157-210)."""
     key_cols = TRADE_KEY if kind == "trades" else ORDER_KEY
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -162,8 +150,78 @@ def start_ingest(
         finally:
             tagged.unpersist()
 
+    return _sink
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    kind: str = "trades",
+    **stream_opts,
+) -> StreamingQuery:
+    """Wire the full ingest: stream → validate → dual-write via
+    foreachBatch.
+
+    kind='trades' | 'orders' — the reference's loader consumes both queues
+    with the same machinery (MarketLoader.scala:76-121)."""
+    stream = read_trade_stream(spark, source_path, kind=kind, **stream_opts)
     return (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(
+            _dual_write_sink(spark, kind, store_path, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_merged_ingest(
+    spark: SparkSession,
+    source_paths: list[str],
+    store_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    kind: str = "trades",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Multi-host ingest: union N queue sources into ONE streaming query —
+    the reference's merged read handle over every Kestrel host
+    (marketdb-app/.../MarketLoader.scala:46-55, `ReadHandle.merged`).
+
+    Per-source ack-once comes from Spark's multi-source checkpointing: the
+    single checkpoint records one offset entry PER source per batch, so a
+    restart resumes each source exactly where it left off. Cross-source
+    redelivery (the same message surfacing from two hosts) is handled by
+    `dropDuplicatesWithinWatermark` applied AFTER the union — per-source
+    dedup would miss it. A `src_host` column carries provenance into the
+    store (the reference logs the consuming host the same way)."""
+    schema, key = (
+        (TRADES_EVENT_SCHEMA, TRADE_KEY)
+        if kind == "trades"
+        else (ORDERS_EVENT_SCHEMA, ORDER_KEY)
+    )
+    merged = None
+    for i, path in enumerate(source_paths):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(path)
+            .withColumn("src_host", F.lit(i))
+        )
+        merged = src if merged is None else merged.unionByName(src)
+    # one watermark node after the union (a quiet host must not pin the
+    # global watermark — see streaming/asof.py for the MIN-policy trap),
+    # then cross-source dedup on the natural key, state bounded by it
+    merged = merged.withWatermark("time", watermark)
+    merged = merged.dropDuplicatesWithinWatermark(key)
+    return (
+        merged.writeStream.foreachBatch(
+            _dual_write_sink(spark, kind, store_path, quarantine_path)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -2,10 +2,12 @@
 """Per-query Spark-vs-DuckDB wall-clock ratio at a given SF — the local
 mirror of the driver's ≤2× perf gate (BASELINE.md). Usage:
 
-    python scripts/duck_ratio.py [sf_dir] [bench_json]
+    python scripts/duck_ratio.py [sf_dir] [bench_json] [out_json]
 
 Reads a prior bench.py output for Spark timings (so the two engines never
-run concurrently) and times each oracle SQL in DuckDB here.
+run concurrently) and times each oracle SQL in DuckDB here. When
+``out_json`` is given, writes the full comparison there (committed as
+DUCK_RATIO.json so the perf-gate evidence survives without a rerun).
 """
 
 from __future__ import annotations
@@ -47,6 +49,26 @@ def main() -> None:
         print(f"{name:38s} {s:8.3f} {d:8.3f} {s / max(d, 1e-4):7.1f}")
     print(f"\nTOTAL spark={total_s:.1f}s duck={total_d:.1f}s "
           f"ratio={total_s / total_d:.2f}")
+
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total_spark_sec": round(total_s, 3),
+                    "total_duck_sec": round(total_d, 3),
+                    "total_ratio": round(total_s / max(total_d, 1e-4), 4),
+                    "queries": {
+                        name: {
+                            "spark_sec": round(s, 4),
+                            "duck_sec": round(d, 4),
+                            "ratio": round(s / max(d, 1e-4), 3),
+                        }
+                        for name, s, d in rows
+                    },
+                },
+                f, indent=1, sort_keys=True,
+            )
 
 
 if __name__ == "__main__":

@@ -183,3 +183,56 @@ class TestResample:
     def test_upsample_replicates(self):
         px = bytes([1, 2])
         assert resample_nearest(px, 2, 1, 1, 4, 1) == bytes([1, 1, 2, 2])
+
+
+# --- property tests: any pixel buffer survives encode→decode ------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _image(draw, channels):
+    w = draw(st.integers(1, 24))
+    h = draw(st.integers(1, 24))
+    px = draw(st.binary(min_size=w * h * channels, max_size=w * h * channels))
+    return w, h, px
+
+
+class TestCodecProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(img=_image(1), channels=st.just(1))
+    def test_png_gray_roundtrip(self, img, channels):
+        w, h, px = img
+        assert decode_png(encode_png(w, h, px, channels)) == (w, h, channels, px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(img=_image(3))
+    def test_png_rgb_roundtrip(self, img):
+        w, h, px = img
+        assert decode_png(encode_png(w, h, px, 3)) == (w, h, 3, px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(img=_image(3))
+    def test_bmp_rgb_roundtrip(self, img):
+        w, h, px = img
+        assert decode_bmp(encode_bmp(w, h, px, 3)) == (w, h, 3, px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(img=_image(1))
+    def test_farbfeld_gray_roundtrip(self, img):
+        w, h, px = img
+        gw, gh, gch, gpx = decode_farbfeld(encode_farbfeld(w, h, px, 1))
+        assert (gw, gh, gch) == (w, h, 3)
+        assert bytes(gpx[3 * i] for i in range(w * h)) == px
+
+    @settings(max_examples=50, deadline=None)
+    @given(blob=st.binary(max_size=64))
+    def test_sniffer_never_crashes_on_fuzz(self, blob):
+        out = parse_image_header(blob)
+        assert out is None or (isinstance(out[0], str) and len(out) == 3)
+
+    @settings(max_examples=50, deadline=None)
+    @given(blob=st.binary(max_size=64))
+    def test_wav_parser_never_crashes_on_fuzz(self, blob):
+        meta = parse_wav_header(blob)
+        assert meta is None or "sample_rate" in meta

@@ -391,3 +391,47 @@ class TestPacking:
         assert got[1] == (100, 1, 1, 0)
         assert got[2] == (100, 1, 2, 2)
         assert got[3] == (130, 2, 2, 1)
+
+
+class TestVideoFrames:
+    def test_real_frame_sampling_parses_container(self, spark):
+        """synthesize_video concatenates real farbfeld frames; the real
+        sampler must find frame boundaries by parsing headers and emit
+        standalone decodable images."""
+        from marketdb_spark.functions.codecs import decode_farbfeld
+        from marketdb_spark.operators.multimodal import (
+            sample_frames_real,
+            synthesize_video,
+        )
+
+        ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+        video = synthesize_video(ids, "doc_id", n_frames=6, w=4, h=3)
+        rows = sample_frames_real(video, n_frames=3).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        for mid, frames in by_id.items():
+            # 6 frames sampled down to 3: indices 0, 2, 4
+            assert sorted(r.frame_idx for r in frames) == [0, 2, 4]
+            for r in frames:
+                w, h, _ch, px = decode_farbfeld(bytes(r.frame))
+                assert (w, h) == (4, 3)
+                # frame content is frame-index-dependent (true boundaries):
+                # pixel 0 of frame k is (mid + 17k) % 256
+                assert px[0] == (mid + 17 * r.frame_idx) % 256
+
+    def test_truncated_tail_frame_dropped(self, spark):
+        from marketdb_spark.operators.multimodal import (
+            sample_frames_real,
+            synthesize_video,
+        )
+        from pyspark.sql import functions as SF
+
+        ids = spark.range(0, 1).select(SF.col("id").alias("doc_id"))
+        video = synthesize_video(ids, "doc_id", n_frames=2, w=4, h=3)
+        # chop mid-way through the second frame
+        clipped = video.select(
+            "media_id", SF.expr("substring(blob, 1, 130)").alias("blob")
+        )
+        rows = sample_frames_real(clipped, n_frames=4).collect()
+        assert [r.frame_idx for r in rows] == [0]

@@ -113,6 +113,40 @@ class TestIngest:
         }
         assert reasons == {2090: "bad dir", 2091: "bad amount"}
 
+    def test_merged_multi_source_ingest(self, spark, tmp_path):
+        """Union of N source dirs in ONE query (the reference's merged
+        read handle across Kestrel hosts): cross-source duplicates are
+        dropped, provenance lands in src_host, and a restart resumes each
+        source from its own checkpointed offset with no re-delivery."""
+        from marketdb_spark.streaming.ingest import start_merged_ingest
+
+        s0, s1 = tmp_path / "host0", tmp_path / "host1"
+        s0.mkdir(), s1.mkdir()
+        # events 0,1,2 from host0; 2,3 from host1 (2 is a cross-host dup)
+        _write_batch(s0, "b0.json", [_event(i, minutes=i) for i in range(3)])
+        _write_batch(s1, "b0.json", [_event(i, minutes=i) for i in (2, 3)])
+
+        args = (
+            spark,
+            [str(s0), str(s1)],
+            str(tmp_path / "store"),
+            str(tmp_path / "quarantine"),
+            str(tmp_path / "ckpt"),
+        )
+        start_merged_ingest(*args).awaitTermination(120)
+        main = spark.read.parquet(str(tmp_path / "store"))
+        assert main.count() == 4  # 0,1,2,3 — the cross-host dup collapsed
+        assert set(main.select("src_host").distinct().toPandas()["src_host"]) <= {0, 1}
+
+        # restart: one new file on host1 only; host0 offsets must not replay
+        _write_batch(s1, "b1.json", [_event(4, minutes=4)])
+        start_merged_ingest(*args).awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "store"))
+        assert got.count() == 5
+        assert sorted(
+            r.trade_id for r in got.select("trade_id").collect()
+        ) == [0, 1, 2, 3, 4]
+
     def test_restart_with_checkpoint_no_duplicates(self, spark, tmp_path):
         src = tmp_path / "src"
         src.mkdir()
@@ -597,3 +631,127 @@ class TestContinuousAggregate:
         )
         assert (row.volume, row.n_events) == (16.0, 4)
         assert (row.open, row.close) == (5.0, 3.0)
+
+
+class TestStreamingAsof:
+    def _run(self, spark, tmp_path, trade_batches, quote_batches, **kw):
+        """Drive asof_join_stream over file-source micro-batches (one file
+        per batch per source, ordered by mtime) and return the collected
+        output. Emission is driven by data batches: the watermark computed
+        after batch N gates what batch N+1 can emit, so callers append
+        trailing flush-quote batches to drain the tail (exactly what the
+        oracle-checked driver query does)."""
+        import os
+        import time as _time
+
+        from marketdb_spark.streaming.asof import asof_join_stream
+
+        tdir, qdir = tmp_path / "trades", tmp_path / "quotes"
+        tdir.mkdir(), qdir.mkdir()
+
+        def row(minutes, key="A", **kv):
+            t = T0 + dt.timedelta(minutes=minutes)
+            return {"key": key, "ts": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"), **kv}
+
+        now = _time.time()
+        for i, batch in enumerate(trade_batches):
+            _write_batch(tdir, f"b{i}.json", [row(**b) for b in batch])
+            os.utime(tdir / f"b{i}.json", (now - 300 + 30 * i,) * 2)
+        for i, batch in enumerate(quote_batches):
+            _write_batch(qdir, f"b{i}.json", [row(**b) for b in batch])
+            os.utime(qdir / f"b{i}.json", (now - 300 + 30 * i,) * 2)
+
+        trades = (
+            spark.readStream.schema("key string, ts timestamp, trade_id long, px double")
+            .option("maxFilesPerTrigger", 1).json(str(tdir))
+        )
+        quotes = (
+            spark.readStream.schema("key string, ts timestamp, px double")
+            .option("maxFilesPerTrigger", 1).json(str(qdir))
+        )
+        out = asof_join_stream(
+            trades, quotes, "key", "ts", "trade_id", "px", "px",
+            watermark="2 minutes", **kw
+        )
+        name = f"asof_out_{abs(hash(str(tmp_path))) % 10**8}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # two trailing quote-side batches at far-future times: the first
+    # advances the watermark past every real event, the second gives the
+    # engine a data batch in which to emit against that watermark
+    FLUSH = [[dict(minutes=60, px=0.0)], [dict(minutes=61, px=0.0)]]
+
+    def test_matches_latest_quote_at_or_before(self, spark, tmp_path):
+        """Each trade pairs with the newest quote <= its timestamp; trades
+        before any quote emit with null quote (left semantics)."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[
+                [dict(minutes=1, trade_id=1, px=10.0),
+                 dict(minutes=5, trade_id=2, px=11.0)],
+            ],
+            quote_batches=[
+                [dict(minutes=2, px=100.0), dict(minutes=5, px=101.0),
+                 dict(minutes=4, px=102.0)],
+            ] + self.FLUSH,
+        )
+        got = {r.trade_id: (r.q_ts_us, r.quote_px) for r in rows}
+        t = lambda m: int((T0 + dt.timedelta(minutes=m)).timestamp() * 1_000_000)
+        assert got[1] == (None, None)            # no quote at/before minute 1
+        assert got[2] == (t(5), 101.0)           # exact-time quote wins
+        assert len(rows) == 2
+
+    def test_late_quote_still_matches(self, spark, tmp_path):
+        """A quote arriving one micro-batch AFTER its trade (but with an
+        earlier event time, within the watermark) must still match: the
+        trade is held in state until the watermark passes it."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[
+                [dict(minutes=10, trade_id=1, px=10.0)],
+                [dict(minutes=11.5, trade_id=2, px=11.0)],
+            ],
+            quote_batches=[
+                [dict(minutes=0, px=100.0)],
+                [dict(minutes=9.5, px=105.0)],   # late: before trade 1's ts
+            ] + self.FLUSH,
+        )
+        got = {r.trade_id: r.quote_px for r in rows}
+        assert got[1] == 105.0                   # late quote won the match
+        assert got[2] == 105.0
+        # every output row appeared exactly once (append mode, no dupes)
+        assert len(rows) == len(got)
+
+    def test_tolerance_bounds_match(self, spark, tmp_path):
+        """With a tolerance, a quote older than (t_ts - tolerance) does not
+        match even though it is the latest one at-or-before the trade."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[[dict(minutes=30, trade_id=1, px=10.0)]],
+            quote_batches=[[dict(minutes=5, px=100.0)]]
+            + [[dict(minutes=90, px=0.0)], [dict(minutes=91, px=0.0)]],
+            tolerance_us=10 * 60 * 1_000_000,    # 10 minutes
+        )
+        got = {r.trade_id: (r.q_ts_us, r.quote_px) for r in rows}
+        assert got[1] == (None, None)            # 25-min-old quote rejected
+
+    def test_keys_stay_isolated(self, spark, tmp_path):
+        """Quotes on key B never enrich trades on key A (state is per-key;
+        A's held trade is flushed by its event-time timeout firing in a
+        later data batch)."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[[dict(minutes=10, trade_id=1, px=10.0, key="A")]],
+            quote_batches=[[dict(minutes=1, px=200.0, key="B")]]
+            + [[dict(minutes=60, px=0.0, key="B")], [dict(minutes=61, px=0.0, key="B")]],
+        )
+        got = {r.trade_id: r.quote_px for r in rows}
+        assert got[1] is None
+        assert len(rows) == 1
