@@ -50,12 +50,18 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
+# All-pairs verification is O(n²) by construction, so the oracle-checked
+# query bounds BOTH sides to the identical doc_id slice; at scale the same
+# jaccard_pairs kernel runs only on LSH candidate pairs
+# (dedup_verified_pairs), never all-pairs.
+_NGRAM_PAIRS_MAX_DOC_ID = 60
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
       SELECT doc_id AS id, {_SHINGLES2} AS s
-      FROM documents WHERE doc_id < 60
+      FROM documents WHERE doc_id < {_NGRAM_PAIRS_MAX_DOC_ID}
     )
     SELECT a.id AS id_a, b.id AS id_b,
            CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
@@ -73,7 +79,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-2-gram Jaccard over a bounded slice — the verification
     primitive that runs on LSH candidates at scale (int/int division only:
     engine-exact)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NGRAM_PAIRS_MAX_DOC_ID
+    )
     return jaccard_pairs(docs, n=2, threshold=0.05)
 
 

@@ -516,3 +516,62 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+@query(
+    "doc_tfidf_topterms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST({_ORACLE_TOKENS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((SELECT n FROM n) + 1.0) / (df.df + 1.0) DESC,
+                        tf.token
+             ) AS rnk
+      FROM tf JOIN df USING (token)
+    )
+    WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (keyword extraction for corpus curation).
+    IDF is the smoothed rational (N+1)/(df+1) — no transcendental ln, so
+    the double arithmetic is bit-identical across engines and the ranking
+    hash-compares exactly. Shapes that matter at 100 TB: tokenize map-side,
+    two keyed aggregations with partial combine, a shuffle join on token
+    (vocabulary too big to assume broadcastable — AQE may still choose it
+    at small SF), corpus size N as a broadcast 1-row cross join, and a
+    bounded per-doc window (top-3)."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select("doc_id", F.explode_outer(tokens("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", F.col("rnk").cast("int"))
+    )

@@ -157,18 +157,28 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from marketdb_spark.catalog import load
-    from marketdb_spark.streaming.asof import asof_join_stream
+    from marketdb_spark.streaming.asof import asof_join_stream_tagged
 
+    # one scan per micro-batch: tag trade/quote roles with a CASE over the
+    # single events stream instead of planning two filtered branches
     ev = _events_stream(spark, sf_dir)
-    trades = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    quotes_real = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.when(F.col("event_type") == "purchase", "t").otherwise("q").alias("kind"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        .cast("long")
+        .alias("ev_id"),
+        F.col("value").cast("double").alias("px"),
     )
 
     max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     flush_dir = tempfile.mkdtemp(prefix="asof_flush_")
+    # scope the stateful operator's partition count (= state-store
+    # partitions) for the duration of this query: a vanilla session's 200
+    # default means 200 Python state tasks per micro-batch for ~150 keys
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         now = _time.time()
         for i, hours in enumerate((1, 2)):
@@ -176,20 +186,20 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             path = os.path.join(flush_dir, f"flush{i}.json")
             with open(path, "w") as f:
                 f.write(
-                    '{"user_id": -1, "ts": "%s", "value": 0.0}\n'
+                    '{"k": -1, "ts": "%s", "kind": "q", "px": 0.0}\n'
                     % t.strftime("%Y-%m-%dT%H:%M:%S.%f")
                 )
             os.utime(path, (now + i,) * 2)
         flush = (
-            spark.readStream.schema("user_id long, ts timestamp, value double")
+            spark.readStream.schema(
+                "k long, ts timestamp, kind string, ev_id long, px double"
+            )
             .option("maxFilesPerTrigger", 1)
             .json(flush_dir)
         )
-        quotes = quotes_real.unionByName(flush)
 
-        out = asof_join_stream(
-            trades, quotes, "user_id", "ts", "event_id", "value", "value",
-            watermark="10 minutes",
+        out = asof_join_stream_tagged(
+            tagged.unionByName(flush), watermark="10 minutes", key_out="user_id"
         )
         tbl = _run_to_memory_append(out, "stream_asof", spark)
         return tbl.select(
@@ -201,4 +211,5 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quote_px",
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(flush_dir, ignore_errors=True)

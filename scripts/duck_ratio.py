@@ -13,13 +13,16 @@ DUCK_RATIO.json so the perf-gate evidence survives without a rerun).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import duckdb
 
-from marketdb_spark.catalog import TABLES
-from marketdb_spark.queries import REGISTRY
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from marketdb_spark.catalog import TABLES  # noqa: E402
+from marketdb_spark.queries import REGISTRY  # noqa: E402
 
 
 def main() -> None:
