@@ -575,3 +575,49 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", F.col("rnk").cast("int"))
     )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(list_slice(ts, i*48 + 1, i*48 + 64)) AS INT) AS n_tokens,
+           md5(array_to_string(list_slice(ts, i*48 + 1, i*48 + 64), ' '))
+             AS chunk_md5
+    FROM tok, LATERAL UNNEST(generate_series(
+           0, CAST(GREATEST(CEIL((len(ts) - 64.0) / 48.0), 0) AS INT))) AS g(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training-sequence prep: 64-token
+    chunks, stride 48 (16-token overlap), per-chunk content hash. Pure
+    map-side work — tokenize, sequence-generate chunk indices, slice,
+    explode — no shuffle at all, so it scales linearly with corpus bytes.
+    The chunk md5 makes the oracle compare chunk CONTENT, not just counts."""
+    docs = load(spark, sf_dir, "documents")
+    C, S = 64, 48
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    chunked = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil((F.size("ts") - F.lit(float(C))) / F.lit(float(S))),
+                    F.lit(0),
+                ).cast("int"),
+            )
+        ).alias("chunk_idx"),
+        "ts",
+    )
+    chunk = F.slice(F.col("ts"), F.col("chunk_idx") * S + 1, C)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_md5"),
+    )

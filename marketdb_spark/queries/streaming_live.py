@@ -213,3 +213,129 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(flush_dir, ignore_errors=True)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT t.user_id,
+           t.event_id AS trade_id,
+           o.event_id AS order_id,
+           CAST(t.ts AS TIMESTAMP) AS t_ts,
+           CAST(o.ts AS TIMESTAMP) AS o_ts
+    FROM events t
+    JOIN events o
+      ON t.user_id = o.user_id
+     AND t.event_type = 'purchase' AND o.event_type = 'click'
+     AND CAST(o.ts AS TIMESTAMP) <= CAST(t.ts AS TIMESTAMP)
+     AND CAST(o.ts AS TIMESTAMP) > CAST(t.ts AS TIMESTAMP) - INTERVAL 2 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream event-time interval join (the engine's
+    own symmetric-hash join state, not a custom fold): each purchase joins
+    the same user's clicks in its trailing 2-minute window; watermarks on
+    both sides bound the state. An INNER interval join emits matches as
+    soon as both rows are present — the watermark only EVICTS state — so a
+    bounded availableNow run drains completely without any flush batches
+    (contrast stream_asof_enrich, which must hold trades until the
+    watermark passes)."""
+    trades = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("trade_id"),
+        )
+        .withWatermark("t_ts", "10 minutes")
+    )
+    orders = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+            F.col("event_id").alias("order_id"),
+        )
+        .withWatermark("o_ts", "10 minutes")
+    )
+    joined = trades.join(
+        orders,
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("o_ts") <= F.col("t_ts"))
+        & (F.col("o_ts") > F.col("t_ts") - F.expr("interval 2 minutes")),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        tbl = _run_to_memory_append(joined, "stream_ij", spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return tbl.select(
+        F.col("t_user").alias("user_id"),
+        "trade_id",
+        "order_id",
+        "t_ts",
+        "o_ts",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT user_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM e)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows through the engine's native session_window
+    state (gap 30 min per user): sessions merge as events arrive across
+    micro-batches. Complete mode on the bounded stream ⇒ equals the batch
+    gaps-and-islands sessionization the oracle computes with LAG + running
+    SUM — so the streaming session-merge logic is hash-checked exactly
+    (window end = last event + gap on both sides)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        tbl = _run_to_memory(agg, "stream_sessions", spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return tbl.select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

@@ -177,3 +177,24 @@ def test_winnow_hash_array_single_evaluation(spark):
     plan = physical_plan(df)
     assert plan.count("md5") <= plan.count("Scan parquet")
     assert count_shuffles(df) == 0
+
+
+def test_chunk_overlap_zero_shuffle(spark):
+    """Training-sequence chunking must stay entirely map-side: tokenize →
+    sequence-generate → explode → hash with NO exchange — the plan shape
+    that scales linearly with corpus bytes."""
+    q = REGISTRY["doc_chunk_overlap"].fn(spark, SF_SMALL)
+    assert count_shuffles(q) == 0
+
+
+def test_tfidf_topk_pushed_below_exchange(spark):
+    """The per-doc top-3 must apply WindowGroupLimit BEFORE the window
+    exchange (partial group-limit), so each map task forwards at most 3
+    candidate rows per doc instead of its whole term list."""
+    from marketdb_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["doc_tfidf_topterms"].fn(spark, SF_SMALL))
+    # formatted explain lists operators bottom-up by id: the partial
+    # WindowGroupLimit must appear on the map side (below the Exchange
+    # feeding the Window). Two WindowGroupLimit nodes = partial + final.
+    assert plan.count("WindowGroupLimit") >= 2
