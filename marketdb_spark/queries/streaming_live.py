@@ -339,3 +339,35 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "stream_dedup_union",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once dedup through the engine: the events stream
+    unioned with ITSELF (every record delivered twice — the redelivery
+    topology of a multi-host queue) then dropDuplicatesWithinWatermark on
+    the natural key. The oracle is simply the events table: exactly one
+    output row per event proves the dedup state works across duplicate
+    arrivals while the watermark bounds it. Same operator the merged
+    multi-host ingest relies on (streaming/ingest.start_merged_ingest)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    a = _events_stream(spark, sf_dir).select(*cols)
+    b = _events_stream(spark, sf_dir).select(*cols)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        tbl = _run_to_memory_append(deduped, "stream_dedup", spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return tbl

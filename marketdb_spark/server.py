@@ -1,0 +1,173 @@
+"""Network query-service façade (SURVEY §2A W1).
+
+The reference serves time-series scans over a finagle binary protocol:
+clients Open a scan (getting a scanner handle), pull row batches, and
+Close (marketdb-api/.../api/MarketDbProtocol.scala:17-203, served at
+marketdb-app/.../MarketDbApp.scala:47-53). This is the same service
+surface on plain TCP + newline-delimited JSON (stdlib only — no finagle,
+no thrift): a threaded socket server in the Spark DRIVER process that
+plans scans with the lazy-DataFrame façade (client.MarketDb) and streams
+results back.
+
+Protocol (one JSON object per line, request → response(s)):
+
+  {"op": "trades",  "market": M, "security": S, "interval": [a, b]}
+      → one line per row, then {"done": <row count>}
+  {"op": "orders",  ...same}                    → same shape
+  {"op": "count",   "kind": "trades", ...}      → {"count": n}
+  {"op": "open",    "kind": "trades", ...}      → {"scan_id": id}
+  {"op": "next",    "scan_id": id, "n": 100}    → rows… then
+                                                   {"batch_end": k, "exhausted": bool}
+  {"op": "close",   "scan_id": id}              → {"closed": true}
+
+The cursor ops mirror the reference's Open/ReadRows/Close scanner
+lifecycle; `next` pulls from a server-side ``toLocalIterator`` so only
+the requested batch is materialized driver-side — the executor-side scan
+stays lazy/partition-streamed exactly like the in-process path.
+
+Scale note: this façade is a control-plane convenience (the reference's
+own deployment shape — one service fronting the store). Bulk analytics
+should go through the DataFrame API directly; the server never collects
+more than the batch a client asked for.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from marketdb_spark.client import MarketDb
+
+
+def _json_default(v: Any) -> str:
+    return str(v)  # timestamps/decimals → ISO-ish strings
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        server: MarketDbServer = self.server  # type: ignore[assignment]
+        for raw in self.rfile:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                for out in server.dispatch(req):
+                    self._send(out)
+            except Exception as exc:  # malformed request must not kill the server
+                self._send({"error": f"{type(exc).__name__}: {exc}"})
+
+    def _send(self, obj: dict) -> None:
+        self.wfile.write(json.dumps(obj, default=_json_default).encode() + b"\n")
+        self.wfile.flush()
+
+
+class _ThreadedTCPServer(socketserver.ThreadingTCPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+class MarketDbServer:
+    """Serve MarketDb scans over TCP/ndjson. Runs inside the Spark driver
+    (the reference's MarketDbApp is likewise one process fronting the
+    store). ``port=0`` picks an ephemeral port — read ``self.port``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        trades_path: str,
+        orders_path: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.db = MarketDb(spark, trades_path=trades_path, orders_path=orders_path)
+        self._scans: dict[int, Any] = {}
+        self._next_scan = 1
+        self._lock = threading.Lock()
+        self._tcp = _ThreadedTCPServer((host, port), _Handler)
+        self._tcp.dispatch = self.dispatch  # handler looks this up per request
+        self.host, self.port = self._tcp.server_address
+        self._thread = threading.Thread(target=self._tcp.serve_forever, daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "MarketDbServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+
+    def __enter__(self) -> "MarketDbServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- request dispatch (yields response objects) -------------------------
+    def _series(self, req: dict) -> DataFrame:
+        kind = req.get("kind", req.get("op"))
+        fn = self.db.trades if kind == "trades" else self.db.orders
+        return fn(req["market"], req["security"], tuple(req["interval"]))
+
+    def dispatch(self, req: dict):
+        op = req.get("op")
+        if op in ("trades", "orders"):
+            n = 0
+            for row in self._series(req).toLocalIterator():
+                n += 1
+                yield row.asDict(recursive=True)
+            yield {"done": n}
+        elif op == "count":
+            yield {"count": self._series(req).count()}
+        elif op == "open":
+            # the reference's Open → ScannerDescriptor handle
+            with self._lock:
+                scan_id = self._next_scan
+                self._next_scan += 1
+                self._scans[scan_id] = self._series(req).toLocalIterator()
+            yield {"scan_id": scan_id}
+        elif op == "next":
+            it = self._scans.get(req["scan_id"])
+            if it is None:
+                yield {"error": "unknown scan_id"}
+                return
+            want = int(req.get("n", 100))
+            sent, exhausted = 0, False
+            while sent < want:
+                try:
+                    row = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                sent += 1
+                yield row.asDict(recursive=True)
+            if exhausted:
+                self._scans.pop(req["scan_id"], None)
+            yield {"batch_end": sent, "exhausted": exhausted}
+        elif op == "close":
+            self._scans.pop(req.get("scan_id"), None)
+            yield {"closed": True}
+        else:
+            yield {"error": f"unknown op {op!r}"}
+
+
+def request(host: str, port: int, req: dict, timeout: float = 60.0) -> list[dict]:
+    """Tiny client: send one request, read response lines until the
+    terminator ({'done'|'count'|'scan_id'|'batch_end'|'closed'|'error'})."""
+    terminators = {"done", "count", "scan_id", "batch_end", "closed", "error"}
+    out: list[dict] = []
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(json.dumps(req).encode() + b"\n")
+        buf = sock.makefile("r")
+        for line in buf:
+            obj = json.loads(line)
+            out.append(obj)
+            if terminators & obj.keys():
+                break
+    return out

@@ -349,3 +349,86 @@ class TestStore:
         extra = trades_df.limit(1).withColumn("trade_id", F.lit(999_999))
         idempotent_append(spark, extra, path)
         assert read_store(spark, path).count() == n1 + 1
+
+
+class TestQueryServer:
+    """W1 network façade: the reference's scan service (MarketDbProtocol's
+    Open/ReadRows/Close over finagle) re-expressed as TCP/ndjson over the
+    lazy-DataFrame scan path. One server in the driver process; clients
+    pull row batches — nothing is materialized beyond the requested batch."""
+
+    @pytest.fixture()
+    def server(self, spark, trades_df, tmp_path):
+        from marketdb_spark.server import MarketDbServer
+        from marketdb_spark.sources.store import write_partitioned
+
+        store = str(tmp_path / "trades_store")
+        write_partitioned(trades_df, store)
+        srv = MarketDbServer(spark, trades_path=store, orders_path=store)
+        with srv:
+            yield srv
+
+    def test_one_shot_scan(self, server, trades_df):
+        from marketdb_spark.server import request
+
+        out = request(server.host, server.port, {
+            "op": "trades", "market": "RTS", "security": "RTS-3.13",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 10:05:00"],
+        })
+        rows, tail = out[:-1], out[-1]
+        assert tail["done"] == len(rows)
+        # inclusive bounds (id 5 sits exactly on the end bound),
+        # time-ordered, 5000 (10:04:59) interleaved
+        assert [r["trade_id"] for r in rows] == [0, 1, 2, 3, 4, 5000, 5]
+        assert all(r["security"] == "RTS-3.13" for r in rows)
+
+    def test_count_matches_scan(self, server):
+        from marketdb_spark.server import request
+
+        out = request(server.host, server.port, {
+            "op": "count", "kind": "trades", "market": "RTS",
+            "security": "RTS-3.14",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        })
+        assert out == [{"count": 10}]
+
+    def test_cursor_open_next_close(self, server):
+        """The reference's scanner lifecycle: open a handle, pull batches,
+        exhaustion reported on the final batch, handle invalid after."""
+        from marketdb_spark.server import request
+
+        h, p = server.host, server.port
+        req = {
+            "op": "open", "kind": "trades", "market": "RTS",
+            "security": "RTS-3.13",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        }
+        (opened,) = request(h, p, req)
+        sid = opened["scan_id"]
+
+        batch1 = request(h, p, {"op": "next", "scan_id": sid, "n": 5})
+        assert batch1[-1] == {"batch_end": 5, "exhausted": False}
+        ids1 = [r["trade_id"] for r in batch1[:-1]]
+        assert ids1 == [0, 1, 2, 3, 4]
+
+        batch2 = request(h, p, {"op": "next", "scan_id": sid, "n": 100})
+        assert batch2[-1]["exhausted"] is True
+        ids2 = [r["trade_id"] for r in batch2[:-1]]
+        # batches tile the full time-ordered series with no overlap
+        assert ids1 + ids2 == [0, 1, 2, 3, 4, 5000, 5, 5001, 6, 7, 8, 9]
+
+        after = request(h, p, {"op": "next", "scan_id": sid, "n": 1})
+        assert after == [{"error": "unknown scan_id"}]
+
+    def test_unknown_op_is_error_not_crash(self, server):
+        from marketdb_spark.server import request
+
+        out = request(server.host, server.port, {"op": "frobnicate"})
+        assert "error" in out[0]
+        # server still serves afterwards
+        out2 = request(server.host, server.port, {
+            "op": "count", "kind": "trades", "market": "RTS",
+            "security": "RTS-3.13",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        })
+        assert out2[0]["count"] == 12
