@@ -175,10 +175,14 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     flush_dir = tempfile.mkdtemp(prefix="asof_flush_")
     # scope the stateful operator's partition count (= state-store
-    # partitions) for the duration of this query: a vanilla session's 200
-    # default means 200 Python state tasks per micro-batch for ~150 keys
+    # partitions) for the duration of this query: the per-batch floor is
+    # O(partitions) (a Python worker round-trip + a state-store commit per
+    # partition per batch), and the key space here is ~150 users — 8
+    # partitions keeps every core busy on the heavy batch while quartering
+    # the fixed overhead. At real scale, size this to key-count/throughput,
+    # not the session default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         now = _time.time()
         for i, hours in enumerate((1, 2)):
@@ -267,7 +271,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_ts") > F.col("t_ts") - F.expr("interval 2 minutes")),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_asof_enrich
     try:
         tbl = _run_to_memory_append(joined, "stream_ij", spark)
     finally:
@@ -327,7 +331,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_asof_enrich
     try:
         tbl = _run_to_memory(agg, "stream_sessions", spark)
     finally:
@@ -365,7 +369,7 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_asof_enrich
     try:
         tbl = _run_to_memory_append(deduped, "stream_dedup", spark)
     finally:

@@ -432,3 +432,32 @@ class TestQueryServer:
             "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
         })
         assert out2[0]["count"] == 12
+
+    def test_concurrent_clients(self, server):
+        """Two cursors pulled from interleaved connections must not leak
+        rows between handles (threaded server, per-handle iterators)."""
+        import concurrent.futures as cf
+
+        from marketdb_spark.server import request
+
+        h, p = server.host, server.port
+
+        def drain(security):
+            (opened,) = request(h, p, {
+                "op": "open", "kind": "trades", "market": "RTS",
+                "security": security,
+                "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+            })
+            sid, ids = opened["scan_id"], []
+            while True:
+                batch = request(h, p, {"op": "next", "scan_id": sid, "n": 3})
+                ids += [r["trade_id"] for r in batch[:-1]]
+                if batch[-1].get("exhausted"):
+                    return ids
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            f13 = ex.submit(drain, "RTS-3.13")
+            f14 = ex.submit(drain, "RTS-3.14")
+            ids13, ids14 = f13.result(60), f14.result(60)
+        assert ids13 == [0, 1, 2, 3, 4, 5000, 5, 5001, 6, 7, 8, 9]
+        assert ids14 == [1000 + i for i in range(10)]

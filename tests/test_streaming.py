@@ -755,3 +755,18 @@ class TestStreamingAsof:
         got = {r.trade_id: r.quote_px for r in rows}
         assert got[1] is None
         assert len(rows) == 1
+
+    def test_quote_tie_resolves_to_max_px(self, spark, tmp_path):
+        """Two quotes at the SAME timestamp: the match takes the max px
+        (the documented tie rule, mirrored by the oracle's MAX(value)
+        per (key, ts) — lexsort + rightmost searchsorted hit)."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[[dict(minutes=5, trade_id=1, px=10.0)]],
+            quote_batches=[
+                [dict(minutes=2, px=100.0), dict(minutes=2, px=107.0),
+                 dict(minutes=2, px=103.0)],
+            ] + self.FLUSH,
+        )
+        got = {r.trade_id: r.quote_px for r in rows}
+        assert got[1] == 107.0
