@@ -621,3 +621,42 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_md5"),
     )
+
+
+@query(
+    "text_bigram_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    ), bg AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2
+      FROM tok, LATERAL UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    )
+    SELECT w1, w2, COUNT(*) AS n
+    FROM bg GROUP BY w1, w2
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts (the n-gram statistics behind
+    repetition filters and LM-based quality scores): adjacent-token pairs
+    via a map-side zip of the token array with its own tail — explode, one
+    keyed aggregation with partial combine, integer-exact everywhere. The
+    HAVING floor keeps the long tail out of the result, the same pruning a
+    count-min/LM vocabulary build applies at scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
