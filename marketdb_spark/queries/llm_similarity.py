@@ -246,3 +246,80 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", bucket.alias("bucket")).groupBy("bucket").agg(
         F.count("*").alias("n_vectors")
     )
+
+
+_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+# 2^46: float32 embedding elements are dyadic rationals m*2^(e-23); for every
+# |x| >= 2^-23 (data min is ~8e-6), x * 2^46 is an exact INTEGER that fits a
+# double (< 2^53) and an int64 — so both engines sum identical integers and
+# divide back by the same power of two, with no decimal rounding anywhere.
+_PROJ_SCALE = 1 << 46
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(i AS INT) AS proj_dim,
+           CAST(list_reduce(list_transform(range(1, 65), j ->
+                CASE WHEN substring(md5(i || '_' || j), 1, 1)
+                          IN {tuple(_EVEN_HEX)}
+                     THEN CAST(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE} AS BIGINT)
+                     ELSE -CAST(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE} AS BIGINT)
+                END), (acc, v) -> acc + v) AS DOUBLE) / {_PROJ_SCALE} AS proj_val
+    FROM embeddings, LATERAL UNNEST(generate_series(0, 7)) AS g(i)
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas-style ±1
+    sign matrix): 64-dim embeddings → 8 projected coordinates, the cheap
+    pre-step before clustering/ANN at scale. The "matrix" is never
+    materialized — sign(i,j) = parity of md5(i_j)'s first hex digit,
+    recomputed identically by both engines — and every term is scaled by
+    2^46 into an exact int64 before summing (float32 elements are dyadic
+    rationals, so this is lossless), making the result bit-identical
+    across engines with no decimal rounding at all. Map-only: zero
+    shuffles, scales linearly with corpus size. (At real scale,
+    precompute the K×D sign matrix once and broadcast it instead of
+    hashing per element; the plan shape is unchanged.)"""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def signed_term(i: int):
+        def term(acc, j):
+            elem = (
+                F.element_at(F.col("embedding"), j).cast("double")
+                * F.lit(_PROJ_SCALE)
+            ).cast("bigint")
+            even = F.substring(
+                F.md5(F.concat(F.lit(f"{i}_"), j.cast("string"))), 1, 1
+            ).isin(*_EVEN_HEX)
+            return acc + F.when(even, elem).otherwise(-elem)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)),
+            F.lit(0).cast("bigint"),
+            term,
+        )
+
+    projected = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("proj_dim"),
+                        (signed_term(i).cast("double") / F.lit(_PROJ_SCALE)).alias(
+                            "proj_val"
+                        ),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("p"),
+    )
+    return projected.select(
+        "vec_id",
+        F.col("p.proj_dim").cast("int").alias("proj_dim"),
+        F.col("p.proj_val").alias("proj_val"),
+    )
