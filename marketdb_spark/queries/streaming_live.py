@@ -375,3 +375,66 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return tbl
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+            FROM events) events
+    )
+    SELECT user_id, bar_start,
+           MAX(CASE WHEN rn_open  = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, bar_start
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained OHLC bar table, driven end to end through
+    the streaming engine: micro-batches of events flow through
+    start_ohlc_stream's foreachBatch (per-batch combinable partials merged
+    into the stored table with replay-idempotent batch stamps) and the
+    FINAL STORED TABLE is compared against the batch OHLC oracle — the
+    continuous-aggregate correctness contract under the driver's hash
+    gate, not just the unit suite. maxFilesPerTrigger is irrelevant here
+    (one parquet file → one batch); multi-batch merge semantics are pinned
+    by tests/test_streaming.py::TestContinuousAggregate."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.streaming.windows import start_ohlc_stream
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ohlc_stream_")
+    store, ckpt = f"{work}/bars", f"{work}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_asof_enrich
+    try:
+        q = start_ohlc_stream(
+            spark, stream, store, ckpt,
+            key_cols=["user_id"], time_col="ts", value_col="value",
+            id_col="event_id", bar="hour",
+        )
+        q.awaitTermination()
+        bars = spark.read.parquet(store).select(
+            "user_id", "bar_start", "open", "high", "low", "close",
+            "volume", "n_events",
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return bars.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
