@@ -198,3 +198,10 @@ def test_tfidf_topk_pushed_below_exchange(spark):
     # WindowGroupLimit must appear on the map side (below the Exchange
     # feeding the Window). Two WindowGroupLimit nodes = partial + final.
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_random_projection_zero_shuffle(spark):
+    """Dim-reduce is a pure map: 8 projected coordinates computed per row
+    and exploded — any exchange here would be 100TB of needless shuffle."""
+    q = REGISTRY["embed_random_projection"].fn(spark, SF_SMALL)
+    assert count_shuffles(q) == 0
