@@ -442,3 +442,30 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "join_salted_hotkey",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name, l.l_quantity
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_quantity >= 45
+    """,
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic skew-mitigation join through the oracle gate: the
+    fact side is salted (operators.skew.salted_join), the dim side
+    replicated across every salt, and the join runs on (key, salt) — the
+    hot key's rows spread over n_salts reducers instead of one. The salt
+    routes rows but never changes the RESULT, so the oracle is the plain
+    join: hash-equality proves salting is semantically free. Covers the
+    case AQE's skew split can't fix deterministically ahead of time
+    (known hot instrument against a huge dim — the reference's
+    front-month-future skew, MarketDB.scala:24)."""
+    from marketdb_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    sup = load(spark, sf_dir, "supplier")
+    joined = salted_join(li, sup.withColumnRenamed("s_suppkey", "l_suppkey"),
+                         on="l_suppkey", n_salts=8)
+    return joined.select("l_orderkey", "l_linenumber", "s_name", "l_quantity")
