@@ -47,6 +47,11 @@ _STATE_SCHEMA = StructType(
         StructField("t_ts", ArrayType(LongType())),   # µs, unordered buffer
         StructField("t_id", ArrayType(LongType())),
         StructField("t_px", ArrayType(DoubleType())),
+        # watermark (ms) at the last call that saw input rows or held/
+        # flushed trades for this key — the quote TTL clock. Lets a timeout
+        # invocation tell the trade-flush wake (wm+1) apart from genuine
+        # quote expiry: only the latter may drop surviving quotes.
+        StructField("last_active_wm", LongType()),
     ]
 )
 
@@ -142,14 +147,18 @@ def asof_join_stream_tagged(
             st_ts = np.asarray(g[2], dtype="int64")
             st_id = np.asarray(g[3], dtype="int64")
             st_px = np.asarray(g[4], dtype="float64")
+            prev_active_ms = int(g[5]) if g[5] is not None else 0
         else:
             sq_ts = st_ts = st_id = np.empty(0, dtype="int64")
             sq_px = st_px = np.empty(0, dtype="float64")
+            prev_active_ms = 0
 
+        had_input = False
         new_q, new_t = [], []
         for pdf in pdfs:
             if pdf.empty:
                 continue
+            had_input = True
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns → µs
             is_q = pdf["kind"].eq("q").to_numpy()
             px = pdf["px"].to_numpy(dtype="float64")
@@ -204,19 +213,34 @@ def asof_join_stream_tagged(
             )
             q_ts, q_px = q_ts[keep_from:], q_px[keep_from:]
 
-        if not len(t_ts) and (state.hasTimedOut or not len(q_ts)):
+        # the TTL clock restarts whenever the key sees input or holds/
+        # flushes a trade; a bare timeout wake leaves it running
+        active = had_input or len(r_ts) or len(t_ts)
+        last_active_ms = wm_ms if active else prev_active_ms
+        # a timeout only evicts quote-only state when it was genuinely the
+        # quote TTL that fired — NOT the wm+1 trade-flush wake (which also
+        # lands here once all held trades drain; dropping the quotes there
+        # would NULL-join a later trade, breaking ASOF LEFT semantics)
+        ttl_expired = (
+            state.hasTimedOut
+            and not active
+            and wm_ms >= prev_active_ms + quote_ttl_ms
+        )
+        if not len(t_ts) and (ttl_expired or not len(q_ts)):
             if state.exists:
                 state.remove()
         else:
             state.update(
                 (
                     q_ts.tolist(), q_px.tolist(), t_ts.tolist(),
-                    t_id.tolist(), t_px.tolist(),
+                    t_id.tolist(), t_px.tolist(), last_active_ms,
                 )
             )
             # held trades: wake on the very next watermark advance;
-            # quote-only state: expire after the TTL
-            state.setTimeoutTimestamp(wm_ms + (1 if len(t_ts) else quote_ttl_ms))
+            # quote-only state: expire TTL after the last activity
+            state.setTimeoutTimestamp(
+                wm_ms + 1 if len(t_ts) else last_active_ms + quote_ttl_ms
+            )
 
         if len(r_ts):
             # nullable arrays carry the unmatched rows as true NULLs (a

@@ -756,6 +756,34 @@ class TestStreamingAsof:
         assert got[1] is None
         assert len(rows) == 1
 
+    def test_trade_after_flush_timeout_still_matches(self, spark, tmp_path):
+        """A key whose held trades all drained via the event-time timeout
+        must KEEP its live quotes: a later trade on the same key still
+        matches the old quote (ASOF LEFT semantics + the quote_ttl_ms
+        contract — only a genuine TTL expiry may drop quote-only state).
+
+        Regression: the flush-wake (wm+1) timeout used to remove the whole
+        state once t_ts emptied, so trade 2 here joined NULL."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[
+                [dict(minutes=5, trade_id=1, px=10.0)],
+                [],   # batch with no trades: watermark advances on quotes
+                [],   # ... and the wm+1 timeout fires here, flushing t1
+                [dict(minutes=20, trade_id=2, px=12.0)],
+            ],
+            quote_batches=[
+                [dict(minutes=2, px=100.0)],
+                [dict(minutes=10, px=50.0, key="B")],
+                [dict(minutes=12, px=51.0, key="B")],
+                [dict(minutes=22, px=52.0, key="B")],
+            ] + self.FLUSH,
+        )
+        got = {r.trade_id: r.quote_px for r in rows}
+        assert got[1] == 100.0
+        assert got[2] == 100.0   # quote@2 survived t1's flush timeout
+        assert len(rows) == 2
+
     def test_quote_tie_resolves_to_max_px(self, spark, tmp_path):
         """Two quotes at the SAME timestamp: the match takes the max px
         (the documented tie rule, mirrored by the oracle's MAX(value)
