@@ -295,11 +295,23 @@ def parse_image_header(blob: bytes | None) -> tuple[str, int, int] | None:
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
                     return None
+                # 0xFF fill bytes are legal padding between segments
+                # (ITU T.81 §B.1.1.2) — skip to the real marker byte
+                while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > len(b):
+                    return None
                 marker = b[pos + 1]
+                if marker in (0xD9, 0xDA):
+                    # EOI / start-of-scan: entropy-coded data follows, no
+                    # SOF was seen — stop rather than misread lengths
+                    return None
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2  # standalone markers have no length
                     continue
                 (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+                if seg_len < 2:
+                    return None
                 if marker in _JPEG_SOF:
                     if pos + 9 > len(b):
                         return None

@@ -126,30 +126,37 @@ class MarketDbServer:
         elif op == "count":
             yield {"count": self._series(req).count()}
         elif op == "open":
-            # the reference's Open → ScannerDescriptor handle
+            # the reference's Open → ScannerDescriptor handle; the scan
+            # carries its own lock so concurrent `next`s on one scan_id
+            # serialize (a shared toLocalIterator is not thread-safe —
+            # interleaved next() calls would split rows across batches)
+            scan = self._series(req).toLocalIterator()
             with self._lock:
                 scan_id = self._next_scan
                 self._next_scan += 1
-                self._scans[scan_id] = self._series(req).toLocalIterator()
+                self._scans[scan_id] = (scan, threading.Lock())
             yield {"scan_id": scan_id}
         elif op == "next":
-            it = self._scans.get(req["scan_id"])
-            if it is None:
+            entry = self._scans.get(req["scan_id"])
+            if entry is None:
                 yield {"error": "unknown scan_id"}
                 return
+            it, scan_lock = entry
             want = int(req.get("n", 100))
-            sent, exhausted = 0, False
-            while sent < want:
-                try:
-                    row = next(it)
-                except StopIteration:
-                    exhausted = True
-                    break
-                sent += 1
+            rows: list[Any] = []
+            with scan_lock:
+                exhausted = False
+                while len(rows) < want:
+                    try:
+                        rows.append(next(it))
+                    except StopIteration:
+                        exhausted = True
+                        break
+                if exhausted:
+                    self._scans.pop(req["scan_id"], None)
+            for row in rows:
                 yield row.asDict(recursive=True)
-            if exhausted:
-                self._scans.pop(req["scan_id"], None)
-            yield {"batch_end": sent, "exhausted": exhausted}
+            yield {"batch_end": len(rows), "exhausted": exhausted}
         elif op == "close":
             self._scans.pop(req.get("scan_id"), None)
             yield {"closed": True}

@@ -147,6 +147,24 @@ class TestHeaderSniffing:
         blob = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
         assert parse_image_header(blob) == ("jpeg", 320, 240)
 
+    def test_jpeg_fill_bytes_before_markers(self):
+        """0xFF fill/padding bytes between segments are legal (ITU T.81
+        §B.1.1.2) — the SOF walk must skip them, not misread the padding
+        as a marker + bogus length."""
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 480, 640) + bytes([1, 0x11, 0])
+        blob = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+        assert parse_image_header(blob) == ("jpeg", 640, 480)
+
+    def test_jpeg_stops_at_sos_and_eoi(self):
+        """A stream that reaches start-of-scan (or EOI) without a SOF must
+        return None instead of walking into entropy-coded data."""
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        entropy = b"\x12\x34\x56\x78" * 8   # junk that must not be parsed
+        assert parse_image_header(b"\xff\xd8" + app0 + sos + entropy) is None
+        assert parse_image_header(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
     @pytest.mark.parametrize(
         "junk",
         [None, b"", b"short", b"not an image at all" * 3,

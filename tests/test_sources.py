@@ -433,6 +433,81 @@ class TestQueryServer:
         })
         assert out2[0]["count"] == 12
 
+    _SCAN_13 = {
+        "op": "open", "kind": "trades", "market": "RTS",
+        "security": "RTS-3.13",
+        "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+    }
+    _IDS_13 = [0, 1, 2, 3, 4, 5000, 5, 5001, 6, 7, 8, 9]
+
+    def test_next_on_never_opened_scan_is_error(self, server):
+        from marketdb_spark.server import request
+
+        out = request(server.host, server.port,
+                      {"op": "next", "scan_id": 99999, "n": 5})
+        assert out == [{"error": "unknown scan_id"}]
+
+    def test_close_invalidates_handle(self, server):
+        from marketdb_spark.server import request
+
+        h, p = server.host, server.port
+        (opened,) = request(h, p, self._SCAN_13)
+        sid = opened["scan_id"]
+        assert request(h, p, {"op": "close", "scan_id": sid}) == [{"closed": True}]
+        assert request(h, p, {"op": "next", "scan_id": sid, "n": 1}) \
+            == [{"error": "unknown scan_id"}]
+
+    def test_concurrent_cursors_stay_independent(self, server):
+        """Two open scanners interleave their `next` pulls without sharing
+        position — the reference's scanner registry keyed by handle
+        (MarketDbProtocol's per-scanner state)."""
+        from marketdb_spark.server import request
+
+        h, p = server.host, server.port
+        sid_a = request(h, p, self._SCAN_13)[0]["scan_id"]
+        sid_b = request(h, p, self._SCAN_13)[0]["scan_id"]
+        assert sid_a != sid_b
+
+        a1 = request(h, p, {"op": "next", "scan_id": sid_a, "n": 3})
+        b1 = request(h, p, {"op": "next", "scan_id": sid_b, "n": 7})
+        a2 = request(h, p, {"op": "next", "scan_id": sid_a, "n": 100})
+        b2 = request(h, p, {"op": "next", "scan_id": sid_b, "n": 100})
+        ids = lambda batch: [r["trade_id"] for r in batch[:-1]]
+        assert ids(a1) + ids(a2) == self._IDS_13
+        assert ids(b1) + ids(b2) == self._IDS_13
+        assert a2[-1]["exhausted"] and b2[-1]["exhausted"]
+
+    def test_concurrent_next_same_scan_no_loss_or_dup(self, server):
+        """Many threads hammering `next` on ONE scan_id: the per-scan lock
+        must serialize iterator access so the union of all batches tiles
+        the scan exactly once (regression: unguarded shared iterator could
+        split/duplicate rows or race the exhaustion pop)."""
+        import threading
+
+        from marketdb_spark.server import request
+
+        h, p = server.host, server.port
+        sid = request(h, p, self._SCAN_13)[0]["scan_id"]
+        got, errs, lock = [], [], threading.Lock()
+
+        def puller():
+            while True:
+                out = request(h, p, {"op": "next", "scan_id": sid, "n": 2})
+                with lock:
+                    if "error" in out[0]:      # post-exhaustion pop: fine
+                        return
+                    got.extend(r["trade_id"] for r in out[:-1])
+                if out[-1].get("exhausted") or out[-1]["batch_end"] == 0:
+                    return
+
+        threads = [threading.Thread(target=puller) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert sorted(got) == sorted(self._IDS_13)
+        assert not errs
+
     def test_concurrent_clients(self, server):
         """Two cursors pulled from interleaved connections must not leak
         rows between handles (threaded server, per-handle iterators)."""
