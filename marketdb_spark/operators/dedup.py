@@ -148,6 +148,40 @@ def jaccard_pairs(
     )
 
 
+def candidate_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification restricted to a provided
+    candidate-pair frame (id_a, id_b) — the jaccard_pairs kernel without
+    its all-pairs join. The two equi-joins key on document id (uniform),
+    so the cost is O(|candidates|), never O(n²); this is the only shape in
+    which n-gram Jaccard should ever be *registered* as a query.
+
+    Docs shorter than n tokens have no n-gram shingles; the inner joins
+    drop their pairs, which is identical to scoring them (empty ∩ anything
+    = 0) and filtering at any threshold > 0."""
+    sh = shingled(df, id_col, text_col, n, require_nonempty=True)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -352,14 +386,20 @@ def connected_components(
             self_rows.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # the superseded round's checkpoint blocks are dead the moment the
-        # (eager) new checkpoint exists — release them, or a long-lived
+        # ONE driver round-trip per iteration: the lazy checkpoint is
+        # materialized BY the convergence count — the filter needs every
+        # partition of new_labels, so this single job computes, persists
+        # (truncating lineage), and counts in one pass. (A full count, not
+        # limit(1): an early-exit limit could leave checkpoint partitions
+        # uncomputed, and the job count is what we're minimizing anyway.)
+        changed = new_labels.filter(F.col("label") < F.col("prev")).count()
+        # the superseded round's checkpoint blocks are dead now that the
+        # new checkpoint is materialized — release them, or a long-lived
         # session pins O(iterations) copies of the label table
         _unpersist_checkpoint(prev_ckpt)
         prev_ckpt = new_labels
-        changed = new_labels.filter(F.col("label") < F.col("prev")).limit(1).count()
         labels = new_labels.select("id", "label")
         if changed == 0:
             break

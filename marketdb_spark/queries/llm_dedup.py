@@ -16,9 +16,9 @@ from marketdb_spark.operators.dedup import (
     MINHASH_B0,
     MINHASH_B_STEP,
     MINHASH_P,
+    candidate_jaccard,
     connected_components,
     exact_dedup,
-    jaccard_pairs,
     minhash_lsh_pairs,
     simhash_fingerprints,
     verified_near_dups,
@@ -50,39 +50,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
-# All-pairs verification is O(n²) by construction, so the oracle-checked
-# query bounds BOTH sides to the identical doc_id slice; at scale the same
-# jaccard_pairs kernel runs only on LSH candidate pairs
-# (dedup_verified_pairs), never all-pairs.
-_NGRAM_PAIRS_MAX_DOC_ID = 60
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id AS id, {_SHINGLES2} AS s
-      FROM documents WHERE doc_id < {_NGRAM_PAIRS_MAX_DOC_ID}
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-           CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-                THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                ELSE 0.0 END AS jaccard
-    FROM sh a JOIN sh b ON a.id < b.id
-    WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-               ELSE 0.0 END >= 0.05
-    """,
+# word 3-gram shingles, distinct (1-indexed lists in DuckDB); mirrors
+# operators.dedup.shingles(n=3)
+_SHINGLES3 = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-2-gram Jaccard over a bounded slice — the verification
-    primitive that runs on LSH candidates at scale (int/int division only:
-    engine-exact)."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _NGRAM_PAIRS_MAX_DOC_ID
-    )
-    return jaccard_pairs(docs, n=2, threshold=0.05)
 
 
 def _minhash_oracle(src: str = "documents") -> str:
@@ -126,6 +99,40 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands × 2 rows. Map-side signatures; the only shuffle is the band join."""
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH cand AS ({_MINHASH_ORACLE}),
+    sh AS (
+      SELECT doc_id AS id, {_SHINGLES3} AS s FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                ELSE 0.0 END AS jaccard
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b
+    WHERE CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               ELSE 0.0 END >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard verification over MinHash+LSH candidate pairs
+    (operators.dedup.candidate_jaccard): the n-gram Jaccard primitive in
+    its only scalable registration — two id-equi-joins over the candidate
+    set, NO all-pairs join anywhere in the plan (gated by
+    tests/test_plans.py: no CartesianProduct / BroadcastNestedLoopJoin).
+    Distinct from dedup_verified_pairs by verify-shingle width (3 vs 2)
+    and threshold (0.05 vs 0.2); int/int division only: engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
+    return candidate_jaccard(docs, cand, n=3, threshold=0.05)
 
 
 @query(

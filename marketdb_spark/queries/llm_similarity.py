@@ -254,6 +254,11 @@ _EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
 # |x| >= 2^-23 (data min is ~8e-6), x * 2^46 is an exact INTEGER that fits a
 # double (< 2^53) and an int64 — so both engines sum identical integers and
 # divide back by the same power of two, with no decimal rounding anywhere.
+# For any element smaller than 2^-23 the scaled value is NOT an integer, and
+# the engines' double→bigint casts disagree (Spark truncates toward zero,
+# DuckDB rounds half-even) — so the oracle wraps the cast in trunc(),
+# making both sides truncate identically and the query robust to
+# regenerated data instead of bit-exact only by data-dependent luck.
 _PROJ_SCALE = 1 << 46
 
 
@@ -265,8 +270,8 @@ _PROJ_SCALE = 1 << 46
            CAST(list_reduce(list_transform(range(1, 65), j ->
                 CASE WHEN substring(md5(i || '_' || j), 1, 1)
                           IN {tuple(_EVEN_HEX)}
-                     THEN CAST(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE} AS BIGINT)
-                     ELSE -CAST(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE} AS BIGINT)
+                     THEN CAST(trunc(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE}) AS BIGINT)
+                     ELSE -CAST(trunc(CAST(embedding[j] AS DOUBLE) * {_PROJ_SCALE}) AS BIGINT)
                 END), (acc, v) -> acc + v) AS DOUBLE) / {_PROJ_SCALE} AS proj_val
     FROM embeddings, LATERAL UNNEST(generate_series(0, 7)) AS g(i)
     """,

@@ -174,6 +174,44 @@ class TestDedup:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
 
+    def test_connected_components_one_job_per_round(self, spark):
+        # Evidence for the bounded driver round-trip contract: each
+        # propagation round runs exactly ONE job (the convergence count
+        # materializes the lazy localCheckpoint in the same pass — see the
+        # loop comment in operators.dedup.connected_components). A chain of
+        # length 9 needs 8 propagation rounds + 1 confirming round; with the
+        # 2 setup checkpoints (edges, initial labels) the whole call must
+        # stay within rounds + 3 jobs — the old two-jobs-per-round shape
+        # (eager checkpoint + separate limit(1).count()) blows past this.
+        from marketdb_spark.operators.dedup import connected_components
+
+        sc = spark.sparkContext
+        chain = [(i, i + 1) for i in range(1, 9)]  # path 1-…-9, diameter 8
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+        # AQE materializes each shuffle stage as its own job, which would
+        # count stages, not driver round-trips; with it off, one action ==
+        # one job and the assertion measures exactly what the contract says.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("cc-job-count", "cc job count evidence")
+        try:
+            got = {
+                r.id: r.label
+                for r in connected_components(pairs, nodes).collect()
+            }
+        finally:
+            sc._jsc.clearJobGroup()
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        assert got == {i: 1 for i in range(1, 10)}
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-job-count")
+        # 8 propagation rounds + 1 confirming round = 9 count jobs (each
+        # one also materializes that round's lazy checkpoint); +2 setup
+        # checkpoints + 1 final collect + slack for createDataFrame
+        # plumbing. The pre-fix shape (eager checkpoint + separate
+        # limit(1).count()) measures ~2× this.
+        assert len(jobs) <= 9 + 5, f"{len(jobs)} jobs for a 9-round CC run"
+
 
 class TestMultimodal:
     @pytest.fixture()

@@ -91,6 +91,19 @@ def test_minhash_shuffle_budget(spark):
     assert count_shuffles(df) <= 6
 
 
+def test_ngram_jaccard_no_cartesian(spark):
+    """dedup_ngram_jaccard is registered over LSH candidates — the n-gram
+    Jaccard verify must be two id-equi-joins, with NO all-pairs join
+    (CartesianProduct / BroadcastNestedLoopJoin) anywhere in the plan. An
+    accidental uncapped all-pairs registration is the O(n²) query that
+    cannot ship."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_generate_filter_reinlining(spark):
     """The shingle/token expression must be evaluated once per row: Spark's
     InferFiltersFromGenerate + predicate pushdown would otherwise re-inline
