@@ -378,6 +378,87 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_restart_recovery",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery equivalence, driver-visible: the stream is
+    KILLED mid-data and resumed, and the final result must still equal the
+    batch oracle over ALL the data. Incarnation 1 drains half the events
+    (event_id % 2 = 0) into a daily windowed aggregation and terminates;
+    the other half lands in the source; incarnation 2 restarts from the
+    SAME checkpoint and drains the rest. The stored complete-mode result
+    covers both halves if and only if the state store recovered the first
+    incarnation's partial aggregates — a run that silently restarted from
+    scratch (or re-read half 1) fails the hash gate. This is the crash/
+    resume contract of the reference's ingest loop (Kestrel reliable reads:
+    marketdb-app/.../MarketLoader.scala:33-55) re-expressed as Structured
+    Streaming checkpointing.
+
+    The sink is foreachBatch (complete mode) overwriting a parquet store —
+    the memory sink deliberately refuses checkpoint recovery, and an
+    idempotent overwrite is the replay-safe shape anyway."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+
+    work = tempfile.mkdtemp(prefix="stream_restart_")
+    src, ckpt, store = f"{work}/src", f"{work}/ckpt", f"{work}/store"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_asof_enrich
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_incarnation() -> None:
+            agg = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    dsum("value", scale=6).alias("sum_value"),
+                )
+            )
+
+            def _sink(batch: DataFrame, batch_id: int) -> None:
+                batch.write.mode("overwrite").parquet(store)
+
+            q = (
+                agg.writeStream.foreachBatch(_sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_incarnation()  # half the data, then the "crash"
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        run_incarnation()  # resume from the same checkpoint
+        out = spark.read.parquet(store).select(
+            F.col("win.start").alias("day"), "event_type", "n_events", "sum_value"
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "stream_ohlc_bars",
     oracle="""
     WITH ranked AS (
