@@ -56,6 +56,11 @@ _SHINGLES3 = (
     f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
 )
+# hashed shingle sets — the verify-side representation (see
+# operators.dedup.hashed_shingled): distinct 60-bit md5 hashes, identical
+# bit-for-bit to Spark's token_hash64
+_HASHED_SH2 = f"list_distinct(list_transform({_SHINGLES2}, s -> {_H64.format(s='s')}))"
+_HASHED_SH3 = f"list_distinct(list_transform({_SHINGLES3}, s -> {_H64.format(s='s')}))"
 
 
 def _minhash_oracle(src: str = "documents") -> str:
@@ -106,7 +111,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cand AS ({_MINHASH_ORACLE}),
     sh AS (
-      SELECT doc_id AS id, {_SHINGLES3} AS s FROM documents
+      SELECT doc_id AS id, {_HASHED_SH3} AS s FROM documents
     )
     SELECT c.id_a, c.id_b,
            CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
@@ -139,7 +144,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_verified_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id AS id, {_SHINGLES2} AS s FROM documents
+      SELECT doc_id AS id, {_HASHED_SH2} AS s FROM documents
     ),
     cand AS ({_MINHASH_ORACLE})
     SELECT c.id_a, c.id_b,
