@@ -49,8 +49,26 @@ def main() -> None:
         # shares — otherwise the alphabetically-first dedup query pays tens
         # of seconds of codegen+JIT that belongs to no query in particular
         REGISTRY["dedup_verified_pairs"].fn(spark, warm_dir).count()
+        # same for the streaming engine (micro-batch planner, state store,
+        # applyInPandasWithState workers): the alphabetically-first
+        # stream_* query otherwise pays the whole ~10 s engine cold start
+        REGISTRY["stream_asof_enrich"].fn(spark, warm_dir).count()
     except Exception:
         pass  # warm-up must never fail the bench
+
+    def _release_persisted() -> None:
+        """Drop storage blocks a query pinned (localCheckpoint shingle
+        caches, CC label tables, detached streaming results). Queries are
+        independent, so between timings this is pure hygiene — without it
+        the session accumulates dead blocks across 120+ queries and GC
+        pressure bleeds into later measurements."""
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
@@ -59,6 +77,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        _release_persisted()
 
     total = round(sum(timings.values()), 4)
 

@@ -551,7 +551,10 @@ def connected_components_star(
 
     fp = _fingerprint(edges)
     for _ in range(max_rounds):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # one job per round: the fingerprint aggregation scans every
+        # partition, so it materializes the lazy checkpoint in the same
+        # pass (same fold as connected_components' convergence count)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_fp = _fingerprint(new_edges)
         _unpersist_checkpoint(edges)
         edges = new_edges

@@ -139,6 +139,38 @@ class TestDedup:
         pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, n=2).collect()}
         assert pairs == {(1, 2): 1.0}  # identical → 1.0; disjoint → below threshold
 
+    def test_candidate_jaccard_equals_string_jaccard(self, spark):
+        """The hashed-shingle verify (candidate_jaccard) must score exactly
+        what the all-pairs string-shingle kernel scores for the same pairs:
+        the int64 hash sets are a faithful representation of the shingle
+        sets (distinct md5-derived hashes, collision-free at test scale)."""
+        from marketdb_spark.operators.dedup import candidate_jaccard
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c d x y"),
+                (3, "a b c d e f"),
+                (4, "p q r s t u"),
+            ],
+            "doc_id long, text string",
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in candidate_jaccard(df, cand, n=2, threshold=0.0).collect()
+        }
+        expect = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(df, n=2, threshold=0.0).collect()
+            if (r.id_a, r.id_b) in {(1, 2), (1, 3), (1, 4), (2, 3)}
+        }
+        assert got == expect
+        assert got[(1, 3)] == 1.0  # identical docs
+        assert got[(1, 4)] == 0.0  # disjoint docs
+
     def test_minhash_finds_duplicates(self, spark):
         text = "the quick brown fox jumps over the lazy dog again and again"
         df = spark.createDataFrame(
