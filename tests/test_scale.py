@@ -52,6 +52,77 @@ class TestBucketed:
         assert "Exchange" in plan
 
 
+class TestRuntimePruning:
+    """Evidence for Spark's two runtime scan-pruning mechanisms — at
+    100 TB these are the difference between scanning a partition and
+    scanning the lake. The store layout (sources/store.write_partitioned)
+    is designed so both can fire."""
+
+    def test_dynamic_partition_pruning_fires(self, spark, tmp_path):
+        """A fact table partitioned on the join key, joined to a dim with
+        a selective filter, must plan a dynamic-pruning subquery: only
+        the partitions matching the dim's surviving keys are read — the
+        runtime analog of the reference's row-key range scan
+        (MarketDB.scala:79-82) for *join-driven* key sets."""
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        orders.write.partitionBy("o_orderpriority").parquet(
+            str(tmp_path / "fact")
+        )
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.createDataFrame(
+            [("1-URGENT", 1), ("2-HIGH", 0)],
+            "o_orderpriority string, flag int",
+        ).filter(F.col("flag") == 1)
+        j = fact.join(dim, "o_orderpriority").groupBy().count()
+        [row] = j.collect()
+        expect = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).count()
+        assert row[0] == expect
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan[:2000]
+
+    def test_runtime_bloom_filter_prunes_fact_scan(self, spark):
+        """With a selective dim filter and no broadcast, the optimizer
+        must inject a bloom filter built from the dim keys and apply it
+        (might_contain) on the fact side BEFORE the join shuffle — rows
+        that cannot match never get shuffled. Thresholds are scaled down
+        in-session; at 100 TB the defaults fire on any selective dim."""
+        from pyspark.sql import functions as F
+
+        tune = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+                "100MB",
+        }
+        prev = {k: spark.conf.get(k) for k in tune}
+        for k, v in tune.items():
+            spark.conf.set(k, v)
+        try:
+            li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+                F.col("o_totalprice") > 300000
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy()
+                .count()
+            )
+            [row] = j.collect()
+            assert row[0] > 0  # the filter keeps some orders at sf0.001
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+
 class TestSkew:
     @pytest.fixture()
     def skewed(self, spark):
