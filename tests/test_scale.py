@@ -52,6 +52,60 @@ class TestBucketed:
         assert "Exchange" in plan
 
 
+class TestZOrder:
+    """Write-time multi-dimensional clustering (sources/zorder.py): the
+    N-dim generalization of the reference's composite row key
+    (Trade.scala:22-30). The gate measures what pruning actually depends
+    on — per-file min/max coverage of each dimension in the real parquet
+    output."""
+
+    def _coverage(self, spark, path, col):
+        """Mean fraction of the column's global range a file spans."""
+        from pyspark.sql import functions as F
+
+        per_file = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"), col)
+            .groupBy("f")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        glo = min(r.lo for r in per_file)
+        ghi = max(r.hi for r in per_file)
+        return sum((r.hi - r.lo) / (ghi - glo) for r in per_file) / len(per_file)
+
+    def test_zorder_clusters_both_dimensions(self, spark, tmp_path):
+        from marketdb_spark.sources.zorder import zorder_write
+
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+        zorder_write(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+        # control: linear sort on the primary key only
+        (
+            li.repartitionByRange(16, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.parquet(lpath)
+        )
+        # same rows either way
+        assert (
+            spark.read.parquet(zpath).count()
+            == spark.read.parquet(lpath).count()
+            == li.count()
+        )
+        z_ok = self._coverage(spark, zpath, "l_orderkey")
+        z_pk = self._coverage(spark, zpath, "l_partkey")
+        l_ok = self._coverage(spark, lpath, "l_orderkey")
+        l_pk = self._coverage(spark, lpath, "l_partkey")
+        # linear sort: primary tightly clustered, secondary spans ~whole range
+        assert l_ok <= 0.2 and l_pk >= 0.8, (l_ok, l_pk)
+        # z-order: BOTH dimensions partially covered per file — a filter on
+        # either column prunes most files' row groups (≈ k^-1/2 each for a
+        # 2-dim curve over 16 files)
+        assert z_ok <= 0.5 and z_pk <= 0.5, (z_ok, z_pk)
+
+
 class TestRuntimePruning:
     """Evidence for Spark's two runtime scan-pruning mechanisms — at
     100 TB these are the difference between scanning a partition and
