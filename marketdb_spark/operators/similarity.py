@@ -166,3 +166,92 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement over embeddings with ENGINE-EXACT
+    arithmetic — the clustering step of semantic dedup / corpus
+    organization, expressed so a SQL oracle reproduces every assignment
+    bit-for-bit (where pyspark.ml KMeans would be nondeterministic and
+    unverifiable).
+
+    Seeds are the ivf_assign hash-pick (no count() pass, no contiguous-id
+    assumption). Each round: (1) assign every vector to the nearest
+    centroid by squared euclidean distance, computed as a sequential
+    left-to-right double fold (deterministic IEEE ops — both engines
+    produce identical doubles); (2) recompute centroids from EXACT
+    integer sums — each element is scaled by 2^46 and truncated to int64
+    (the embed_random_projection convention), summed (order-independent
+    integer adds), and divided back in a fixed expression order, so the
+    new centroids are identical doubles on any engine.
+
+    Scale shape per round: centroids broadcast (k rows); assignment is
+    one map-side pass + a per-id top-1 window; the update is a single
+    groupBy(cluster) with dims map-side-combined sums. ``iters`` is a
+    fixed small constant, so the growing lazy plan needs no lineage
+    truncation. Clusters that lose all points drop out (documented
+    Lloyd behavior; both engines agree).
+
+    Returns (id, cluster_id) for every corpus vector after ``iters``
+    assignment rounds (update runs between rounds, not after the last).
+    """
+    scale = float(1 << 46)
+    pts = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    m = 2147483648
+    h = F.pmod(F.pmod(F.col("id"), F.lit(m)) * F.lit(506952113), F.lit(m))
+    picked = (
+        pts.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(k)
+    )
+    centroids = picked.select(
+        (F.row_number().over(W.orderBy("h", "id")) - 1).cast("int").alias("cid"),
+        F.transform("vec", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = _fold_sum(
+            F.zip_with(
+                "vec", "c",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            )
+        )
+        w = W.partitionBy("id").orderBy("d2", "cid")
+        return (
+            pts.join(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "vec", "cid")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters - 1):
+        sums = [
+            F.sum(
+                (F.element_at("vec", d + 1).cast("double") * F.lit(scale))
+                .cast("bigint")
+            ).alias(f"s{d}")
+            for d in range(dims)
+        ]
+        upd = assigned.groupBy("cid").agg(F.count("*").alias("n"), *sums)
+        new_cents = upd.select(
+            "cid",
+            F.array(
+                *[
+                    F.col(f"s{d}").cast("double")
+                    / F.col("n").cast("double")
+                    / F.lit(scale)
+                    for d in range(dims)
+                ]
+            ).alias("c"),
+        )
+        assigned = assign(new_cents)
+    return assigned.select("id", F.col("cid").alias("cluster_id"))

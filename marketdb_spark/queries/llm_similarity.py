@@ -328,3 +328,74 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.proj_dim").cast("int").alias("proj_dim"),
         F.col("p.proj_val").alias("proj_val"),
     )
+
+
+_KM_SCALE = 1 << 46  # the embed_random_projection exact-int convention
+_KM_D2 = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "embed_kmeans_clusters",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id AS id, embedding AS v,
+             ((vec_id % 2147483648) * 506952113) % 2147483648 AS h
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INT) AS cid,
+             list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+      FROM pts
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, id) <= 8
+    ),
+    a1 AS (
+      SELECT id, v, cid FROM (
+        SELECT p.id, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+                 {_KM_D2.format(v='p.v', c='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT a.cid, g.i AS dim,
+             CAST(SUM(CAST(trunc(CAST(a.v[g.i] AS DOUBLE) * {_KM_SCALE})
+                           AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a1 a, LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY a.cid, g.i
+    ),
+    c1 AS (
+      SELECT cid,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {_KM_SCALE}
+                  ORDER BY dim) AS c
+      FROM u1 GROUP BY cid
+    )
+    SELECT id AS vec_id, cid AS cluster_id FROM (
+      SELECT p.id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+               {_KM_D2.format(v='p.v', c='c.c')}, c.cid) AS rn
+      FROM pts p CROSS JOIN c1 c
+    ) WHERE rn = 1
+    """,
+)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (semantic organization /
+    semantic-dedup grouping): hash-picked seeds, then Lloyd rounds with
+    ENGINE-EXACT arithmetic (operators.similarity.kmeans_refine) — the
+    assignment distances are deterministic sequential double folds and
+    the centroid updates are exact scaled-int64 sums, so DuckDB replays
+    the identical two assignment rounds and the full (vec_id, cluster_id)
+    partition hash-matches bit-for-bit. Where pyspark.ml KMeans is
+    nondeterministic and unverifiable, this form is the oracle-checkable
+    core of the same algorithm; swap in the ml version at scale if
+    bit-replay is not required."""
+    from marketdb_spark.operators.similarity import kmeans_refine
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, k=8, iters=2, dims=64).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )

@@ -245,6 +245,32 @@ class TestDedup:
         assert len(jobs) <= 9 + 5, f"{len(jobs)} jobs for a 9-round CC run"
 
 
+class TestKmeans:
+    def test_kmeans_refine_separates_groups(self, spark):
+        """Two well-separated point clouds must end up in two clusters
+        after refinement, regardless of which points the hash pick seeds
+        (one seed per cloud is arranged via the known hash order)."""
+        from marketdb_spark.operators.similarity import kmeans_refine
+
+        # hash order of ids 1..8 under (id*506952113) % 2^31
+        h = sorted(range(1, 9), key=lambda i: ((i * 506952113) % (1 << 31), i))
+        seed_a, seed_b = h[0], h[1]  # the two ids kmeans_refine will seed on
+        low = {seed_a, *[i for i in range(1, 9) if i not in (seed_a, seed_b)][:3]}
+        rows = [
+            (i, [0.0 + i * 0.01, 1.0] if i in low else [10.0 + i * 0.01, 11.0])
+            for i in range(1, 9)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(df, k=2, iters=2, dims=2).collect()
+        }
+        low_clusters = {got[i] for i in low}
+        high_clusters = {got[i] for i in range(1, 9) if i not in low}
+        assert len(low_clusters) == 1 and len(high_clusters) == 1
+        assert low_clusters != high_clusters
+
+
 class TestMultimodal:
     @pytest.fixture()
     def media(self, spark):
