@@ -192,12 +192,14 @@ def kmeans_refine(
     integer adds), and divided back in a fixed expression order, so the
     new centroids are identical doubles on any engine.
 
-    Scale shape per round: centroids broadcast (k rows); assignment is
-    one map-side pass + a per-id top-1 window; the update is a single
-    groupBy(cluster) with dims map-side-combined sums. ``iters`` is a
-    fixed small constant, so the growing lazy plan needs no lineage
-    truncation. Clusters that lose all points drop out (documented
-    Lloyd behavior; both engines agree).
+    Scale shape per round: the k centroids are collected to the driver
+    (k·dims doubles) and embedded as literals, so assignment is a PURE
+    MAP projection — zero shuffle, zero row blow-up; the update is the
+    round's single shuffle, a groupBy(cluster) with dims
+    map-side-combined sums. ``iters`` is a fixed small constant, so the
+    growing lazy plan needs no lineage truncation. Clusters that lose
+    all points drop out (documented Lloyd behavior; both engines
+    agree).
 
     Returns (id, cluster_id) for every corpus vector after ``iters``
     assignment rounds (update runs between rounds, not after the last).
@@ -217,20 +219,42 @@ def kmeans_refine(
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d2 = _fold_sum(
-            F.zip_with(
-                "vec", "c",
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            )
+        """MAP-SIDE argmin: the k centroids are collected to the driver
+        (k·dims doubles — trivially small, the same driver round-trip any
+        Lloyd loop pays) and embedded as LITERAL expressions, so the
+        assignment is a pure projection over the corpus: no broadcast-join
+        row blow-up, no per-id window shuffle. At 100 TB this is the
+        difference between one map pass and shuffling the whole corpus
+        once per round. array_min over struct(d2, cid) is the
+        deterministic (distance, cid) lexicographic argmin — identical to
+        the oracle's ORDER BY d2, cid tie-break; the collected doubles
+        round-trip exactly through Python floats into literals."""
+        rows = sorted(cents.collect(), key=lambda r: r["cid"])
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).alias("cid"),
+                    F.array(*[F.lit(float(v)) for v in r["c"]]).alias("c"),
+                )
+                for r in rows
+            ]
         )
-        w = W.partitionBy("id").orderBy("d2", "cid")
-        return (
-            pts.join(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "vec", "cid")
+        scored = F.transform(
+            carr,
+            lambda cs: F.struct(
+                _fold_sum(
+                    F.zip_with(
+                        F.col("vec"),
+                        cs.getField("c"),
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    )
+                ).alias("d2"),
+                cs.getField("cid").alias("cid"),
+            ),
         )
+        best = F.array_min(scored)
+        return pts.select("id", "vec", best.getField("cid").alias("cid"))
 
     assigned = assign(centroids)
     for _ in range(iters - 1):

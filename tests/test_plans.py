@@ -104,6 +104,16 @@ def test_ngram_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_kmeans_assignment_is_map_only(spark):
+    """kmeans_refine embeds the k centroids as literals, so the final
+    assignment is a pure projection over the corpus — ZERO shuffles in
+    the returned plan (each update round's groupBy runs eagerly inside
+    the operator; a broadcast-join + per-id window formulation would
+    shuffle the whole corpus every round at 100 TB)."""
+    df = REGISTRY["embed_kmeans_clusters"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 0
+
+
 def test_no_generate_filter_reinlining(spark):
     """The shingle/token expression must be evaluated once per row: Spark's
     InferFiltersFromGenerate + predicate pushdown would otherwise re-inline
