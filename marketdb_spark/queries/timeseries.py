@@ -445,3 +445,106 @@ def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qsk))
         .select("user_id", dist.alias("dist"))
     )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+      FROM spans
+    )
+    SELECT g.user_id, g.grid_ts, e.ts AS src_ts, e.value
+    FROM grid g ASOF JOIN ev e
+      ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the gap-fill every
+    market time-series consumer needs (sample the last-known value on an
+    hourly grid per key). Per key: hourly grid spanning [trunc(min ts),
+    max ts], then the backward as-of join (operators/asof.py) attaches
+    the latest observation at-or-before each grid point; grid points
+    before the first observation drop (inner as-of on both engines).
+    Events sharing a timestamp are pre-reduced to MAX(value) — the same
+    deterministic-tie convention as stream_asof_enrich — so the as-of
+    match is unambiguous on any engine. Shape: the grid explode is
+    map-side from per-key span aggregates; the as-of join is the
+    operator's single union+window shuffle on user_id."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+            "grid_ts"
+        ),
+    )
+    out = asof_join(
+        grid, ev, on=["user_id"], left_time="grid_ts", right_time="ts",
+        right_cols=["value"],
+    )
+    return out.filter(F.col("ts_right").isNotNull()).select(
+        "user_id",
+        "grid_ts",
+        F.col("ts_right").alias("src_ts"),
+        F.col("value_right").alias("value"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, v) -> acc * 0.75 + v * 0.25) AS ewma
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events) e
+    GROUP BY user_id
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per key (alpha = 0.25, an
+    exact binary fraction): the classic order-dependent recurrence
+    ewma_i = 0.75*ewma_{i-1} + 0.25*v_i, evaluated as a deterministic
+    left-to-right fold over the (ts, event_id)-ordered series so DuckDB's
+    list_reduce replays the identical IEEE operations — an engine-exact
+    result for an operator that naive floating aggregation cannot
+    hash-check. Head element is the fold's seed on both engines.
+
+    Shape: one groupBy(key) shuffle; the per-key series is collected to
+    an array (bounded by events-per-key — fine for per-instrument daily
+    series; at unbounded history you window the fold with a segmented
+    scan or keep it as streaming state, streaming/stateful.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "v"))).alias(
+            "series"
+        ),
+    )
+    vals = F.transform("series", lambda s: s.getField("v"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: acc * F.lit(0.75) + v * F.lit(0.25),
+    )
+    return grouped.select("user_id", "n_events", ewma.alias("ewma"))
