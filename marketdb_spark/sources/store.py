@@ -182,3 +182,50 @@ def compact_store(
         "files_after": files_after,
         "partitions_rewritten": rewritten,
     }
+
+
+def expire_store(
+    spark: SparkSession,
+    path: str,
+    before_date: str,
+    date_col: str = "date",
+) -> dict[str, int]:
+    """Retention: drop every ``date=`` partition strictly older than
+    ``before_date`` (ISO yyyy-mm-dd) from a (market, date)-partitioned
+    store. The file-store analog of the reference's table lifecycle
+    (install/drop_tables.sh — HBase drops whole tables; a partitioned
+    lake drops partition directories), and the batch form of the
+    streaming watermark: bounded state by construction.
+
+    Partition-directory deletes only — no data is read, no files are
+    rewritten; cost is the driver-side listing. Deletion is per-directory
+    atomic from a reader's perspective (a concurrent scan either sees the
+    directory or doesn't; no partial files). Returns
+    {partitions_dropped, files_dropped}.
+
+    Same Hadoop FileSystem discipline as compact_store: works on local,
+    HDFS, or s3a stores unchanged.
+    """
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{date_col}="
+    dropped = files_dropped = 0
+    for market_dir in fs.listStatus(root):
+        if not market_dir.isDirectory():
+            continue
+        for part_dir in fs.listStatus(market_dir.getPath()):
+            name = part_dir.getPath().getName()
+            if not (part_dir.isDirectory() and name.startswith(prefix)):
+                continue
+            if name[len(prefix):] < before_date:  # ISO dates sort lexically
+                n = sum(
+                    1
+                    for st in fs.listStatus(part_dir.getPath())
+                    if st.isFile()
+                )
+                if fs.delete(part_dir.getPath(), True):
+                    dropped += 1
+                    files_dropped += n
+    return {"partitions_dropped": dropped, "files_dropped": files_dropped}

@@ -211,3 +211,43 @@ def test_star_components_match_union_find(spark, edges, n_nodes):
         for r in connected_components_star(pairs_df, nodes_df).collect()
     }
     assert got == expect
+
+
+@SLOW
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_interleave_bits_matches_python_model(spark, pairs):
+    """The Spark z-value expression must equal the bit-twiddling reference
+    model for arbitrary in-range inputs — in particular it is injective
+    (distinct (x, y) -> distinct z), which is what makes z-range scans
+    decodable back to rectangles."""
+    from pyspark.sql import functions as F
+
+    from marketdb_spark.sources.zorder import interleave_bits
+
+    def model(x, y, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", interleave_bits([F.col("x"), F.col("y")], 12).alias("z")
+        ).collect()
+    }
+    expect = {(x, y): model(x, y) for x, y in pairs}
+    assert got == expect
+    assert len(set(got.values())) == len(pairs)  # injective

@@ -306,6 +306,35 @@ class TestStore:
             == read_store(spark, without).orderBy("trade_id").collect()
         )
 
+    def test_expire_store_drops_old_partitions(self, spark, trades_df, tmp_path):
+        """Retention (install/drop_tables.sh analog): date partitions
+        strictly before the cutoff disappear; newer data and other
+        markets are untouched; a second run is a no-op."""
+        from marketdb_spark.sources.store import expire_store
+
+        path = str(tmp_path / "store")
+        # span two dates: the fixture day plus a day-shifted copy
+        shifted = trades_df.withColumn(
+            "time", F.col("time") + F.expr("interval 1 day")
+        ).withColumn("trade_id", F.col("trade_id") + 1000)
+        write_partitioned(trades_df.unionByName(shifted), path)
+        dates = sorted(
+            r.date for r in read_store(spark, path).select("date").distinct().collect()
+        )
+        assert len(dates) >= 2, "fixture must span several dates"
+        cutoff = str(dates[-1])  # keep only the newest date
+        keep_rows = read_store(spark, path).filter(
+            F.col("date") >= cutoff
+        ).count()
+        stats = expire_store(spark, path, cutoff)
+        assert stats["partitions_dropped"] >= 1
+        assert stats["files_dropped"] >= stats["partitions_dropped"]
+        back = read_store(spark, path)
+        assert back.count() == keep_rows
+        assert sorted(str(r.date) for r in back.select("date").distinct().collect()) == [cutoff]
+        # idempotent
+        assert expire_store(spark, path, cutoff)["partitions_dropped"] == 0
+
     def test_batch_json_source_roundtrip(self, spark, trades_df, tmp_path):
         """Batch JSON scan with explicit schema (SURVEY §2B sources [S]) —
         schema'd read, no inference pass, timestamps preserved."""
