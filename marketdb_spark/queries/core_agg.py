@@ -369,3 +369,37 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1024) AS BIGINT) AS buckets_set,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct sketch with a DETERMINISTIC, oracle-
+    checkable core: hash every key into one of 1024 bitmap buckets
+    (md5-derived, bit-identical on both engines) and count the buckets
+    hit — the integer the linear-counting estimator
+    n̂ = -m·ln(empty/m) is computed from. The exact distinct count rides
+    along to expose the sketch's accuracy. This is the verifiable sibling
+    of agg_approx_distinct (HLL, rows-only by necessity): the sketch
+    state itself is checked exactly, the estimate formula is left to the
+    caller. Shape: map-side bucket hash; the groupBy's distinct runs as
+    a two-phase partial aggregate — sketch memory is O(m) per group at
+    any corpus size."""
+    from marketdb_spark.functions.text import token_hash64
+
+    orders = load(spark, sf_dir, "orders")
+    bucket = token_hash64(F.col("o_custkey").cast("string")) % 1024
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct(bucket).alias("buckets_set"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )

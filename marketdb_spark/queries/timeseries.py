@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from marketdb_spark.api import merge_series, scan_series
 from marketdb_spark.catalog import load
+from marketdb_spark.functions.exact import dsum, oracle_dsum
 from marketdb_spark.operators.asof import asof_join
 from marketdb_spark.operators.ohlc import ohlc_bars
 from marketdb_spark.queries.registry import query
@@ -548,3 +549,56 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc * F.lit(0.75) + v * F.lit(0.25),
     )
     return grouped.select("user_id", "n_events", ewma.alias("ewma"))
+
+
+@query(
+    "ts_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             {oracle_dsum('value')} AS s1,
+             {oracle_dsum('value * value', 4)} AS s2
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, n,
+             (s1 / n) AS mean_v,
+             ((s2 - s1 * s1 / n) / (n - 1)) AS var_v
+      FROM s WHERE n >= 2
+    )
+    SELECT e.user_id, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+           (e.value - st.mean_v) / sqrt(st.var_v) AS zscore
+    FROM events e JOIN st ON e.user_id = st.user_id
+    WHERE st.var_v > 0
+      AND abs((e.value - st.mean_v) / sqrt(st.var_v)) > 2.5
+    """,
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key anomaly detection: flag events whose value deviates more
+    than 2.5 sample standard deviations from the key's mean. Moments come
+    from decimal-exact sums (the stats_moments convention — order-
+    independent, so both engines derive bit-identical mean/variance
+    doubles); the z-score itself is a fixed chain of IEEE ops (sub, div,
+    correctly-rounded sqrt), hence engine-exact. var_v > 0 guards the
+    constant-series cancellation case before any sqrt. Shape: one
+    groupBy(key) for moments (map-side partial sums), stats broadcast
+    back — the detection pass itself is map-only over the events scan."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value"), scale=4).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    st = s.filter(n >= 2).select(
+        "user_id",
+        "n",
+        (s1 / n).alias("mean_v"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(F.col("var_v"))
+    return (
+        ev.join(F.broadcast(st), "user_id")
+        .filter((F.col("var_v") > 0) & (F.abs(z) > 2.5))
+        .select("user_id", "event_id", "ts", "value", z.alias("zscore"))
+    )
