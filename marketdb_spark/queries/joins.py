@@ -469,3 +469,43 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, sup.withColumnRenamed("s_suppkey", "l_suppkey"),
                          on="l_suppkey", n_salts=8)
     return joined.select("l_orderkey", "l_linenumber", "s_name", "l_quantity")
+
+
+@query(
+    "join_range_cells",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipped
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — per big order, count ALL
+    lineitems (any order) shipped in the 7 days from its order date.
+    Catalyst's native plan for an unkeyed range predicate is a nested
+    loop; operators.rangejoin.cell_range_join manufactures a day-cell
+    equi key instead (intervals explode into the cells they span, points
+    key by their own cell), so the plan is a hash join on cells + exact
+    range filter — NO CartesianProduct / BroadcastNestedLoopJoin (gated
+    in tests/test_plans.py). Contrast join_nonequi_balance_pairs, which
+    keeps the BNLJ fallback as the documented small-side-only shape."""
+    from marketdb_spark.operators.rangejoin import cell_range_join
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("interval 7 days")).alias("o_end"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = cell_range_join(
+        orders, li, "o_orderdate", "o_end", "l_shipdate", cell="1 day"
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))

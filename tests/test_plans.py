@@ -104,6 +104,17 @@ def test_ngram_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_cells_join_no_cartesian(spark):
+    """join_range_cells (unkeyed interval x point) must plan as a hash
+    join on the manufactured day-cell key — the naive plan for a pure
+    range predicate is BroadcastNestedLoopJoin, which cannot ship."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["join_range_cells"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kmeans_assignment_is_map_only(spark):
     """kmeans_refine embeds the k centroids as literals, so the final
     assignment is a pure projection over the corpus — ZERO shuffles in
