@@ -53,10 +53,14 @@ _DRIVER_CHECKED_R01_R02 = frozenset({
 })
 
 # Round-3 window (CORRECTNESS_r03.json): all 50 green. With these rotated to
-# the back, exactly the 21 never-checked queries (scalar family, except/
-# dropdup set ops, UDTF/UDAF, win_range_frame, sort_global_topk,
-# join_salted_hotkey, text_bigram_counts, embed_random_projection, ...) sort
-# inside the driver's 50-entry check window this round.
+# the back, the never-checked block — the 21 queries left from rounds 1-3
+# (scalar family, except/dropdup set ops, UDTF/UDAF, win_range_frame,
+# sort_global_topk, join_salted_hotkey, text_bigram_counts,
+# embed_random_projection) plus the 8 added in round 4
+# (stream_restart_recovery, store_zorder_scan, embed_kmeans_clusters,
+# ts_resample_ffill, ts_ewma, ts_zscore_outliers, agg_bitmap_distinct,
+# join_range_cells) — sorts inside the driver's 50-entry check window this
+# round (29 < 50).
 _DRIVER_CHECKED_R03 = frozenset({
     "sim_cosine_topk", "sim_norm_stats", "sim_bucket_topk", "sim_ivf_topk",
     "sim_lsh_buckets", "mm_decode_features", "mm_meta_stats", "mm_audio_meta",
