@@ -602,3 +602,75 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("var_v") > 0) & (F.abs(z) > 2.5))
         .select("user_id", "event_id", "ts", "value", z.alias("zscore"))
     )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, COUNT(*) AS n,
+             {oracle_dsum('value')} AS s1,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+            FROM events) e
+      GROUP BY user_id
+    ),
+    m AS (SELECT user_id, n, vals, (s1 / n) AS mean_v FROM g WHERE n >= 2),
+    t AS (
+      SELECT user_id, n,
+             list_reduce(list_transform(range(1, len(vals)),
+               i -> (vals[i] - mean_v) * (vals[i + 1] - mean_v)),
+               (acc, x) -> acc + x) AS num,
+             list_reduce(list_transform(vals,
+               v -> (v - mean_v) * (v - mean_v)),
+               (acc, x) -> acc + x) AS den
+      FROM m
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, (num / den) AS autocorr1
+    FROM t WHERE den > 0
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per key — the mean-reversion/momentum
+    diagnostic: sum of centered consecutive-pair products over the
+    centered sum of squares, both evaluated as deterministic left-to-right
+    folds over the (ts, event_id)-ordered series (the ts_ewma discipline),
+    with the mean from a decimal-exact sum — so every double on both
+    engines is identical and the ratio hash-checks bit-for-bit. den > 0
+    guards constant series. Same shape/scale notes as ts_ewma: one
+    groupBy(key), per-key series arrays."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum("v").alias("s1"),
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "v"))).alias(
+            "series"
+        ),
+    )
+    g = g.filter(F.col("n") >= 2)
+    vals = F.transform("series", lambda s: s.getField("v"))
+    mean_v = F.col("s1") / F.col("n")
+    head = F.slice(vals, 1, F.size(vals) - 1)
+    tail = F.slice(vals, 2, F.size(vals) - 1)
+    num = F.aggregate(
+        F.zip_with(head, tail, lambda a, b: (a - mean_v) * (b - mean_v)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(vals, lambda v: (v - mean_v) * (v - mean_v)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        g.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select("user_id", "n_events", (F.col("num") / F.col("den")).alias("autocorr1"))
+    )
