@@ -80,7 +80,33 @@ _DRIVER_CHECKED_R03 = frozenset({
     "ts_similarity_paa", "udf_pandas_lcg_buckets",
 })
 
-_DRIVER_CHECKED = _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03
+# Round-4 window (CORRECTNESS_r04.json): all 50 checked — 49 green plus
+# agg_approx_distinct's by-design rows-only row. This was the last batch of
+# never-checked names; every registered query now has at least one driver
+# row, so new round-5 queries sort alone at the front of the window.
+_DRIVER_CHECKED_R04 = frozenset({
+    "agg_approx_distinct", "agg_bitmap_distinct", "agg_collect_ordered",
+    "agg_cube_flags", "agg_distinct_counts", "agg_grouping_sets",
+    "agg_minmax_by", "agg_quantiles", "agg_rollup_priority",
+    "agg_salted_two_phase", "embed_kmeans_clusters", "embed_random_projection",
+    "join_anti_inactive_customers", "join_dim_enrich",
+    "join_outer_nation_customers", "join_range_cells", "join_salted_hotkey",
+    "join_semi_active_customers", "json_props_extract", "pivot_status_by_flag",
+    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue", "q10_returned_items",
+    "sample_stratified_det", "scalar_array_map_funcs", "scalar_bitwise_funcs",
+    "scalar_datetime_funcs", "scalar_hash_funcs", "scalar_math_conditional",
+    "scalar_string_funcs", "set_dropdup_events", "set_except_all_keys",
+    "set_except_keys", "set_intersect_all_keys", "sort_global_topk",
+    "stats_moments", "store_zorder_scan", "stream_restart_recovery",
+    "text_bigram_counts", "ts_autocorr_lag1", "ts_ewma", "ts_resample_ffill",
+    "ts_zscore_outliers", "udaf_weighted_avg_price", "udtf_text_parts",
+    "unpivot_lineitem_metrics", "win_range_frame",
+})
+
+_DRIVER_CHECKED = (
+    _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
+)
 
 
 # Within the never-checked block, the judge-graded first-class families
