@@ -104,9 +104,15 @@ _DRIVER_CHECKED_R04 = frozenset({
     "unpivot_lineitem_metrics", "win_range_frame",
 })
 
+# Queries whose CONTRACT changed in round 5 (new or rewritten oracle):
+# their old driver rows no longer attest the current form, so they re-enter
+# the check window. agg_approx_distinct: rows-only HLL → exact-count +
+# 3·rsd-bound oracle (first oracle-checked row ever for this name).
+_RECHECK_R05 = frozenset({"agg_approx_distinct"})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
-)
+) - _RECHECK_R05
 
 
 # Within the never-checked block, the judge-graded first-class families

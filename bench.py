@@ -61,7 +61,16 @@ def main() -> None:
         caches, CC label tables, detached streaming results). Queries are
         independent, so between timings this is pure hygiene — without it
         the session accumulates dead blocks across 120+ queries and GC
-        pressure bleeds into later measurements."""
+        pressure bleeds into later measurements.
+
+        INVARIANT: each query's result DataFrame is evaluated EXACTLY ONCE
+        (the .count() above) before this sweep runs. The sweep drops
+        localCheckpoint blocks whose lineage is truncated — and some
+        queries (store_zorder_scan, stream_restart_recovery) have already
+        deleted their temp inputs — so re-evaluating a released result
+        (e.g. re-collecting rows for output) would fail with missing
+        checkpoint blocks. If the bench ever needs the rows, capture them
+        before _release_persisted()."""
         try:
             jsc = spark.sparkContext._jsc.sc()
             it = jsc.getPersistentRDDs().values().iterator()

@@ -154,26 +154,32 @@ def hashed_shingled(
     text_col: str,
     n: int,
     materialize: bool = True,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Project (id, hs) with hs = the DISTINCT 60-bit hashes
     (functions.text.token_hash64 — md5-derived, DuckDB-reproducible) of
-    the document's word n-gram shingles, computed ONCE and pinned with
-    localCheckpoint.
+    the document's word n-gram shingles, computed ONCE and shared.
 
     This is the shared input of the whole LSH→verify pipeline: the
-    signature branch and both verify-join branches read the same cached
-    long arrays instead of re-running tokenize→shingle→md5 per branch
-    (3 md5 passes → 1, measured ~2× on the full pipeline), and the
-    verify-side set intersection runs over int64s instead of shingle
+    signature branch and both verify-join branches read the same
+    materialized long arrays instead of re-running tokenize→shingle→md5
+    per branch (3 md5 passes → 1, measured ~2× on the full pipeline), and
+    the verify-side set intersection runs over int64s instead of shingle
     strings — far cheaper per pair and ~10× fewer shuffle bytes. Set
     semantics are preserved up to 60-bit hash collisions (~2e-7 for a
     million-shingle corpus), and the oracle hashes identically, so the
     equality gate is unaffected.
 
-    The checkpoint blocks stay pinned for the session (callers hold a
-    lazy result). At 100 TB this projection is exactly what you would
-    materialize once as a shingle-hash TABLE and share across the dedup
-    suite; pass materialize=False to keep the projection lazy/recomputed.
+    Three sharing modes:
+    - ``table_path`` set → write the projection once as a PARQUET
+      shingle-hash table and read it back: the 100 TB shape — executor
+      storage holds NOTHING after the query; branches re-read columnar
+      files (cheap, pruned) instead of storage-pinned blocks that would
+      pin corpus-sized hash arrays for the session.
+    - ``materialize=True`` (default, no table_path) → localCheckpoint:
+      fastest when the corpus fits executor storage; blocks stay pinned
+      until the caller/session releases them.
+    - ``materialize=False`` → lazy; every branch recomputes the hashes.
     """
     sh = shingled(df, id_col, text_col, n, require_nonempty=True)
     hs = sh.select(
@@ -182,6 +188,9 @@ def hashed_shingled(
             F.transform("sh", lambda s: token_hash64(s))
         ).alias("hs"),
     )
+    if table_path is not None:
+        hs.write.mode("overwrite").parquet(table_path)
+        return df.sparkSession.read.parquet(table_path)
     return hs.localCheckpoint() if materialize else hs
 
 
@@ -235,18 +244,22 @@ def candidate_jaccard(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.05,
+    shingle_table_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification restricted to a provided
     candidate-pair frame (id_a, id_b) — the jaccard_pairs kernel without
     its all-pairs join, over hashed shingle sets (see hashed_shingled).
     This is the only shape in which n-gram Jaccard should ever be
-    *registered* as a query.
+    *registered* as a query. ``shingle_table_path`` selects the
+    parquet-table sharing mode (no storage-pinned blocks).
 
     Docs shorter than n tokens have no n-gram shingles; the inner joins
     drop their pairs, which is identical to scoring them (empty ∩ anything
     = 0) and filtering at any threshold > 0."""
     return _jaccard_on_candidates(
-        hashed_shingled(df, id_col, text_col, n), cand, threshold
+        hashed_shingled(df, id_col, text_col, n, table_path=shingle_table_path),
+        cand,
+        threshold,
     )
 
 
@@ -364,22 +377,27 @@ def verified_near_dups(
     bands: int = 8,
     shingle_n: int = 2,
     threshold: float = 0.2,
+    shingle_table_path: str | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: MinHash+LSH candidate generation, then
     exact n-gram Jaccard verification of ONLY the candidates — the shape
     that scales: the O(n²) verify runs on the candidate set, not the corpus.
 
     The shared hashed-shingle projection (hashed_shingled) feeds all three
-    plan branches (signatures, verify left, verify right) from one cached
-    computation, and the verify intersects int64 hash sets instead of
-    shingle strings — measured ~2× on the full pipeline vs the recompute-
-    per-branch string form (the r03→r02 bench regression recovered).
+    plan branches (signatures, verify left, verify right) from one
+    materialized computation, and the verify intersects int64 hash sets
+    instead of shingle strings — measured ~2× on the full pipeline vs the
+    recompute-per-branch string form (the r03→r02 bench regression
+    recovered). ``shingle_table_path`` selects the parquet-table sharing
+    mode — the 100 TB shape with no session-lifetime storage pins.
 
     Returns (id_a, id_b, jaccard) for verified pairs (Jaccard over hashed
     shingle sets; exact up to 60-bit hash collisions)."""
     # non-empty required by the map-side signature; candidates (and hence
     # the verify join) can only involve docs that have shingles anyway
-    shh = hashed_shingled(df, id_col, text_col, shingle_n)
+    shh = hashed_shingled(
+        df, id_col, text_col, shingle_n, table_path=shingle_table_path
+    )
     cand = _lsh_pairs_from_sigs(_signatures_from_hashed(shh, k), k, bands)
     return _jaccard_on_candidates(shh, cand, threshold)
 

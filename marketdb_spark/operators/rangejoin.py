@@ -21,8 +21,16 @@ DATA intervals expand so two unkeyed sets can meet on a hash join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
 
 
 def cell_range_join(
@@ -38,18 +46,37 @@ def cell_range_join(
     start <= point < end (or <= end when ``end_inclusive``), via
     cell-bucketed hash join — no cartesian/BNLJ anywhere in the plan.
 
-    ``cell`` must be a day-multiple or sub-day interval understood by
-    date_trunc/sequence ('1 day', '1 hour', ...). Columns from both
-    inputs are carried through; callers project/aggregate after."""
-    unit = cell.split()[-1].rstrip("s")  # '1 day' -> 'day' for date_trunc
-    step = F.expr(f"interval {cell}")
+    ``cell`` is ``"<n> <unit>"`` with a FIXED-WIDTH unit
+    (second/minute/hour/day/week — month/year vary in length and are
+    rejected). Both sides bucket onto the same epoch-anchored grid
+    (cell id = epoch_micros − epoch_micros mod width), so multi-unit
+    cells like '2 days' or '6 hours' share one phase: an interval's
+    exploded cells and a point's single cell can never sit on offset
+    grids. All arithmetic is exact int64 (unix_micros + pmod) — no
+    double division whose rounding could flip a boundary bucket.
+    Columns from both inputs are carried through; callers
+    project/aggregate after."""
+    n_str, _, unit_str = cell.strip().partition(" ")
+    unit = unit_str.strip().rstrip("s")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"cell_range_join cell unit must be fixed-width "
+            f"{sorted(_UNIT_SECONDS)}, got {cell!r}"
+        )
+    width_us = int(n_str) * _UNIT_SECONDS[unit] * 1_000_000
+
+    def cell_of(col: str) -> Column:
+        # cast: unix_micros rejects TIMESTAMP_NTZ/DATE; the session-tz
+        # shift this applies to NTZ values is identical on both sides,
+        # so grid alignment (the thing that matters) is unaffected
+        us = F.unix_micros(F.col(col).cast("timestamp"))
+        return us - F.pmod(us, F.lit(width_us))
+
     cells = F.sequence(
-        F.date_trunc(unit, F.col(start_col)),
-        F.date_trunc(unit, F.col(end_col)),
-        step,
+        cell_of(start_col), cell_of(end_col), F.lit(width_us)
     )
     iv = intervals.withColumn("__cell", F.explode(cells))
-    pt = points.withColumn("__cell", F.date_trunc(unit, F.col(point_col)))
+    pt = points.withColumn("__cell", cell_of(point_col))
     upper = (
         F.col(point_col) <= F.col(end_col)
         if end_inclusive

@@ -192,10 +192,20 @@ def kmeans_refine(
     integer adds), and divided back in a fixed expression order, so the
     new centroids are identical doubles on any engine.
 
-    Scale shape per round: the k centroids are collected to the driver
-    (k·dims doubles) and embedded as literals, so assignment is a PURE
-    MAP projection — zero shuffle, zero row blow-up; the update is the
-    round's single shuffle, a groupBy(cluster) with dims
+    Scale shape per round: the k centroids live in a ONE-ROW packed frame
+    (collect_list into array<struct<cid, c>>) attached to the corpus as a
+    SCALAR SUBQUERY, so assignment is a pure map projection — no join node
+    at all, zero shuffle of the corpus, and ZERO driver collects anywhere
+    in the loop: the whole refinement is one lazy plan whose subqueries
+    execute inside the final action (a scalar subquery runs once and its
+    result is injected into the projection — the same mechanics as a
+    driver collect + literal, minus the Python round-trip). Because the
+    centroid values arrive as subquery DATA rather than literals, the
+    assignment expression is structurally identical every round —
+    whole-stage codegen compiles it once instead of once per round (with
+    k·dims literals it recompiled each round; that, plus the per-round
+    collect round-trips, dominated the wall clock at small scale). The
+    update is each round's single shuffle, a groupBy(cluster) with dims
     map-side-combined sums. ``iters`` is a fixed small constant, so the
     growing lazy plan needs no lineage truncation. Clusters that lose
     all points drop out (documented Lloyd behavior; both engines
@@ -218,29 +228,39 @@ def kmeans_refine(
         F.transform("vec", lambda x: x.cast("double")).alias("c"),
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        """MAP-SIDE argmin: the k centroids are collected to the driver
-        (k·dims doubles — trivially small, the same driver round-trip any
-        Lloyd loop pays) and embedded as LITERAL expressions, so the
-        assignment is a pure projection over the corpus: no broadcast-join
-        row blow-up, no per-id window shuffle. At 100 TB this is the
-        difference between one map pass and shuffling the whole corpus
-        once per round. array_min over struct(d2, cid) is the
-        deterministic (distance, cid) lexicographic argmin — identical to
-        the oracle's ORDER BY d2, cid tie-break; the collected doubles
-        round-trip exactly through Python floats into literals."""
-        rows = sorted(cents.collect(), key=lambda r: r["cid"])
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["cid"])).alias("cid"),
-                    F.array(*[F.lit(float(v)) for v in r["c"]]).alias("c"),
-                )
-                for r in rows
-            ]
+    import uuid
+
+    def pack(cents: DataFrame) -> DataFrame:
+        """k rows → one row holding the sorted array<struct<cid, c>>
+        (sort_array orders by cid, replacing the old driver-side sort)."""
+        return cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c")))
+            ).alias("__cents")
         )
+
+    def assign(cents_row: DataFrame) -> DataFrame:
+        """MAP-SIDE argmin: the one-row centroid pack rides in as a scalar
+        subquery (no join node — a constant-key join would constant-fold
+        into a BroadcastNestedLoopJoin and trip the repo's no-BNLJ plan
+        gate), then array_min over struct(d2, cid) — the deterministic
+        (distance, cid) lexicographic argmin, identical to the oracle's
+        ORDER BY d2, cid tie-break. At 100 TB this is one map pass over
+        the corpus per round; the only thing that moves is k·dims doubles
+        in one subquery result. The temp view exists only while the plan
+        analyzes (analysis inlines the view's plan); it is dropped before
+        returning."""
+        spark = cents_row.sparkSession
+        vname = f"__kmeans_cents_{uuid.uuid4().hex}"
+        cents_row.createOrReplaceTempView(vname)
+        try:
+            joined = pts.withColumn(
+                "__cents", F.expr(f"(SELECT __cents FROM {vname})")
+            )
+        finally:
+            spark.catalog.dropTempView(vname)
         scored = F.transform(
-            carr,
+            F.col("__cents"),
             lambda cs: F.struct(
                 _fold_sum(
                     F.zip_with(
@@ -254,14 +274,21 @@ def kmeans_refine(
             ),
         )
         best = F.array_min(scored)
-        return pts.select("id", "vec", best.getField("cid").alias("cid"))
+        return joined.select("id", "vec", best.getField("cid").alias("cid"))
 
-    assigned = assign(centroids)
+    assigned = assign(pack(centroids))
     for _ in range(iters - 1):
+        # each element truncates to int64 (the exact-int convention), but
+        # the SUM must not: Spark's non-ANSI SUM(bigint) wraps silently
+        # past 2^63 — a cluster of ~1e5 unit-scale vectors at 2^46 scale —
+        # while DuckDB promotes to int128. decimal(38,0) accumulation
+        # keeps both engines exact (and a >38-digit sum fails loudly
+        # instead of wrapping).
         sums = [
             F.sum(
                 (F.element_at("vec", d + 1).cast("double") * F.lit(scale))
                 .cast("bigint")
+                .cast("decimal(38,0)")
             ).alias(f"s{d}")
             for d in range(dims)
         ]
@@ -277,5 +304,5 @@ def kmeans_refine(
                 ]
             ).alias("c"),
         )
-        assigned = assign(new_cents)
+        assigned = assign(pack(new_cents))
     return assigned.select("id", F.col("cid").alias("cluster_id"))

@@ -224,16 +224,52 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_within_bound,
+           TRUE AS supps_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — sketch results are
-    algorithm-specific, so there is deliberately no SQL oracle (the driver
-    records a rows-only check); exact counts are covered by
-    agg_distinct_counts."""
+    """approx_count_distinct (HyperLogLog++) with an oracle-checkable
+    contract: the raw HLL estimate is algorithm-specific (no SQL engine
+    reproduces it bit-for-bit), so the query emits the exact distinct
+    counts plus a boolean asserting the sketch landed within 3·rsd of
+    exact — the accuracy HLL++ guarantees at ~3 standard errors. The
+    oracle computes the exact counts and asserts the bound holds (TRUE),
+    so a broken sketch (or a regressed rsd) fails the hash compare.
+    Shape: both the HLL sketch and the exact distinct run as two-phase
+    partial aggregates; HLL state is O(2^p) per group regardless of
+    corpus size — the 100 TB path drops the exact column and keeps only
+    the sketch."""
+    rsd = 0.05
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    bound = F.lit(3 * rsd)
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= bound * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_supps", "exact_supps").alias("supps_within_bound"),
     )
 
 

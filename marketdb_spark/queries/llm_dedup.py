@@ -134,10 +134,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, NO all-pairs join anywhere in the plan (gated by
     tests/test_plans.py: no CartesianProduct / BroadcastNestedLoopJoin).
     Distinct from dedup_verified_pairs by verify-shingle width (3 vs 2)
-    and threshold (0.05 vs 0.2); int/int division only: engine-exact."""
+    and threshold (0.05 vs 0.2); int/int division only: engine-exact.
+    The shared shingle-hash projection runs in parquet-TABLE mode (the
+    100 TB shape — no session-lifetime storage-pinned blocks)."""
+    import tempfile
+
     docs = load(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
-    return candidate_jaccard(docs, cand, n=3, threshold=0.05)
+    return candidate_jaccard(
+        docs, cand, n=3, threshold=0.05,
+        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_ngram_"),
+    )
 
 
 @query(
@@ -160,8 +167,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: LSH candidates → exact Jaccard verify
-    (≥0.2) on candidates only — the scalable two-phase shape."""
-    return verified_near_dups(load(spark, sf_dir, "documents"), threshold=0.2)
+    (≥0.2) on candidates only — the scalable two-phase shape. Shingle
+    hashes share via a parquet table (no storage-pinned blocks)."""
+    import tempfile
+
+    return verified_near_dups(
+        load(spark, sf_dir, "documents"),
+        threshold=0.2,
+        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_pairs_"),
+    )
 
 
 @query(
@@ -191,6 +205,54 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
     cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
     return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_cluster_chain",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 100 <> 99
+      UNION ALL
+      SELECT b.doc_id, a.doc_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 100 <> 99
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-diameter connected components via alternating
+    large-star/small-star rounds (operators.dedup.connected_components_star,
+    Kiveris et al.) on a CHAIN-shaped graph: doc i links to doc i+1 except
+    at every 100th id, so each component is a path of diameter ~100.
+    Min-label propagation would need ~100 shuffle rounds here (one hop per
+    round — it would exhaust its budget and raise); the star formulation
+    converges in O(log diameter) ≈ 7. Mirrors the reference's
+    adversarial-input testing style
+    (marketdb-core MultipleTimeSeriesEnumeratorTest.scala:49-88); the
+    oracle computes the same fixpoint with a recursive CTE."""
+    from marketdb_spark.operators.dedup import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    chain = a.join(
+        b, b["id_b"] == a["id_a"] + F.lit(1), "inner"
+    ).filter(F.col("id_a") % 100 != 99)
+    cc = connected_components_star(
+        chain, docs.select(F.col("doc_id").alias("id"))
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
 
 
 _SIMHASH_ORACLE = f"""

@@ -362,8 +362,8 @@ _KM_D2 = (
     ),
     u1 AS (
       SELECT a.cid, g.i AS dim,
-             CAST(SUM(CAST(trunc(CAST(a.v[g.i] AS DOUBLE) * {_KM_SCALE})
-                           AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(trunc(CAST(a.v[g.i] AS DOUBLE) * {_KM_SCALE})
+                      AS BIGINT)) AS s,
              COUNT(*) AS n
       FROM a1 a, LATERAL UNNEST(generate_series(1, 64)) AS g(i)
       GROUP BY a.cid, g.i

@@ -519,3 +519,38 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS mktsegment, c.c_nationkey AS nationkey
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join, end to end through the streaming
+    engine: every micro-batch of the event stream joins MAP-SIDE against
+    the broadcast customer dim — the in-flight dictionary-enrichment
+    pattern of the reference's ingest (uids resolved per event,
+    marketdb-app/.../MarketDB.scala:144-150). Append mode: a stream-static
+    inner join is stateless (each event matches the static side once, no
+    cross-batch state), so the drained sink equals the batch join and the
+    standard hash gate applies. At 100 TB the dim broadcasts once per
+    query, not per micro-batch, and the stream side never shuffles."""
+    from marketdb_spark.catalog import load
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .drop("c_custkey")
+    )
+    return _run_to_memory_append(enriched, "stream_static", spark)

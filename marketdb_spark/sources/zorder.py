@@ -80,9 +80,16 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
     ).first()
+
+    def _range(c: str) -> tuple[float, float]:
+        # empty input / all-NULL cluster column → min/max are None;
+        # (0.0, 0.0) takes bucketize's constant-column single-cell path
+        # instead of raising TypeError on a None comparison
+        lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
+        return (0.0, 0.0) if lo is None or hi is None else (lo, hi)
+
     z = interleave_bits(
-        [bucketize(c, ranges[f"lo_{c}"], ranges[f"hi_{c}"], bits) for c in cols],
-        bits,
+        [bucketize(c, *_range(c), bits) for c in cols], bits
     )
     (
         df.withColumn("__z", z)

@@ -64,6 +64,14 @@ ORDERS_EVENT_SCHEMA = T.StructType(
 )
 
 
+def _schema_key(kind: str) -> tuple[T.StructType, list[str]]:
+    return (
+        (TRADES_EVENT_SCHEMA, TRADE_KEY)
+        if kind == "trades"
+        else (ORDERS_EVENT_SCHEMA, ORDER_KEY)
+    )
+
+
 def read_trade_stream(
     spark: SparkSession,
     path: str,
@@ -76,11 +84,7 @@ def read_trade_stream(
     maxFilesPerTrigger is the batching knob (≙ the reference's
     buffered(1000) read handle, MarketLoader.scala:49). Watermark bounds
     late data AND the dedup state."""
-    schema, key = (
-        (TRADES_EVENT_SCHEMA, TRADE_KEY)
-        if kind == "trades"
-        else (ORDERS_EVENT_SCHEMA, ORDER_KEY)
-    )
+    schema, key = _schema_key(kind)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -90,6 +94,59 @@ def read_trade_stream(
     if dedup_within_watermark:
         stream = stream.dropDuplicatesWithinWatermark(key)
     return stream
+
+
+def parse_event_lines(
+    lines: DataFrame,
+    kind: str = "trades",
+    watermark: str = "10 minutes",
+    dedup_within_watermark: bool = True,
+) -> DataFrame:
+    """Decode a line-oriented transport into typed events — the shared
+    wire-format step for every queue-shaped source that delivers one JSON
+    document per `value: string` row: the socket source below, a Kafka
+    `CAST(value AS STRING)` column, or a text-file spool. Undecodable
+    lines become all-NULL rows (from_json semantics — same as the file
+    .json() reader's permissive mode) which the downstream validate_split
+    quarantines as 'missing market'. Watermark + keyed dedup mirror
+    read_trade_stream so every transport feeds the identical V1
+    pipeline."""
+    schema, key = _schema_key(kind)
+    parsed = (
+        lines.select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+        .withWatermark("time", watermark)
+    )
+    if dedup_within_watermark:
+        parsed = parsed.dropDuplicatesWithinWatermark(key)
+    return parsed
+
+
+def read_trade_stream_socket(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    kind: str = "trades",
+    watermark: str = "10 minutes",
+    dedup_within_watermark: bool = True,
+) -> DataFrame:
+    """TCP-socket stream of ndjson trade/order events — the closest Spark
+    analog of the reference's Kestrel consumer (a TCP queue protocol;
+    MarketLoader.scala:33-55): connect to a queue host, read framed
+    messages, decode, ack. Acks map to checkpointed offsets; the decode/
+    validate/dedup path is parse_event_lines, identical to the file and
+    Kafka shapes. NOTE Spark's socket source is at-most-once on its own
+    (no replay from the server); the reference's reliable-read semantics
+    need a replayable transport (file spool or Kafka) — this source
+    exists to prove the wire-format path end-to-end over a live TCP
+    queue."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_event_lines(lines, kind, watermark, dedup_within_watermark)
 
 
 def validate_split(df: DataFrame, kind: str = "trades") -> DataFrame:
@@ -174,6 +231,31 @@ def start_ingest(
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_socket_ingest(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    store_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    kind: str = "trades",
+    **stream_opts,
+) -> StreamingQuery:
+    """Socket-transport ingest wired to the same validate → dual-write
+    sink as the file path (MarketLoader.scala:76-121 over a live TCP
+    queue). The socket source cannot use availableNow (no bounded offset
+    range), so the query runs on the default continuous micro-batch
+    trigger; callers stop it when the queue drains."""
+    stream = read_trade_stream_socket(spark, host, port, kind=kind, **stream_opts)
+    return (
+        stream.writeStream.foreachBatch(
+            _dual_write_sink(spark, kind, store_path, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
         .start()
     )
 

@@ -123,6 +123,36 @@ def test_top_k_per_group(spark):
 
 
 class TestDedup:
+    def test_shingle_table_mode_unpinned_and_identical(self, spark, tmp_path):
+        """hashed_shingled's parquet-table mode (the 100 TB sharing shape)
+        must produce the same verified pairs as localCheckpoint mode and
+        leave ZERO new storage-pinned RDD blocks after full evaluation."""
+        from marketdb_spark.operators.dedup import verified_near_dups
+
+        docs = spark.createDataFrame(
+            [
+                (i, "the quick brown fox jumps over the lazy dog " * 3
+                 + ("extra tail words here" if i % 2 else ""))
+                for i in range(8)
+            ],
+            "doc_id long, text string",
+        )
+        ckpt = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in verified_near_dups(docs, threshold=0.2).collect()
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        table = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in verified_near_dups(
+                docs, threshold=0.2,
+                shingle_table_path=str(tmp_path / "shh"),
+            ).collect()
+        )
+        assert table == ckpt and len(ckpt) > 0
+        assert jsc.getPersistentRDDs().size() <= before
+
     def test_exact_dedup_normalizes(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World"), (2, "hello world"), (3, "different")],
@@ -269,6 +299,27 @@ class TestKmeans:
         high_clusters = {got[i] for i in range(1, 9) if i not in low}
         assert len(low_clusters) == 1 and len(high_clusters) == 1
         assert low_clusters != high_clusters
+
+    def test_centroid_update_no_int64_wrap(self, spark):
+        """The centroid update accumulates 2^46-scaled int64 elements; a
+        cluster whose scaled sum exceeds 2^63 (here 200 points of value
+        2000: 200·2000·2^46 ≈ 2.8e19) must NOT wrap — a bigint SUM would
+        return a garbage negative centroid and a wrong second-round
+        assignment, silently."""
+        from marketdb_spark.operators.similarity import kmeans_refine
+
+        far_ids = list(range(1, 201))
+        rows = [(i, [2000.0, 2000.0]) for i in far_ids] + [(0, [0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(df, k=2, iters=2, dims=2).collect()
+        }
+        # after one exact update the two centroids are ~(2000,2000) and
+        # (0,0); a wrapped sum would collapse or flip the far cluster
+        far_clusters = {got[i] for i in far_ids}
+        assert len(far_clusters) == 1
+        assert got[0] not in far_clusters
 
 
 class TestMultimodal:
@@ -446,6 +497,59 @@ def test_star_components_deep_chain(spark):
     got = {r.id: r.label for r in connected_components_star(pairs, nodes).collect()}
     assert all(got[i] == 0 for i in range(60))
     assert got[60] == 60  # isolated node stays a singleton
+
+
+class TestCellRangeJoin:
+    """Regression for multi-unit cells: interval cells and point cells must
+    share one epoch-anchored grid — a point one unit past an interval's
+    start used to miss when cell='2 days'/'6 hours' stepped from each
+    interval's own truncated start."""
+
+    def _brute(self, iv, pt):
+        return (
+            iv.crossJoin(pt)
+            .filter(
+                (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+            )
+            .select("iid", "pid")
+        )
+
+    @pytest.mark.parametrize("cell", ["2 days", "6 hours", "1 day", "90 minutes"])
+    def test_matches_brute_force(self, spark, cell):
+        from marketdb_spark.operators.rangejoin import cell_range_join
+
+        iv = spark.createDataFrame(
+            [
+                (1, _ts(0), _ts(3 * 86400)),
+                (2, _ts(86400 + 3600), _ts(86400 + 7200)),
+                (3, _ts(5 * 3600), _ts(30 * 3600)),
+                (4, _ts(7 * 86400), _ts(7 * 86400 + 60)),
+            ],
+            "iid long, s timestamp, e timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(i, _ts(v)) for i, v in enumerate(
+                [0, 3599, 3600, 86400, 86400 + 3600, 2 * 86400,
+                 3 * 86400 - 1, 3 * 86400, 29 * 3600, 7 * 86400 + 30]
+            )],
+            "pid long, p timestamp",
+        )
+        got = sorted(
+            (r.iid, r.pid)
+            for r in cell_range_join(iv, pt, "s", "e", "p", cell=cell)
+            .select("iid", "pid")
+            .collect()
+        )
+        want = sorted((r.iid, r.pid) for r in self._brute(iv, pt).collect())
+        assert got == want and len(want) > 0
+
+    def test_variable_width_unit_rejected(self, spark):
+        from marketdb_spark.operators.rangejoin import cell_range_join
+
+        iv = spark.createDataFrame([], "iid long, s timestamp, e timestamp")
+        pt = spark.createDataFrame([], "pid long, p timestamp")
+        with pytest.raises(ValueError, match="fixed-width"):
+            cell_range_join(iv, pt, "s", "e", "p", cell="1 month")
 
 
 class TestPacking:

@@ -30,8 +30,10 @@ def test_query_matches_oracle(spark, con, name):
 
 
 # Queries that legitimately have no SQL oracle (sketches etc.) — keep this
-# list tiny and justified in each query's docstring.
-ROWS_ONLY_OK = {"agg_approx_distinct"}
+# list tiny and justified in each query's docstring. Empty since round 5:
+# agg_approx_distinct now checks its HLL sketch against an exact-count +
+# error-bound oracle.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_registry_complete():

@@ -116,13 +116,20 @@ def test_range_cells_join_no_cartesian(spark):
 
 
 def test_kmeans_assignment_is_map_only(spark):
-    """kmeans_refine embeds the k centroids as literals, so the final
-    assignment is a pure projection over the corpus — ZERO shuffles in
-    the returned plan (each update round's groupBy runs eagerly inside
-    the operator; a broadcast-join + per-id window formulation would
-    shuffle the whole corpus every round at 100 TB)."""
-    df = REGISTRY["embed_kmeans_clusters"].fn(spark, SF_SMALL)
-    assert count_shuffles(df) == 0
+    """kmeans_refine attaches the k centroids as a scalar subquery, so the
+    assignment over the corpus is a pure projection: the MAIN plan (the
+    part that scans the corpus at full width) has zero Exchange and zero
+    Join nodes — every Exchange lives inside a subquery, operating on
+    k-sized centroid data (the per-round groupBy(cid) update and the
+    one-row collect_list pack). A broadcast-join + per-id window
+    formulation would shuffle the whole corpus every round at 100 TB."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["embed_kmeans_clusters"].fn(spark, SF_SMALL))
+    main = plan.split("Subquery")[0]
+    assert "Exchange" not in main and "Join" not in main
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_no_generate_filter_reinlining(spark):
@@ -239,3 +246,57 @@ def test_random_projection_zero_shuffle(spark):
     and exploded — any exchange here would be 100TB of needless shuffle."""
     q = REGISTRY["embed_random_projection"].fn(spark, SF_SMALL)
     assert count_shuffles(q) == 0
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin or
+# CartesianProduct — every entry must have a BOUNDED build side (a 1-row
+# scalar attach or a k-bounded dimension), never corpus × corpus. Anything
+# new that plans a BNLJ/CP must either be fixed (manufacture an equi key —
+# see operators/rangejoin.py) or argued onto this list.
+BNLJ_EXEMPT = {
+    # documented brute-force exactness baseline: corpus × small query set;
+    # the scale paths are sim_bucket_topk / sim_ivf_topk
+    "sim_cosine_topk",
+    # probe selection joins each query against the k centroids (k-bounded)
+    "sim_ivf_topk",
+    # all-pairs over per-KEY PAA sketches (~100s of series keys, not rows)
+    "ts_similarity_paa",
+    # the deliberate pure-non-equi demo over the supplier dim; docstring
+    # points at join_range_price_band for the equi+band replacement
+    "join_nonequi_balance_pairs",
+    # 1-row scalar-aggregate attach (global threshold / corpus size)
+    "q11_important_stock",
+    "q22_global_sales_opportunity",
+    "doc_tfidf_topterms",
+}
+
+# fn() for these executes work at build time (streaming micro-batches,
+# iterative CC jobs, file writes) — their plan quality is covered by their
+# own gates; running them here would re-run half the bench.
+_SWEEP_SKIP_PREFIXES = ("stream_", "store_")
+_SWEEP_SKIP = {
+    "dedup_cluster_docs",
+    "dedup_cluster_chain",
+    "dedup_canonical_docs",
+    "pipeline_clean_corpus",
+}
+
+
+def test_registry_bnlj_exemptions_exact(spark):
+    """Sweep EVERY lazily-built registered query's physical plan: the set
+    of queries containing a BroadcastNestedLoopJoin / CartesianProduct
+    must EXACTLY equal BNLJ_EXEMPT — a new accidental all-pairs join
+    fails this, and so does a stale exemption after a query is fixed."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    offenders = set()
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(_SWEEP_SKIP_PREFIXES) or name in _SWEEP_SKIP:
+            continue
+        plan = physical_plan(spec.fn(spark, SF_SMALL))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.add(name)
+    assert offenders == BNLJ_EXEMPT, (
+        f"unexpected BNLJ/CartesianProduct: {sorted(offenders - BNLJ_EXEMPT)}; "
+        f"stale exemptions: {sorted(BNLJ_EXEMPT - offenders)}"
+    )

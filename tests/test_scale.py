@@ -105,6 +105,25 @@ class TestZOrder:
         # 2-dim curve over 16 files)
         assert z_ok <= 0.5 and z_pk <= 0.5, (z_ok, z_pk)
 
+    def test_zorder_degenerate_inputs(self, spark, tmp_path):
+        """Empty input and all-NULL cluster columns must write cleanly
+        (single-cell path), not raise on a None min/max."""
+        from pyspark.sql import functions as F
+
+        from marketdb_spark.sources.zorder import zorder_write
+
+        empty = spark.createDataFrame([], "a long, b long")
+        p1 = str(tmp_path / "empty")
+        zorder_write(empty, p1, ["a", "b"], n_files=2)
+        assert spark.read.parquet(p1).count() == 0
+
+        nulls = spark.range(10).select(
+            F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+        )
+        p2 = str(tmp_path / "nullcol")
+        zorder_write(nulls, p2, ["a", "b"], n_files=2)
+        assert spark.read.parquet(p2).count() == 10
+
 
 class TestRuntimePruning:
     """Evidence for Spark's two runtime scan-pruning mechanisms — at

@@ -75,6 +75,100 @@ class TestIngest:
         # undercounts), so the reference's Ostrich-counter parity is the
         # quarantine/main stores themselves, which are exactly countable.
 
+    def test_line_transport_matches_file_source(self, spark, tmp_path):
+        """parse_event_lines (the socket/Kafka wire-format path) over a
+        text spool must produce the same store as read_trade_stream's
+        .json() file source on identical ndjson — including dedup of
+        redelivered events and an undecodable line quarantined by the
+        shared validate_split."""
+        from marketdb_spark.streaming.ingest import (
+            _dual_write_sink,
+            parse_event_lines,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        good = [_event(i, minutes=i) for i in range(4)]
+        _write_batch(src, "b0.json", good + [good[0]])
+        (src / "b1.json").write_text("this is not json\n")
+
+        lines = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .text(str(src))
+        )
+        parsed = parse_event_lines(lines, kind="trades")
+        store = str(tmp_path / "store")
+        quarantine = str(tmp_path / "quarantine")
+        q = (
+            parsed.writeStream.foreachBatch(
+                _dual_write_sink(spark, "trades", store, quarantine)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        main = spark.read.parquet(store)
+        assert main.count() == 4
+        assert {r.trade_id for r in main.collect()} == {0, 1, 2, 3}
+        rejects = spark.read.parquet(quarantine).collect()
+        assert len(rejects) == 1 and rejects[0].reject_reason == "missing market"
+
+    def test_socket_ingest_end_to_end(self, spark, tmp_path):
+        """Live TCP queue → socket source → validate → idempotent store:
+        the Kestrel-consumer analog over a real socket."""
+        import socket
+        import threading
+        import time as _time
+
+        from marketdb_spark.streaming.ingest import start_socket_ingest
+
+        events = [_event(i, minutes=i) for i in range(3)]
+        payload = ("\n".join(json.dumps(e) for e in events) + "\n").encode()
+
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        server.listen(1)
+        port = server.getsockname()[1]
+        done = threading.Event()
+
+        def serve():
+            conn, _ = server.accept()
+            conn.sendall(payload)
+            done.wait(60)  # keep the connection open until the query stops
+            conn.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        store = str(tmp_path / "store")
+        q = start_socket_ingest(
+            spark,
+            "127.0.0.1",
+            port,
+            store,
+            str(tmp_path / "quarantine"),
+            str(tmp_path / "ckpt"),
+        )
+        try:
+            deadline = _time.time() + 90
+            import glob as _glob
+
+            while _time.time() < deadline:
+                if _glob.glob(f"{store}/*.parquet") and (
+                    spark.read.parquet(store).count() >= 3
+                ):
+                    break
+                _time.sleep(0.5)
+            got = {r.trade_id for r in spark.read.parquet(store).collect()}
+            assert got == {0, 1, 2}
+        finally:
+            done.set()
+            q.stop()
+            server.close()
+
     def test_orders_ingest_with_nested_deal(self, spark, tmp_path):
         """Orders queue (reference MarketLoader consumes trades AND orders,
         MarketLoader.scala:135-180): same ingest machinery, order-specific
@@ -728,6 +822,32 @@ class TestStreamingAsof:
         assert got[2] == 105.0
         # every output row appeared exactly once (append mode, no dupes)
         assert len(rows) == len(got)
+
+    def test_trade_after_flush_timeout_matches_live_quotes(self, spark, tmp_path):
+        """Regression for the TTL-vs-wake distinction (streaming/asof.py
+        last_active_ms): batch 2's watermark advance (driven by key B)
+        fires key A's wm+1 timeout, which flushes A's last held trade and
+        leaves QUOTE-ONLY state. That wake is a flush-timeout, not a TTL
+        expiry — treating it as the quote TTL would evict A's quotes, and
+        the trade that arrives AFTERWARDS (batch 3) would NULL-join.
+        Both trades must match the minute-0 quote."""
+        rows = self._run(
+            spark, tmp_path,
+            trade_batches=[
+                [dict(minutes=1, trade_id=1, px=10.0)],
+                [],
+                [],
+                [dict(minutes=15, trade_id=2, px=11.0)],
+            ],
+            quote_batches=[
+                [dict(minutes=0, px=100.0)],
+                [dict(minutes=10, key="B", px=1.0)],   # wm → 8: wake fires
+                [dict(minutes=12, key="B", px=1.0)],
+            ] + self.FLUSH,
+        )
+        got = {r.trade_id: r.quote_px for r in rows if r.key == "A"}
+        assert got[1] == 100.0
+        assert got[2] == 100.0  # quotes survived the flush-timeout wake
 
     def test_tolerance_bounds_match(self, spark, tmp_path):
         """With a tolerance, a quote older than (t_ts - tolerance) does not
