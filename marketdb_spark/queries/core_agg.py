@@ -439,3 +439,40 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(bucket).alias("buckets_set"),
         F.countDistinct("o_custkey").alias("exact_distinct"),
     )
+
+
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_median,
+           TRUE AS approx_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) under the same
+    oracle-checkable contract as agg_approx_distinct: the sketch value is
+    algorithm-specific, so the query emits the exact median plus a boolean
+    asserting the approximation landed inside the exact [p45, p55] value
+    band — far looser than GK's guaranteed 1/accuracy = 1% rank error, so
+    only a broken sketch can flip it. Quantities are integers, so the
+    exact interpolated quantiles are bit-identical across engines. Sketch
+    state is O(accuracy·log n) per group — the only quantile shape that
+    ships at 100 TB (exact quantiles need a full sort per group)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 100).alias("approx_median"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact_median"),
+        F.percentile("l_quantity", F.lit(0.45)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.55)).alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_median",
+        (
+            (F.col("approx_median") >= F.col("lo"))
+            & (F.col("approx_median") <= F.col("hi"))
+        ).alias("approx_within_bound"),
+    )

@@ -238,7 +238,11 @@ def dedup_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in O(log diameter) ≈ 7. Mirrors the reference's
     adversarial-input testing style
     (marketdb-core MultipleTimeSeriesEnumeratorTest.scala:49-88); the
-    oracle computes the same fixpoint with a recursive CTE."""
+    oracle computes the same fixpoint with a recursive CTE. Shuffle
+    partitions are sized to the edge table for the eager star rounds
+    (thousands of rows here — 32 near-empty tasks per stage would pay
+    ~2× the wall clock in scheduler overhead; at 100 TB the same knob
+    tracks cluster parallelism instead)."""
     from marketdb_spark.operators.dedup import connected_components_star
 
     docs = load(spark, sf_dir, "documents")
@@ -247,9 +251,14 @@ def dedup_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = a.join(
         b, b["id_b"] == a["id_a"] + F.lit(1), "inner"
     ).filter(F.col("id_a") % 100 != 99)
-    cc = connected_components_star(
-        chain, docs.select(F.col("doc_id").alias("id"))
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cc = connected_components_star(
+            chain, docs.select(F.col("doc_id").alias("id"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -399,3 +399,75 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(emb, k=8, iters=2, dims=64).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax,
+             embedding AS v
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, amax,
+             CASE WHEN amax > 0
+                  THEN list_transform(v, x -> CAST(trunc(
+                         CAST(x AS DOUBLE) * (127.0 / amax)) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+             END AS q
+      FROM base
+    )
+    SELECT vec_id, amax,
+           array_to_string(q, ',') AS q_vec,
+           list_reduce(list_transform(q, x -> x * x),
+                       (a, b) -> a + b) AS q_sqnorm
+    FROM qq
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the vector-compression step an ANN index runs before sharding 100 TB
+    of embeddings (4× smaller than float32, SIMD-friendly int dot
+    products downstream). Per vector: scale = 127/max|x|, element q =
+    trunc(x·scale) — ENGINE-EXACT (float→double casts, one double
+    multiply, truncating int cast; both engines produce identical int8
+    codes, hash-gated). Emits the serialized codes (array outputs break
+    the hash canon — concat_ws), the per-vector scale denominator, and
+    the exact integer squared norm the int-dot-product kernel would use.
+    Plan: pure map over the corpus, zero shuffle (plan-gated)."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    amax = F.array_max(
+        F.transform("embedding", lambda e: F.abs(e.cast("double")))
+    )
+    withq = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        amax.alias("amax"),
+    ).select(
+        "vec_id",
+        "amax",
+        F.when(
+            F.col("amax") > 0,
+            F.transform(
+                "embedding",
+                lambda e: (e.cast("double") * (F.lit(127.0) / F.col("amax")))
+                .cast("bigint"),
+            ),
+        )
+        .otherwise(F.transform("embedding", lambda e: F.lit(0).cast("bigint")))
+        .alias("qv"),
+    )
+    return withq.select(
+        "vec_id",
+        "amax",
+        F.concat_ws(",", F.transform("qv", lambda q: q.cast("string"))).alias(
+            "q_vec"
+        ),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, q: acc + q * q
+        ).alias("q_sqnorm"),
+    )

@@ -64,3 +64,136 @@ def store_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_snapshot_scan",
+    oracle="""
+    SELECT 1 AS snapshot_version, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 2 AS snapshot_version, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority
+    """,
+)
+def store_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the transactional snapshot table
+    (sources/snapshot.py — the Delta-style sink of SURVEY §1.4): commit
+    v0 = even-keyed orders, v1 = append odd-keyed orders, v2 = OVERWRITE
+    with only high-value orders; then aggregate the TIME-TRAVEL read at
+    v1 (must equal the full raw table — append atomicity and losslessness)
+    and the latest read at v2 (must equal the filtered table — overwrite
+    isolation: v1's files are still on disk but invisible). Both the
+    commit protocol (exclusive log-file create) and snapshot replay sit
+    under the driver's hash gate."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.snapshot import read_snapshot, write_snapshot
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="snapshot_store_")
+    t = f"{work}/orders_tbl"
+    try:
+        write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), t)
+        write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        write_snapshot(
+            orders.filter(F.col("o_totalprice") > 200000), t,
+            mode="overwrite",
+        )
+
+        def agg_at(version: int) -> DataFrame:
+            return (
+                read_snapshot(spark, t, version=version)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    dsum("o_totalprice", scale=6).alias("sum_price"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("snapshot_version"),
+                    "o_orderpriority",
+                    "n_orders",
+                    "sum_price",
+                )
+            )
+
+        out = agg_at(1).unionByName(agg_at(2))
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through BUCKETED fact tables (sources/bucketed.py — the
+    100 TB answer to the fact⋈fact shuffle): orders and lineitem are both
+    written bucketed by the order key, then joined WITHOUT an Exchange on
+    either side (co-located buckets; the zero-exchange plan is pinned by
+    tests/test_scale.py::TestBucketed) and aggregated — hash-equal to the
+    plain join on the raw tables, proving bucketing is a pure layout
+    change. The Spark analog of the reference's key-prefix co-location
+    (one instrument = one HBase region, Trade.scala:22-30)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from marketdb_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="bucketed_store_")
+    tag = _uuid.uuid4().hex[:8]
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    try:
+        write_bucketed(
+            orders, t_orders, "o_orderkey", n_buckets=16,
+            path=f"{work}/orders",
+        )
+        write_bucketed(
+            li, t_li, "l_orderkey", n_buckets=16, path=f"{work}/lineitem"
+        )
+        out = (
+            bucketed_join(
+                spark, t_orders, t_li,
+                on=[F.col("l_orderkey") == F.col("o_orderkey")],
+                force_smj=True,
+            )
+            .filter(F.col("o_totalprice") > 150000)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dsum("l_extendedprice", scale=6).alias("sum_price"),
+            )
+        )
+        # detach from the temp tables so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        shutil.rmtree(work, ignore_errors=True)

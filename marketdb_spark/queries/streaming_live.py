@@ -554,3 +554,46 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("c_custkey")
     )
     return _run_to_memory_append(enriched, "stream_static", spark)
+
+
+@query(
+    "stream_sliding_windows",
+    oracle="""
+    WITH offsets AS (SELECT 0 AS o UNION ALL SELECT 1),
+    assigned AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+               - to_hours(o) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN offsets
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregation (2-hour windows every hour)
+    through the engine: each event lands in exactly two overlapping
+    windows — the engine's window() assignment explodes per slide, the
+    oracle replays it as a cross join with hour offsets {0,1}. complete
+    mode on the bounded stream ⇒ result == batch, hash-gated. State is
+    (window, type)-keyed partial aggs, 2× the tumbling row count — the
+    documented overlap cost of sliding windows at scale."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+    )
+    tbl = _run_to_memory(agg, "stream_sliding", spark)
+    return tbl.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -674,3 +674,46 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("den") > 0)
         .select("user_id", "n_events", (F.col("num") / F.col("den")).alias("autocorr1"))
     )
+
+
+@query(
+    "ts_vwap_hourly",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+           CASE WHEN SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) <> 0
+                THEN CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT) AS DECIMAL(18,6)))
+                     AS DOUBLE)
+                  / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                         AS DOUBLE)
+           END AS vwap,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, bar_start
+    """,
+)
+def ts_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (series, hourly bar) — the
+    backtesting staple next to OHLC (the reference's per-minute buckets,
+    Trade.scala:24-27, weighted by size). value = price, the JSON props
+    field k = volume. Engine-exact: each price·volume product is one
+    double multiply (identical bits both engines) truncated to
+    decimal(18,6) before the SUM (order-independent exact adds), volume
+    sums are integer-exact, and the final vwap is a single double
+    division (NULL for zero-volume bars — ANSI-safe on both engines).
+    Plan: one scan, map-side partial aggregation, one shuffle on
+    (type, hour)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    wsum = F.sum((F.col("value") * k).cast("decimal(18,6)")).cast("double")
+    vol = F.sum(k)
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_start")
+    ).agg(
+        F.when(vol != 0, wsum / vol.cast("double")).alias("vwap"),
+        vol.cast("bigint").alias("volume"),
+        F.count("*").alias("n_events"),
+    )

@@ -300,3 +300,10 @@ def test_registry_bnlj_exemptions_exact(spark):
         f"unexpected BNLJ/CartesianProduct: {sorted(offenders - BNLJ_EXEMPT)}; "
         f"stale exemptions: {sorted(BNLJ_EXEMPT - offenders)}"
     )
+
+
+def test_quantize_int8_zero_shuffle(spark):
+    """int8 quantization is a pure map over the corpus — any exchange
+    would be 100 TB of needless shuffle for a per-row transform."""
+    q = REGISTRY["embed_quantize_int8"].fn(spark, SF_SMALL)
+    assert count_shuffles(q) == 0

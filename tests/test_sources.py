@@ -565,3 +565,201 @@ class TestQueryServer:
             ids13, ids14 = f13.result(60), f14.result(60)
         assert ids13 == [0, 1, 2, 3, 4, 5000, 5, 5001, 6, 7, 8, 9]
         assert ids14 == [1000 + i for i in range(10)]
+
+
+class TestSnapshotTable:
+    """Transactional snapshot table (sources/snapshot.py): atomic commits,
+    snapshot-isolation reads, time travel, optimistic concurrency, vacuum
+    with log checkpointing."""
+
+    def _rows(self, spark, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_append_overwrite_time_travel(self, spark, tmp_path):
+        from marketdb_spark.sources.snapshot import (
+            latest_version,
+            read_snapshot,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        a = spark.range(0, 5).withColumnRenamed("id", "v")
+        b = spark.range(5, 8).withColumnRenamed("id", "v")
+        c = spark.range(100, 102).withColumnRenamed("id", "v")
+        assert write_snapshot(a, t, mode="append") == 0
+        assert write_snapshot(b, t, mode="append") == 1
+        assert write_snapshot(c, t, mode="overwrite") == 2
+        assert latest_version(t) == 2
+        assert self._rows(spark, read_snapshot(spark, t)) == [(100,), (101,)]
+        assert self._rows(spark, read_snapshot(spark, t, version=1)) == [
+            (i,) for i in range(8)
+        ]
+        assert self._rows(spark, read_snapshot(spark, t, version=0)) == [
+            (i,) for i in range(5)
+        ]
+
+    def test_concurrent_commit_exactly_one_version_each(self, spark, tmp_path):
+        """Two writers race: both data writes land, the exclusive log
+        create serializes them into distinct versions — no lost update,
+        no shared version number."""
+        import threading
+
+        from marketdb_spark.sources.snapshot import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_snapshot(spark.range(0, 1).withColumnRenamed("id", "v"), t)
+        results = []
+
+        def commit(lo, hi):
+            df = spark.range(lo, hi).withColumnRenamed("id", "v")
+            results.append(write_snapshot(df, t, mode="append"))
+
+        threads = [
+            threading.Thread(target=commit, args=(10, 12)),
+            threading.Thread(target=commit, args=(20, 22)),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert sorted(results) == [1, 2]
+        got = self._rows(spark, read_snapshot(spark, t))
+        assert got == [(0,), (10,), (11,), (20,), (21,)]
+
+    def test_crashed_writer_invisible(self, spark, tmp_path):
+        """Data files without a commit log entry must not be readable —
+        simulates a writer that died between data write and commit."""
+        import os
+
+        from marketdb_spark.sources.snapshot import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_snapshot(spark.range(0, 3).withColumnRenamed("id", "v"), t)
+        # orphan data dir, no log entry
+        spark.range(50, 60).withColumnRenamed("id", "v").write.parquet(
+            os.path.join(t, "data", "orphan")
+        )
+        assert self._rows(spark, read_snapshot(spark, t)) == [
+            (0,), (1,), (2,)
+        ]
+
+    def test_vacuum_checkpoints_log(self, spark, tmp_path):
+        """vacuum(keep=2) deletes files only reachable from older
+        versions and rewrites the oldest kept entry as a self-contained
+        manifest: remaining versions stay readable, older ones are gone."""
+        import pytest as _pytest
+
+        from marketdb_spark.sources.snapshot import (
+            read_snapshot,
+            vacuum,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_snapshot(spark.range(0, 3).withColumnRenamed("id", "v"), t)
+        write_snapshot(
+            spark.range(10, 12).withColumnRenamed("id", "v"), t,
+            mode="overwrite",
+        )
+        write_snapshot(spark.range(12, 14).withColumnRenamed("id", "v"), t)
+        deleted = vacuum(t, keep_versions=2)
+        assert deleted  # version-0 files were only reachable from v0
+        assert self._rows(spark, read_snapshot(spark, t)) == [
+            (10,), (11,), (12,), (13,)
+        ]
+        assert self._rows(spark, read_snapshot(spark, t, version=1)) == [
+            (10,), (11,)
+        ]
+        with _pytest.raises(ValueError):
+            read_snapshot(spark, t, version=0)
+
+    def test_batch_commit_exactly_once(self, spark, tmp_path):
+        """write_snapshot_batch dedups on batch_id: a replayed micro-batch
+        (same id — Structured Streaming's at-least-once redelivery) commits
+        nothing; a new batch id commits normally."""
+        from marketdb_spark.sources.snapshot import (
+            read_snapshot,
+            write_snapshot_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.range(0, 3).withColumnRenamed("id", "v")
+        assert write_snapshot_batch(df, t, batch_id=0) == 0
+        assert write_snapshot_batch(df, t, batch_id=0) is None  # replay
+        assert write_snapshot_batch(df, t, batch_id=1) == 1
+        assert read_snapshot(spark, t).count() == 6  # 3 + 3, not 9
+
+    def test_streaming_ingest_into_snapshot_table(self, spark, tmp_path):
+        """End to end: file stream → foreachBatch snapshot_sink; a second
+        run over the SAME checkpoint with one new source file appends only
+        the new rows (exactly-once across restarts)."""
+        import json as _json
+
+        from marketdb_spark.sources.snapshot import (
+            read_snapshot,
+            snapshot_sink,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema("v long")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = (
+                stream.writeStream.foreachBatch(snapshot_sink(t))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        (src / "a.json").write_text(
+            "\n".join(_json.dumps({"v": i}) for i in range(4))
+        )
+        run()
+        assert read_snapshot(spark, t).count() == 4
+        (src / "b.json").write_text(
+            "\n".join(_json.dumps({"v": i}) for i in range(100, 102))
+        )
+        run()  # restart from checkpoint: batch 0 must not re-commit
+        got = sorted(r.v for r in read_snapshot(spark, t).collect())
+        assert got == [0, 1, 2, 3, 100, 101]
+
+    def test_incremental_read_changes(self, spark, tmp_path):
+        """read_changes returns exactly the rows appended in the version
+        range; an overwrite inside the range is an explicit error."""
+        import pytest as _pytest
+
+        from marketdb_spark.sources.snapshot import (
+            read_changes,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_snapshot(spark.range(0, 3).withColumnRenamed("id", "v"), t)
+        write_snapshot(spark.range(10, 12).withColumnRenamed("id", "v"), t)
+        write_snapshot(spark.range(20, 21).withColumnRenamed("id", "v"), t)
+        got = sorted(r.v for r in read_changes(spark, t, from_version=0).collect())
+        assert got == [10, 11, 20]
+        got = sorted(
+            r.v for r in read_changes(spark, t, 0, to_version=1).collect()
+        )
+        assert got == [10, 11]
+        assert read_changes(spark, t, from_version=2).count() == 0
+        write_snapshot(
+            spark.range(99, 100).withColumnRenamed("id", "v"), t,
+            mode="overwrite",
+        )
+        with _pytest.raises(ValueError, match="overwrite"):
+            read_changes(spark, t, from_version=0)
