@@ -200,10 +200,18 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: LSH candidate pairs → connected components →
     (doc_id, cluster_id); docs with no near-dup are singleton clusters.
     Min-label propagation (iterative joins, lineage-truncated); the oracle
-    computes the same fixpoint with a recursive CTE."""
+    computes the same fixpoint with a recursive CTE. Shuffle partitions
+    are sized to the label table for the eager CC rounds (same knob as
+    dedup_cluster_chain — per-round scheduler overhead, ~20% of the wall
+    clock at sf0.1, not data)."""
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
-    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -406,7 +414,12 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
-    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     joined = cc.join(docs, cc["id"] == docs["doc_id"]).select(
         F.col("label").alias("cluster_id"), "doc_id", "n_chars"
     )
@@ -558,7 +571,75 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-cleaning pipeline in one call (operators.pipeline.
     clean_corpus): quality gate → MinHash+LSH pairs → connected components
     → per-cluster canonical election. One row per surviving doc with its
-    cluster and canonical flag; the oracle replays every stage in SQL."""
+    cluster and canonical flag; the oracle replays every stage in SQL.
+    Shuffle partitions sized to the label table for the eager CC rounds
+    (see dedup_cluster_docs)."""
     from marketdb_spark.operators.pipeline import clean_corpus
 
-    return clean_corpus(load(spark, sf_dir, "documents"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return clean_corpus(load(spark, sf_dir, "documents"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             lower(substring(text, 1, 64)) AS p,
+             substring(text, 1, 8) AS blk_pre,
+             len(text) // 64 AS blk_len
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+    FROM t a JOIN t b
+      ON a.blk_pre = b.blk_pre AND a.blk_len = b.blk_len
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 8
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the dedup modality for
+    short-text/title corpora where token shingles are too coarse:
+    documents BLOCKED by (8-char prefix, length band), then exact
+    levenshtein over the 64-char normalized prefix verified ONLY within
+    blocks — the same candidates-then-verify shape as the LSH pipeline
+    (never all-pairs; the equi-join on the block key is the manufactured
+    hash key). Integer distances — engine-exact. At 100 TB: block sizes
+    are content-bounded; a skewed block (common boilerplate prefix)
+    degrades to the LSH path, which stays the general near-dup
+    mechanism."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 64)).alias("p"),
+        F.substring("text", 1, 8).alias("blk_pre"),
+        (F.length("text") / F.lit(64)).cast("long").alias("blk_len"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("p").alias("p_a"),
+        "blk_pre",
+        "blk_len",
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("p").alias("p_b"),
+        F.col("blk_pre").alias("blk_pre_b"),
+        F.col("blk_len").alias("blk_len_b"),
+    )
+    dist = F.levenshtein("p_a", "p_b")
+    return (
+        a.join(
+            b,
+            (F.col("blk_pre") == F.col("blk_pre_b"))
+            & (F.col("blk_len") == F.col("blk_len_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist <= 8)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )
