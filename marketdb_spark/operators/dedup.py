@@ -48,6 +48,36 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    existing_fps: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an existing fingerprint
+    store — the production increment shape: a daily batch dedups against
+    the history without rescanning the corpus. ``existing_fps`` is a
+    prior `exact_dedup` output (fp, keep_id, n_copies); returns the
+    updated store — old rows unchanged (history is immutable: a new copy
+    of a known fingerprint is simply dropped, the reference's
+    idempotent-put semantics, Trade.scala:56-57), plus one row per
+    fingerprint first seen in this batch, flagged ``is_new``.
+
+    Scale shape: fingerprinting the batch is a map; the only joins are
+    one groupBy on the batch's md5 keys and one LEFT ANTI join batch ⋈
+    store on the same uniform key — cost is O(|batch| + |store-probe|),
+    never O(|corpus|) recompute. With the store in the snapshot table
+    (sources/snapshot.py), the is_new rows are exactly the CDC-append
+    commit (read_changes exposes them downstream)."""
+    batch_fps = exact_dedup(new_docs, text_col, id_col)
+    fresh = batch_fps.join(existing_fps.select("fp"), "fp", "left_anti")
+    return existing_fps.select(
+        "fp", "keep_id", "n_copies", F.lit(False).alias("is_new")
+    ).unionByName(
+        fresh.select("fp", "keep_id", "n_copies", F.lit(True).alias("is_new"))
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition a *small* input up to the session's default parallelism
     before a CPU-bound map stage (hashing/shingling costs dominate IO here).

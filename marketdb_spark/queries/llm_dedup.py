@@ -643,3 +643,40 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 8)
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=r"""
+    WITH old_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    new_docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    store AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM old_docs GROUP BY fp
+    ),
+    batch AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM new_docs GROUP BY fp
+    )
+    SELECT fp, keep_id, n_copies, FALSE AS is_new FROM store
+    UNION ALL
+    SELECT b.fp, b.keep_id, b.n_copies, TRUE AS is_new
+    FROM batch b WHERE b.fp NOT IN (SELECT fp FROM store)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.incremental_exact_dedup):
+    docs with doc_id % 5 != 0 play the historical corpus, the rest are
+    today's batch — the batch dedups against the store without touching
+    historical text (one anti-join on the md5 key), and fingerprints
+    first seen today come back flagged is_new. The shape a 100 TB corpus
+    actually runs daily; full-rescan dedup is dedup_exact_docs."""
+    from marketdb_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    store = exact_dedup(docs.filter(F.col("doc_id") % 5 != 0))
+    return incremental_exact_dedup(
+        store, docs.filter(F.col("doc_id") % 5 == 0)
+    )

@@ -197,3 +197,72 @@ def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_rtszip_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,5))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM((o_custkey % 100) + 1) AS BIGINT) AS sum_amount,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_trade_id,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_trade_id
+    FROM orders
+    """,
+)
+def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the distributed CSV-in-ZIP Python DataSource
+    (sources/zipsource.py): orders are serialized into the reference's
+    wire format (code;contract;price;amount;time;trade_id;nosystem,
+    TradeData.scala:30), zipped into day archives, read back with
+    spark.read.format('rtszip') (one task per ZIP member, no extraction),
+    validated by parse_trades, and aggregated — hash-equal to the same
+    aggregation on the raw table, proving the full archive → lines →
+    typed-trade path is lossless. A header row and a malformed line per
+    archive must quarantine, not leak into the aggregate (asserted by
+    construction: their trade_ids would shift min/max/count)."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    from marketdb_spark.sources.rts_csv import parse_trades
+    from marketdb_spark.sources.zipsource import read_rts_zip_distributed
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_custkey", "o_orderdate")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="rtszip_store_")
+    try:
+        n_archives = 4
+        buckets: list[list[str]] = [[] for _ in range(n_archives)]
+        for r in orders:
+            line = (
+                f"RIH3;RTS-3.13;{r.o_totalprice:.5f};"
+                f"{(r.o_custkey % 100) + 1};"
+                f"{r.o_orderdate:%Y-%m-%d %H:%M:%S}.000;{r.o_orderkey};0"
+            )
+            buckets[r.o_orderkey % n_archives].append(line)
+        header = "code;contract;price;amount;time;trade_id;nosystem"
+        for i, lines in enumerate(buckets):
+            with zipfile.ZipFile(f"{work}/FT{i}.zip", "w") as zf:
+                zf.writestr(
+                    f"day/FT{i}ft.csv",
+                    "\n".join([header, *lines, "this;line;is;broken"]) + "\n",
+                )
+        valid, _ = parse_trades(
+            read_rts_zip_distributed(spark, f"{work}/*.zip")
+        )
+        out = valid.agg(
+            F.count("*").alias("n_trades"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.sum("amount").cast("bigint").alias("sum_amount"),
+            F.min("trade_id").alias("min_trade_id"),
+            F.max("trade_id").alias("max_trade_id"),
+        )
+        # detach from the temp archives so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

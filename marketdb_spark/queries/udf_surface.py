@@ -204,3 +204,156 @@ def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "qty").alias("qty_val"),
         F.size(m).alias("m_size"),
     )
+
+
+@query(
+    "udf_grouped_minmax_scale",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN mx > mn
+                THEN (q - mn) * 1000000 // (mx - mn)
+                ELSE 0 END AS scaled
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             MIN(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS mn,
+             MAX(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS mx
+      FROM lineitem
+      WHERE l_orderkey % 50 = 0
+    )
+    """,
+)
+def udf_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas — the batch form of the reference's
+    'user supplies the fold' extension model (README.md:103-109): per
+    ORDER min-max scaling of quantities computed inside an Arrow-batched
+    pandas function. Integer-exact ((q-min)·10^6 floor-div (max-min) in
+    int64), so the oracle (a window-function replay) hash-matches
+    bit-for-bit. Scale notes, both directions: giant groups OOM the
+    per-group pandas frame (per-key windows cover that JVM-side, see
+    win_* queries), while MILLIONS of tiny groups pay a ~0.3 ms/group
+    Python constant (measured: 150k orders = 45 s at sf0.1 — the
+    registered query subsets the orders via a scan-pushed predicate to
+    pin the correctness path without benching the anti-shape). Use
+    grouped-map pandas only when the per-group logic genuinely needs
+    imperative Python on moderate group counts; everything expressible
+    as a window/agg belongs JVM-side."""
+    import pandas as _pd
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_orderkey") % 50 == 0)
+    )
+
+    def scale(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        q = pdf["l_quantity"].astype("int64")
+        mn, mx = q.min(), q.max()
+        scaled = (
+            (q - mn) * 1_000_000 // (mx - mn)
+            if mx > mn
+            else _pd.Series(0, index=q.index, dtype="int64")
+        )
+        return _pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "scaled": scaled,
+            }
+        )
+
+    # explicit repartition on the group key: AQE's size-based partition
+    # coalescing sees a few MB and would fuse the whole Python stage into
+    # ONE task (measured 8s single-threaded vs <1s spread) — byte counts
+    # are blind to per-group Python cost, so Python-heavy stages pin
+    # their own parallelism; the groupBy reuses this hash distribution
+    # (no second exchange).
+    par = spark.sparkContext.defaultParallelism
+    return (
+        li.repartition(par, "l_orderkey")
+        .groupBy("l_orderkey")
+        .applyInPandas(
+            scale, schema="l_orderkey long, l_linenumber int, scaled long"
+        )
+    )
+
+
+@query(
+    "udf_cogrouped_funnel",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'view'
+    ),
+    firstp AS (SELECT user_id, MIN(ts) AS first_purchase FROM p GROUP BY user_id),
+    users AS (
+      SELECT user_id FROM p UNION SELECT user_id FROM v
+    )
+    SELECT u.user_id,
+           CAST(COALESCE((SELECT COUNT(*) FROM p WHERE p.user_id = u.user_id), 0)
+                AS BIGINT) AS n_purchases,
+           CAST(COALESCE((SELECT COUNT(*) FROM v WHERE v.user_id = u.user_id), 0)
+                AS BIGINT) AS n_views,
+           CAST(COALESCE((SELECT COUNT(*) FROM v
+                          WHERE v.user_id = u.user_id
+                            AND (fp.first_purchase IS NULL
+                                 OR v.ts < fp.first_purchase)), 0)
+                AS BIGINT) AS views_before_first_purchase
+    FROM users u LEFT JOIN firstp fp ON fp.user_id = u.user_id
+    """,
+)
+def udf_cogrouped_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — two event streams cogrouped per user and
+    folded together in one Arrow-batched pandas function (the conversion
+    funnel: views before the first purchase). Pure integer logic on
+    microsecond timestamps, so the oracle replay hash-matches exactly.
+    This is the pandas shape for per-key MERGE logic two JVM-side windows
+    can't express in one pass; group = one user's events (bounded), and
+    parallelism is pinned explicitly — AQE's size-based coalescing is
+    blind to per-group Python cost (see udf_grouped_minmax_scale)."""
+    import pandas as _pd
+
+    from marketdb_spark.catalog import load as _load
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    par = spark.sparkContext.defaultParallelism
+    purchases = ev.filter(F.col("event_type") == "purchase").repartition(
+        par, "user_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").repartition(
+        par, "user_id"
+    )
+
+    def funnel(key, pdf_p: _pd.DataFrame, pdf_v: _pd.DataFrame) -> _pd.DataFrame:
+        p_ts = pdf_p["ts"].astype("int64")
+        v_ts = pdf_v["ts"].astype("int64")
+        if len(p_ts):
+            before = int((v_ts < p_ts.min()).sum())
+        else:
+            before = len(v_ts)
+        return _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(p_ts)],
+                "n_views": [len(v_ts)],
+                "views_before_first_purchase": [before],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            funnel,
+            schema=(
+                "user_id long, n_purchases long, n_views long, "
+                "views_before_first_purchase long"
+            ),
+        )
+    )

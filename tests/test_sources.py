@@ -763,3 +763,68 @@ class TestSnapshotTable:
         )
         with _pytest.raises(ValueError, match="overwrite"):
             read_changes(spark, t, from_version=0)
+
+
+class TestZipDataSource:
+    """Spark 4 Python DataSource for CSV-in-ZIP (sources/zipsource.py):
+    archive members stream in executors — no extraction step."""
+
+    def _make_archives(self, tmp_path, n=2):
+        import zipfile
+
+        paths = []
+        for i in range(n):
+            zp = tmp_path / f"FT13020{i + 1}.zip"
+            with zipfile.ZipFile(zp, "w") as zf:
+                zf.writestr(f"day/FT13020{i + 1}ft.csv", RTS_LINES)
+                zf.writestr("readme.txt", "junk")
+            paths.append(zp)
+        return paths
+
+    def test_matches_extract_based_reader(self, spark, tmp_path):
+        """Distributed ZIP source must produce the same VALID trades (and
+        the same quarantine size) as extract-then-csv-scan on the same
+        archive."""
+        from marketdb_spark.sources.rts_csv import parse_trades, read_rts_zip
+        from marketdb_spark.sources.zipsource import read_rts_zip_distributed
+
+        [zp] = self._make_archives(tmp_path, n=1)
+        v_ref, q_ref = parse_trades(
+            read_rts_zip(spark, str(zp), str(tmp_path / "work"))
+        )
+        v_new, q_new = parse_trades(
+            read_rts_zip_distributed(spark, str(zp))
+        )
+        ref = sorted(map(tuple, v_ref.collect()))
+        new = sorted(map(tuple, v_new.collect()))
+        assert new == ref and len(ref) == 3
+        assert q_new.count() == q_ref.count() == 3
+
+    def test_glob_many_archives_one_partition_per_member(self, spark, tmp_path):
+        from marketdb_spark.sources.zipsource import (
+            read_rts_zip_distributed,
+            register_zip_source,
+        )
+
+        self._make_archives(tmp_path, n=3)
+        df = read_rts_zip_distributed(spark, str(tmp_path / "*.zip"))
+        # 3 archives x 1 ft.csv member each -> 3 partitions, 3x the rows
+        register_zip_source(spark)
+        raw = (
+            spark.read.format("rtszip")
+            .option("suffix", "ft.csv")
+            .load(str(tmp_path / "*.zip"))
+        )
+        assert raw.rdd.getNumPartitions() == 3
+        assert df.count() == 3 * len(RTS_LINES.splitlines())
+
+    def test_missing_suffix_raises(self, spark, tmp_path):
+        import zipfile
+
+        from marketdb_spark.sources.zipsource import read_rts_zip_distributed
+
+        zp = tmp_path / "none.zip"
+        with zipfile.ZipFile(zp, "w") as zf:
+            zf.writestr("readme.txt", "junk")
+        with pytest.raises(Exception, match="ft.csv"):
+            read_rts_zip_distributed(spark, str(zp)).collect()
