@@ -53,6 +53,9 @@ def main() -> None:
         # applyInPandasWithState workers): the alphabetically-first
         # stream_* query otherwise pays the whole ~10 s engine cold start
         REGISTRY["stream_asof_enrich"].fn(spark, warm_dir).count()
+        # and the Python DataSource worker path (spark.read.format over a
+        # Python reader spins its own worker pool on first use)
+        REGISTRY["store_rtszip_scan"].fn(spark, warm_dir).count()
     except Exception:
         pass  # warm-up must never fail the bench
 

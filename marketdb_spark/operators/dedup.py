@@ -267,6 +267,33 @@ def _jaccard_on_candidates(
     )
 
 
+def containment_on_candidates(
+    shh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact containment similarity |A∩B| / min(|A|, |B|) over hashed
+    shingle sets, restricted to a candidate pair frame. Containment is
+    the sub/superset detector Jaccard structurally misses: a page fully
+    embedded in a 10× larger page has Jaccard ≤ 0.1 but containment 1.0
+    — the "quoted-inside" duplicate class in web corpora. Same shape as
+    _jaccard_on_candidates: two id-equi-joins, O(|candidates|)."""
+    a = shh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
+    b = shh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.when(smaller > 0, inter.cast("double") / smaller).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def candidate_jaccard(
     df: DataFrame,
     cand: DataFrame,
@@ -430,6 +457,27 @@ def verified_near_dups(
     )
     cand = _lsh_pairs_from_sigs(_signatures_from_hashed(shh, k), k, bands)
     return _jaccard_on_candidates(shh, cand, threshold)
+
+
+def contained_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    shingle_table_path: str | None = None,
+) -> DataFrame:
+    """verified_near_dups with containment (|A∩B| / min|A|,|B|) instead of
+    Jaccard as the verify metric — catches sub/superset duplicates (one
+    document embedded in a larger one) that symmetric Jaccard dilutes.
+    Same scale shape: LSH candidates, verify only candidates."""
+    shh = hashed_shingled(
+        df, id_col, text_col, shingle_n, table_path=shingle_table_path
+    )
+    cand = _lsh_pairs_from_sigs(_signatures_from_hashed(shh, k), k, bands)
+    return containment_on_candidates(shh, cand, threshold)
 
 
 def connected_components(

@@ -476,3 +476,159 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx_median") <= F.col("hi"))
         ).alias("approx_within_bound"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_count FROM (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS mode_qty,
+             CAST(COUNT(*) AS BIGINT) AS mode_count,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT)
+             ) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode (most frequent value; ties → smallest value).
+    Spark's built-in F.mode is explicitly non-deterministic under ties,
+    which makes it unverifiable — this form pins the tie-break with
+    max_by over struct(count, -value), so both engines agree bit-for-bit.
+    Shape: two-phase count aggregation on (group, value), then a k-keyed
+    argmax — no window over the fact table, no sort."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.count("*").alias("c"))
+    )
+    best = F.max(F.struct(F.col("c"), (-F.col("q")).alias("nq"), F.col("q")))
+    return counts.groupBy("l_returnflag").agg(
+        best.getField("q").alias("mode_qty"),
+        best.getField("c").alias("mode_count"),
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT c.l_returnflag, c.qty, c.cnt, t.total
+    FROM c JOIN t USING (l_returnflag)
+    WHERE c.cnt * 64 >= t.total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items (heavy hitters) with relative support
+    phi = 1/64: per group, emit every value whose frequency is >= phi of
+    the group's row count. Generalizes the reference's counter fold
+    (marketdb-iteratee/.../MarketIteratees.scala:7-21) to the standard
+    streaming-analytics heavy-hitter contract, computed exactly.
+    Shape: one two-phase count on (group, value) + a broadcast join of
+    the per-group totals (|groups| rows) — no window over the fact
+    table, no second fact scan, and the support test is pure integer
+    arithmetic (cnt*64 >= total), so there is no float threshold to
+    diverge cross-engine. At 100 TB both aggregations are map-side
+    partial; the totals side is KBs regardless of corpus size."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("cnt"))
+    totals = li.groupBy("l_returnflag").agg(F.count("*").alias("total"))
+    return counts.join(F.broadcast(totals), "l_returnflag").filter(
+        F.col("cnt") * 64 >= F.col("total")
+    )
+
+
+_CM_D = 4  # sketch depth (independent hash rows)
+_CM_W = 256  # sketch width (buckets per row)
+_CM_HASH = (
+    "CAST(('0x' || substring(md5(CAST({d} AS VARCHAR) || ':' "
+    "|| CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_CM_W)
+)
+
+
+@query(
+    "agg_countmin_freq",
+    oracle=f"""
+    WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT ds.d, {_CM_HASH.format(d='ds.d', k='o_custkey')} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders CROSS JOIN ds GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM orders WHERE o_custkey <= 20 GROUP BY 1
+    ),
+    pc AS (
+      SELECT p.o_custkey, p.exact_cnt, ds.d,
+             {_CM_HASH.format(d='ds.d', k='p.o_custkey')} AS b
+      FROM probes p CROSS JOIN ds
+    )
+    SELECT pc.o_custkey AS custkey,
+           CAST(MIN(cells.c) AS BIGINT) AS cm_estimate,
+           CAST(MAX(pc.exact_cnt) AS BIGINT) AS exact_cnt
+    FROM pc JOIN cells ON cells.d = pc.d AND cells.b = pc.b
+    GROUP BY 1
+    """,
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimation with a FULLY EXACT
+    oracle: unlike HLL (whose state is engine-internal), a CM sketch is
+    plain SQL — d=4 md5-derived hash rows of w=256 counters, estimate =
+    min over rows of the probed bucket's count. Both engines compute the
+    identical sketch bit-for-bit, so the estimate itself (not just an
+    error band) is hash-gated; the exact count rides along to expose the
+    overestimate. Shape: the cell build is a map-side explode(d=4) +
+    two-phase count into d*w=1024 cells — O(1) state per any corpus
+    size; probes join the broadcast cell table. This is the
+    frequency-sketch sibling of agg_bitmap_distinct (distinct-count
+    sketch)."""
+    from marketdb_spark.functions.text import token_hash64
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    d = F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("d")
+
+    def bucket(dcol, kcol):
+        return (
+            token_hash64(
+                F.concat(dcol.cast("string"), F.lit(":"), kcol.cast("string"))
+            )
+            % _CM_W
+        )
+
+    cells = (
+        orders.select("o_custkey", d)
+        .groupBy(F.col("d"), bucket(F.col("d"), F.col("o_custkey")).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        orders.filter(F.col("o_custkey") <= 20)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .select("o_custkey", "exact_cnt", d)
+        .withColumn("b", bucket(F.col("d"), F.col("o_custkey")))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("o_custkey")
+        .agg(
+            F.min("c").alias("cm_estimate"),
+            F.max("exact_cnt").alias("exact_cnt"),
+        )
+        .withColumnRenamed("o_custkey", "custkey")
+    )

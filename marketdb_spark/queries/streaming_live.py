@@ -597,3 +597,74 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "stream_snapshot_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the transactional snapshot table
+    (sources/snapshot.snapshot_sink): events split across 3 source files
+    stream through 3 micro-batches, each committing one snapshot version
+    exactly-once (batch-id dedup), then the final snapshot is aggregated
+    — hash-equal to the batch aggregation of all events iff every batch
+    committed exactly once (a dropped or doubled commit shifts the
+    counts). The version count and an incremental read_changes slice are
+    asserted inline; this is the OfferOnce-as-table-metadata contract
+    under the driver's gate."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.snapshot import (
+        latest_version,
+        read_changes,
+        read_snapshot,
+        snapshot_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_snapshot_")
+    src, ckpt, table = f"{work}/src", f"{work}/ckpt", f"{work}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(snapshot_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_versions = latest_version(table) + 1
+        assert n_versions == 3, f"expected 3 commits, got {n_versions}"
+        # incremental consumers see exactly the later batches' rows
+        incr = read_changes(spark, table, from_version=0).count()
+        full = read_snapshot(spark, table)
+        assert incr == full.count() - read_snapshot(spark, table, 0).count()
+        out = full.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+        # detach from the temp table so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

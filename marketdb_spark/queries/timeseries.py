@@ -717,3 +717,123 @@ def ts_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         vol.cast("bigint").alias("volume"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+      FROM spans
+    ),
+    prev AS (
+      SELECT g.user_id, g.grid_ts, e.ts AS t1, e.value AS v1
+      FROM grid g ASOF JOIN ev e
+        ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+    ),
+    nxt AS (
+      SELECT g.user_id, g.grid_ts, e.ts AS t2, e.value AS v2
+      FROM grid g ASOF JOIN ev e
+        ON g.user_id = e.user_id AND g.grid_ts <= e.ts
+    ),
+    j AS (
+      SELECT p.user_id, p.grid_ts, p.t1, p.v1, n.t2, n.v2,
+             CAST(epoch_us(n.t2) // 1000000 - epoch_us(p.t1) // 1000000
+                  AS BIGINT) AS den,
+             CAST(epoch_us(n.t2) // 1000000
+                  - epoch_us(p.grid_ts) // 1000000 AS BIGINT) AS w1,
+             CAST(epoch_us(p.grid_ts) // 1000000
+                  - epoch_us(p.t1) // 1000000 AS BIGINT) AS w2,
+             CAST(CAST(p.v1 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v1u,
+             CAST(CAST(n.v2 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v2u
+      FROM prev p JOIN nxt n USING (user_id, grid_ts)
+    )
+    SELECT user_id, grid_ts, t1 AS prev_ts, t2 AS next_ts,
+           CASE WHEN den = 0 THEN v1u ELSE v1u * w1 + v2u * w2 END
+             AS interp_num,
+           CASE WHEN den = 0 THEN CAST(1 AS BIGINT) ELSE den END
+             AS interp_den
+    FROM j
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LINEAR INTERPOLATION — the other half
+    of the gap-fill pair (ts_resample_ffill is the step-function half):
+    per key, sample an hourly grid and attach value = v1 + (v2-v1) *
+    (g-t1)/(t2-t1) between the bracketing observations. The interpolated
+    value is emitted as an EXACT RATIONAL — interp_num/interp_den with
+    micro-scaled integer values and second-resolution weights — because a
+    float division is the one step two engines may round differently;
+    every emitted column is integer/timestamp, so the hash gate checks
+    the interpolation itself, not a rounding convention. Grid points
+    coinciding with an observation get (v1u, 1). Shape: two as-of joins
+    (backward for the v1 bracket, forward for v2) over the same grid —
+    each is the asof operator's single union+window shuffle on user_id —
+    then an equi-join of the two enrichments on (user_id, grid_ts).
+    Points before the first observation have no backward bracket and
+    drop (inner semantics), mirroring ffill."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+            "grid_ts"
+        ),
+    )
+    prev = asof_join(
+        grid, ev, on=["user_id"], left_time="grid_ts", right_time="ts",
+        right_cols=["value"],
+    ).filter(F.col("ts_right").isNotNull()).select(
+        "user_id", "grid_ts",
+        F.col("ts_right").alias("t1"), F.col("value_right").alias("v1"),
+    )
+    nxt = asof_join(
+        grid, ev, on=["user_id"], left_time="grid_ts", right_time="ts",
+        right_cols=["value"], direction="forward",
+    ).filter(F.col("ts_right").isNotNull()).select(
+        "user_id", "grid_ts",
+        F.col("ts_right").alias("t2"), F.col("value_right").alias("v2"),
+    )
+
+    def secs(c):  # epoch seconds: integer div, never a float round-trip
+        return F.expr(f"unix_micros({c}) div 1000000")
+
+    def micros_scaled(c):  # exact micro-scaled integer value
+        return (F.col(c).cast("decimal(18,6)") * 1000000).cast("bigint")
+
+    j = (
+        prev.join(nxt, ["user_id", "grid_ts"])
+        .withColumn("den", secs("t2") - secs("t1"))
+        .withColumn("w1", secs("t2") - secs("grid_ts"))
+        .withColumn("w2", secs("grid_ts") - secs("t1"))
+        .withColumn("v1u", micros_scaled("v1"))
+        .withColumn("v2u", micros_scaled("v2"))
+    )
+    return j.select(
+        "user_id",
+        "grid_ts",
+        F.col("t1").alias("prev_ts"),
+        F.col("t2").alias("next_ts"),
+        F.when(F.col("den") == 0, F.col("v1u"))
+        .otherwise(F.col("v1u") * F.col("w1") + F.col("v2u") * F.col("w2"))
+        .alias("interp_num"),
+        F.when(F.col("den") == 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("den"))
+        .alias("interp_den"),
+    )

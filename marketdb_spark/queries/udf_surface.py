@@ -321,18 +321,28 @@ def udf_cogrouped_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from marketdb_spark.catalog import load as _load
 
-    ev = _load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # the two sides are built from INDEPENDENT scans with distinct value
+    # column names: a self-cogroup whose sides share attribute ids (one
+    # .load() reused twice) hit a column-pruning bug where some partitions
+    # delivered the right-side frames with only the key column (observed
+    # at sf0.1; sf0.01 happened to plan differently)
     par = spark.sparkContext.defaultParallelism
-    purchases = ev.filter(F.col("event_type") == "purchase").repartition(
-        par, "user_id"
+    purchases = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .repartition(par, "user_id")
     )
-    views = ev.filter(F.col("event_type") == "view").repartition(
-        par, "user_id"
+    views = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .repartition(par, "user_id")
     )
 
     def funnel(key, pdf_p: _pd.DataFrame, pdf_v: _pd.DataFrame) -> _pd.DataFrame:
-        p_ts = pdf_p["ts"].astype("int64")
-        v_ts = pdf_v["ts"].astype("int64")
+        p_ts = pdf_p["p_ts"].astype("int64")
+        v_ts = pdf_v["v_ts"].astype("int64")
         if len(p_ts):
             before = int((v_ts < p_ts.min()).sum())
         else:
