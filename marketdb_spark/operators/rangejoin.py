@@ -87,3 +87,63 @@ def cell_range_join(
         .filter((F.col(point_col) >= F.col(start_col)) & upper)
         .drop("__cell")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    cell: str = "1 day",
+) -> DataFrame:
+    """Interval ⋈ interval OVERLAP join (a.start < b.end AND
+    b.start < a.end, half-open intervals) with no shared equi key, via
+    the same manufactured-cell-key device as cell_range_join: BOTH sides
+    explode onto one epoch-anchored grid and hash-join on the cell.
+
+    An overlapping pair shares every cell in [cell(max(starts)),
+    cell(min(ends))] — joining on cells alone would duplicate it. Instead
+    of a post-join dedup shuffle, each pair is counted EXACTLY ONCE at
+    its anchor cell — cell(greatest(a.start, b.start)) — which both
+    exploded sequences provably contain (greatest(starts) lies inside
+    both intervals): a filter, not a distinct.
+
+    Column names must be disjoint between a and b (alias before calling).
+    Work is O(Σ cells_a + Σ cells_b + |cell-collision candidates|); cell
+    width ≈ typical interval width keeps the explode factor ~2 and the
+    candidate set near the true result size."""
+    n_str, _, unit_str = cell.strip().partition(" ")
+    unit = unit_str.strip().rstrip("s")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"interval_overlap_join cell unit must be fixed-width "
+            f"{sorted(_UNIT_SECONDS)}, got {cell!r}"
+        )
+    width_us = int(n_str) * _UNIT_SECONDS[unit] * 1_000_000
+
+    def cell_of(col: Column) -> Column:
+        us = F.unix_micros(col.cast("timestamp"))
+        return us - F.pmod(us, F.lit(width_us))
+
+    def explode_cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    cell_of(F.col(start)), cell_of(F.col(end)), F.lit(width_us)
+                )
+            ),
+        )
+
+    overlap = (F.col(a_start) < F.col(b_end)) & (
+        F.col(b_start) < F.col(a_end)
+    )
+    anchor = cell_of(F.greatest(F.col(a_start), F.col(b_start)))
+    return (
+        explode_cells(a, a_start, a_end)
+        .join(explode_cells(b, b_start, b_end), "__cell")
+        .filter(overlap & (F.col("__cell") == anchor))
+        .drop("__cell")
+    )

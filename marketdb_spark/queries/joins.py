@@ -524,3 +524,54 @@ def join_range_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.sum("n_day").cast("long").alias("n_shipped")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_orderkey AS audit_key,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(MIN(b.o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(b.o_orderkey) AS BIGINT) AS max_key
+    FROM orders a JOIN orders b
+      ON a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+     AND a.o_orderkey <> b.o_orderkey
+    WHERE a.o_orderkey % 1000 = 0
+    GROUP BY a.o_orderkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval ⋈ interval overlap join with NO shared equi key — for
+    each "audit window" (every 1000th order's 30-day fulfillment
+    window), count ALL orders whose own 30-day window overlaps it,
+    across the whole table. The naive plan is a cartesian on a pure
+    range predicate; operators/rangejoin.interval_overlap_join
+    manufactures a cell equi-key (both sides explode onto one
+    epoch-anchored 30-day grid) and counts each pair exactly once at
+    cell(greatest(starts)) — a filter, not a dedup shuffle. This is the
+    two-sided generalization of join_range_cells (interval ⋈ point),
+    completing the range-join family; the registry-wide plan gate proves
+    no BNLJ/cartesian appears."""
+    from marketdb_spark.operators.rangejoin import interval_overlap_join
+
+    orders = load(spark, sf_dir, "orders")
+    win = F.expr("INTERVAL 30 DAYS")
+    audit = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + win).alias("a_end"),
+    )
+    allw = orders.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + win).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        audit, allw, "a_start", "a_end", "b_start", "b_end", cell="30 days"
+    ).filter(F.col("a_key") != F.col("b_key"))
+    return pairs.groupBy(F.col("a_key").alias("audit_key")).agg(
+        F.count("*").alias("n_overlaps"),
+        F.min("b_key").alias("min_key"),
+        F.max("b_key").alias("max_key"),
+    )

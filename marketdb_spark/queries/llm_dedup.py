@@ -716,3 +716,64 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_contain_"),
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_ORACLE}),
+    banded AS (
+      SELECT doc_id, b.b AS band_id,
+             (simhash >> (8 * b.b)) & 255 AS band_val
+      FROM fp CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN banded bb ON a.band_id = bb.band_id
+                  AND a.band_val = bb.band_val
+                  AND a.doc_id < bb.doc_id
+    JOIN fp fa ON fa.doc_id = a.doc_id
+    JOIN fp fb ON fb.doc_id = bb.doc_id
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR GENERATION by band-blocking: split each
+    32-bit fingerprint into 4 bands of 8 bits; any pair within Hamming
+    distance 3 must agree on at least one whole band (pigeonhole), so an
+    exact-match self-join per band finds ALL such pairs with no
+    all-pairs scan — the Google-crawl simhash dedup shape (Manku et al.,
+    WWW'07). Candidates are then verified with bit_count(xor) <= 3 and
+    de-duplicated across bands. At production scale the same code runs a
+    64-bit fingerprint with 8 bands (finer buckets); 32 bits here keeps
+    the DuckDB oracle's list-fold fingerprint mirror exact. Shape:
+    map-side fingerprints + explode(4) → one shuffle on (band_id,
+    band_val) for the self-join — never O(n²)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)  # (doc_id, simhash), map-only
+    band = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id")
+    banded = fp.select("doc_id", "simhash", band).withColumn(
+        # F.shiftright only takes a literal shift; SQL form takes a column
+        "band_val", F.expr("shiftright(simhash, band_id * 8) & 255")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_id",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_id",
+        "band_val",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= 3)
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .distinct()
+    )

@@ -269,3 +269,76 @@ def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_compact_retention",
+    oracle="""
+    SELECT o_orderpriority AS market,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_trade_id,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_trade_id
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def store_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store MAINTENANCE lifecycle under the hash gate: orders land in
+    the (market, date)-partitioned trade store via three separate appends
+    (simulating micro-batch ingest — 3 small files per partition, the
+    small-files problem), then compact_store rewrites every oversplit
+    partition to single target-sized files, then expire_store drops all
+    partitions before 1997-01-01 (retention, the batch form of the
+    watermark), and the surviving store is aggregated — hash-equal to the
+    date-filtered aggregate over raw orders iff compaction was lossless
+    AND retention dropped exactly the right partitions. Mirrors the
+    reference's HBase region compaction + table lifecycle
+    (install/create_tables.sh, drop_tables.sh), which a file-based store
+    must do explicitly. Time is truncated to month so partitions stay
+    coarse (~84 months x 5 markets); at cluster scale the same two
+    operators run as maintenance jobs whose cost scales with
+    fragmentation (compact reads only oversplit partitions; expire is a
+    directory-delete, no data read)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.store import (
+        compact_store,
+        expire_store,
+        read_store,
+        write_partitioned,
+    )
+
+    trades = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("market"),
+        F.col("o_custkey").alias("security"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("time"),
+        F.col("o_orderkey").alias("trade_id"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="compact_store_")
+    path = f"{work}/trades"
+    try:
+        for i in range(3):  # three "micro-batch" appends → 3 files/partition
+            write_partitioned(trades.filter(F.col("trade_id") % 3 == i), path)
+        stats = compact_store(spark, path)
+        assert stats["files_after"] < stats["files_before"], stats
+        dropped = expire_store(spark, path, "1997-01-01")
+        assert dropped["partitions_dropped"] > 0, dropped
+        out = (
+            read_store(spark, path)
+            .groupBy("market")
+            .agg(
+                F.count("*").alias("n_trades"),
+                dsum("price", scale=6).alias("sum_price"),
+                F.min("trade_id").alias("min_trade_id"),
+                F.max("trade_id").alias("max_trade_id"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

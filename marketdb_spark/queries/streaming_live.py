@@ -668,3 +668,91 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_stateful_fold",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    u AS (
+      SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(max_by(vu, ts) AS DOUBLE) AS last_value,
+           CAST(SUM(vu) AS DOUBLE) AS total
+    FROM u GROUP BY user_id
+    """,
+)
+def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL OPERATOR (applyInPandasWithState running fold,
+    streaming/stateful.py — the reference's resumable iteratee,
+    MarketIteratees.scala:6-55) under the driver's hash gate: events
+    stream through 3 micro-batches into the per-key fold, and each key's
+    FINAL state (n_seen, last_value, total) must equal the batch
+    aggregation over all events. Values are pre-scaled to exact integer
+    micro-units (as doubles < 2^53) before entering the fold, so the
+    Python-side float accumulation is exact integer arithmetic and the
+    fold's cross-batch order independence (count, integer sum, max-time
+    value) is what the hash proves. Timestamps are pre-deduped per
+    (user, ts) with MAX so the fold's last-row-by-time is unambiguous.
+    State: NoTimeout (bounded availableNow run; production TTL is
+    state_timeout=True, covered by tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.streaming.stateful import running_fold_stream
+
+    prep = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .cast("double")
+            .alias("vu"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="stateful_fold_")
+    src = f"{work}/src"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # three micro-batches split by TIME (day-of-month tertiles), so
+        # every key's state genuinely accumulates across batches — a
+        # key-split would give each key a single trivial batch
+        tertile = F.least(F.floor((F.dayofmonth("ts") - 1) / 10), F.lit(2))
+        for i in range(3):
+            prep.filter(tertile == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        fold = running_fold_stream(
+            stream, ["user_id"], "ts", "vu", state_timeout=False
+        )
+        tbl = _run_to_memory_append(fold, "stream_stateful", spark)
+        # one emission per (key, batch): the final state is the row with
+        # the key's max n_seen (strictly increasing across emissions)
+        final = F.max(F.struct("n_seen", "last_value", "total"))
+        out = tbl.groupBy("user_id").agg(
+            final.getField("n_seen").alias("n_seen"),
+            final.getField("last_value").alias("last_value"),
+            final.getField("total").alias("total"),
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

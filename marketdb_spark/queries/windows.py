@@ -220,3 +220,53 @@ def win_first_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_in_window"),
         F.last("value").over(w).alias("last_in_window"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS TIMESTAMP) AS island_start,
+           CAST(MAX(day) AS TIMESTAMP) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM numbered GROUP BY user_id, grp
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands segmentation: per user, maximal runs of
+    CONSECUTIVE active days (an island breaks at the first day with no
+    events) — the classic sessionization-at-day-granularity shape
+    (retention streaks, continuous-coverage audits). The day-minus-
+    row_number device turns each island into a constant group key, so
+    the whole thing is one window + one aggregation over the DISTINCT
+    (user, day) frame — which is |users|×|days| rows regardless of event
+    volume: the window never sees the raw fact table. Dates are cast to
+    timestamp on output (cross-engine date stringification differs)."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("day")
+    )
+    numbered = days.withColumn("grp", F.date_sub(F.col("day"), rn))
+    return (
+        numbered.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("timestamp").alias("island_start"),
+            F.max("day").cast("timestamp").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("grp")
+    )

@@ -552,6 +552,68 @@ class TestCellRangeJoin:
             cell_range_join(iv, pt, "s", "e", "p", cell="1 month")
 
 
+class TestIntervalOverlapJoin:
+    """interval_overlap_join must equal the brute-force overlap cross-join
+    with each qualifying pair appearing EXACTLY once (the anchor-cell
+    filter replaces a dedup), across cell widths that split pairs over
+    1..many shared cells; half-open semantics: touching endpoints do not
+    overlap."""
+
+    def _frames(self, spark):
+        a = spark.createDataFrame(
+            [
+                (1, _ts(0), _ts(3600)),          # 1h window
+                (2, _ts(3600), _ts(7200)),       # touches #1 (no overlap)
+                (3, _ts(1800), _ts(5 * 86400)),  # spans many day cells
+                (4, _ts(10 * 86400), _ts(10 * 86400 + 60)),
+            ],
+            "a_id long, a_s timestamp, a_e timestamp",
+        )
+        b = spark.createDataFrame(
+            [
+                (10, _ts(1799), _ts(1801)),              # inside #1 and #3
+                (11, _ts(3599), _ts(3601)),              # straddles 1|2
+                (12, _ts(86400), _ts(2 * 86400)),        # inside #3 only
+                (13, _ts(5 * 86400), _ts(6 * 86400)),    # touches #3 end
+                (14, _ts(-7200), _ts(0)),                # touches #1 start
+                (15, _ts(-1), _ts(20 * 86400)),          # contains all
+            ],
+            "b_id long, b_s timestamp, b_e timestamp",
+        )
+        return a, b
+
+    def _brute(self, a, b):
+        return (
+            a.crossJoin(b)
+            .filter(
+                (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+            )
+            .select("a_id", "b_id")
+        )
+
+    @pytest.mark.parametrize("cell", ["1 day", "2 days", "1 hour", "1 week"])
+    def test_matches_brute_force_exactly_once(self, spark, cell):
+        from marketdb_spark.operators.rangejoin import interval_overlap_join
+
+        a, b = self._frames(spark)
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", cell=cell
+            ).select("a_id", "b_id").collect()
+        )
+        want = sorted((r.a_id, r.b_id) for r in self._brute(a, b).collect())
+        assert got == want and len(want) > 0  # sorted ⇒ duplicates surface
+
+    def test_variable_width_unit_rejected(self, spark):
+        from marketdb_spark.operators.rangejoin import interval_overlap_join
+
+        a = spark.createDataFrame([], "a_id long, a_s timestamp, a_e timestamp")
+        b = spark.createDataFrame([], "b_id long, b_s timestamp, b_e timestamp")
+        with pytest.raises(ValueError, match="fixed-width"):
+            interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell="1 year")
+
+
 class TestPacking:
     def test_prefix_sum_matches_naive_window(self, spark):
         """Distributed two-phase prefix sum == the single-task global
