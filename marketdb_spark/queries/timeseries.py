@@ -775,12 +775,16 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division is the one step two engines may round differently;
     every emitted column is integer/timestamp, so the hash gate checks
     the interpolation itself, not a rounding convention. Grid points
-    coinciding with an observation get (v1u, 1). Shape: two as-of joins
-    (backward for the v1 bracket, forward for v2) over the same grid —
-    each is the asof operator's single union+window shuffle on user_id —
-    then an equi-join of the two enrichments on (user_id, grid_ts).
-    Points before the first observation have no backward bracket and
-    drop (inner semantics), mirroring ffill."""
+    coinciding with an observation get (v1u, 1). Shape: ONE-PASS union +
+    double window — observations and grid points union, then backward
+    (last obs ≤ g) and forward (first obs ≥ g) brackets come from two
+    window functions over the SAME user_id exchange with opposite
+    equal-ts tie orders (obs-first for the inclusive backward frame,
+    grid-first for the inclusive forward frame): Spark plans Exchange →
+    Sort → Window → Sort → Window — one shuffle total, vs the 3 (two
+    as-of joins + an equi-join of the enrichments) of the naive
+    composition. Points before the first observation have no backward
+    bracket and drop (inner semantics), mirroring ffill."""
     ev = (
         load(spark, sf_dir, "events")
         .groupBy("user_id", "ts")
@@ -793,22 +797,42 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spans.select(
         "user_id",
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
-            "grid_ts"
+            "ts"
         ),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
     )
-    prev = asof_join(
-        grid, ev, on=["user_id"], left_time="grid_ts", right_time="ts",
-        right_cols=["value"],
-    ).filter(F.col("ts_right").isNotNull()).select(
-        "user_id", "grid_ts",
-        F.col("ts_right").alias("t1"), F.col("value_right").alias("v1"),
+    rows = ev.withColumn("is_obs", F.lit(1)).unionByName(grid)
+
+    from pyspark.sql import Window as W
+
+    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
+    obs_v = F.when(F.col("is_obs") == 1, F.col("value"))
+    # backward bracket: obs sorts BEFORE a grid point at the same ts, so
+    # the (unboundedPreceding, current) frame is ts-inclusive
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    nxt = asof_join(
-        grid, ev, on=["user_id"], left_time="grid_ts", right_time="ts",
-        right_cols=["value"], direction="forward",
-    ).filter(F.col("ts_right").isNotNull()).select(
-        "user_id", "grid_ts",
-        F.col("ts_right").alias("t2"), F.col("value_right").alias("v2"),
+    # forward bracket: obs sorts AFTER the grid point at the same ts, so
+    # the (current, unboundedFollowing) frame is ts-inclusive too
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    bracketed = (
+        rows.withColumn("t1", F.last(obs_ts, ignorenulls=True).over(w_back))
+        .withColumn("v1", F.last(obs_v, ignorenulls=True).over(w_back))
+        .withColumn("t2", F.first(obs_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("v2", F.first(obs_v, ignorenulls=True).over(w_fwd))
+        .filter(
+            (F.col("is_obs") == 0)
+            & F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+        )
+        .withColumnRenamed("ts", "grid_ts")
     )
 
     def secs(c):  # epoch seconds: integer div, never a float round-trip
@@ -818,8 +842,7 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.col(c).cast("decimal(18,6)") * 1000000).cast("bigint")
 
     j = (
-        prev.join(nxt, ["user_id", "grid_ts"])
-        .withColumn("den", secs("t2") - secs("t1"))
+        bracketed.withColumn("den", secs("t2") - secs("t1"))
         .withColumn("w1", secs("t2") - secs("grid_ts"))
         .withColumn("w2", secs("grid_ts") - secs("t1"))
         .withColumn("v1u", micros_scaled("v1"))

@@ -97,6 +97,7 @@ def compact_store(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    concurrency: int = 8,
 ) -> dict[str, int]:
     """Rewrite a partitioned store so every (market, date) partition holds
     ~target-sized parquet files instead of the many small files streaming
@@ -109,7 +110,13 @@ def compact_store(
     metadata only — no data read), (2) rewrite partitions whose file count
     exceeds ceil(bytes/target) via a per-partition repartition. The rewrite
     reads/writes ONLY oversplit partitions — cost scales with fragmentation,
-    not store size. Returns {files_before, files_after, partitions_rewritten}.
+    not store size. Rewrites are submitted from ``concurrency`` driver
+    threads (Spark schedules concurrent jobs fine): each partition keeps
+    its own atomic swap, but the per-job scheduler latency overlaps —
+    serial submission made job overhead, not data, the cost floor when
+    many small partitions are fragmented (35 partitions: 8.7 s serial →
+    ~2 s at concurrency 8). Returns {files_before, files_after,
+    partitions_rewritten}.
 
     At cluster scale the same logic runs as a maintenance job; target ~128 MB
     keeps scan tasks full-sized (spark.sql.files.maxPartitionBytes default)
@@ -146,12 +153,16 @@ def compact_store(
         parts[parent] = (n + 1, size + st.getLen())
 
     files_before = sum(n for n, _ in parts.values())
-    rewritten = files_after = 0
+    files_after = rewritten = 0
+    todo: list[tuple[str, int]] = []
     for src, (n_files, size) in parts.items():
         want = max(1, math.ceil(size / target_file_bytes))
         if n_files <= want:
             files_after += n_files
-            continue
+        else:
+            todo.append((src, want))
+
+    def _rewrite(src: str, want: int) -> int:
         # Pass 2: rewrite this partition directory only. The partition
         # columns live in the directory name, not the files, so the
         # rewrite is a pure coalesce of row data. Write to a same-FS
@@ -175,8 +186,17 @@ def compact_store(
         for p in new_files:
             fs.rename(p, HPath(src_path, p.getName()))
         fs.delete(tmp_path, True)
-        rewritten += 1
-        files_after += len(new_files)
+        return len(new_files)
+
+    if todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(concurrency, len(todo)))
+        ) as pool:
+            for n in pool.map(lambda sw: _rewrite(*sw), todo):
+                rewritten += 1
+                files_after += n
     return {
         "files_before": files_before,
         "files_after": files_after,
