@@ -111,9 +111,12 @@ def interval_overlap_join(
     both intervals): a filter, not a distinct.
 
     Column names must be disjoint between a and b (alias before calling).
-    Work is O(Σ cells_a + Σ cells_b + |cell-collision candidates|); cell
-    width ≈ typical interval width keeps the explode factor ~2 and the
-    candidate set near the true result size."""
+    PRECONDITION (both operators in this module): start <= end on every
+    row — F.sequence raises on a negative span, surfacing malformed
+    intervals instead of silently dropping them. Work is
+    O(Σ cells_a + Σ cells_b + |cell-collision candidates|); cell width ≈
+    typical interval width keeps the explode factor ~2 and the candidate
+    set near the true result size."""
     n_str, _, unit_str = cell.strip().partition(" ")
     unit = unit_str.strip().rstrip("s")
     if unit not in _UNIT_SECONDS:

@@ -88,3 +88,50 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return audio_meta(synthesize_audio(docs, "doc_id"))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id, text,
+             GREATEST(octet_length(CAST(text AS BLOB)) // 64, 1) AS total
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id,
+             CAST((j.j * total) // LEAST(4, total) AS INT) AS frame_idx,
+             substring(text,
+                       CAST((j.j * total) // LEAST(4, total) AS INT) * 64 + 1,
+                       64) AS frame
+      FROM p CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) j
+      WHERE j.j < LEAST(4, total)
+    )
+    SELECT media_id, frame_idx, md5(frame) AS frame_md5,
+           CAST(octet_length(CAST(frame AS BLOB)) AS BIGINT) AS frame_len
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style FRAME SAMPLING through the 1→N mapInPandas shape
+    (operators/multimodal.sample_frames): each blob is treated as a
+    container of fixed 64-byte frames and 4 evenly spaced frames fan out
+    as rows — Arrow handles the batch growth, no explode shuffle. Frames
+    are emitted as (md5, length) so the hash gate checks the exact frame
+    BYTES each index selects. The oracle mirrors the byte slicing with
+    VARCHAR substring, valid because the corpus is pure ASCII (verified:
+    octet_length == length for every row at every SF; the Spark side
+    slices real UTF-8 bytes). A real video decoder replaces the slicing
+    with codec calls behind the same schema — the sampling/fan-out
+    plumbing is what ships."""
+    from marketdb_spark.operators.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_blob(docs, "doc_id", "text", mime="text/plain")
+    frames = sample_frames(media, frame_size=64, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )

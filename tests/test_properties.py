@@ -251,3 +251,53 @@ def test_interleave_bits_matches_python_model(spark, pairs):
     expect = {(x, y): model(x, y) for x, y in pairs}
     assert got == expect
     assert len(set(got.values())) == len(pairs)  # injective
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=200_000),
+    st.integers(min_value=1, max_value=300_000),
+)  # (start_sec, width_sec) — widths from 1s to ~3.5 days
+
+
+@SLOW
+@given(
+    a_ivs=st.lists(_iv, min_size=1, max_size=12),
+    b_ivs=st.lists(_iv, min_size=1, max_size=12),
+    cell=st.sampled_from(["1 hour", "6 hours", "1 day", "45 minutes"]),
+)
+def test_interval_overlap_join_matches_brute_force(spark, a_ivs, b_ivs, cell):
+    """interval_overlap_join ≡ the brute-force overlap cross-join with
+    every qualifying pair EXACTLY once, for arbitrary interval sets and
+    cell widths — the anchor-cell filter must neither drop a pair whose
+    shared span misses a grid line nor double-count one spanning many."""
+    from marketdb_spark.operators.rangejoin import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(ivs, pre):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    t0 + dt.timedelta(seconds=s),
+                    t0 + dt.timedelta(seconds=s + w),
+                )
+                for i, (s, w) in enumerate(ivs)
+            ],
+            f"{pre}_id long, {pre}_s timestamp, {pre}_e timestamp",
+        )
+
+    a, b = mk(a_ivs, "a"), mk(b_ivs, "b")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell=cell
+        ).select("a_id", "b_id").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, w1) in enumerate(a_ivs)
+        for j, (s2, w2) in enumerate(b_ivs)
+        if s1 < s2 + w2 and s2 < s1 + w1
+    )
+    assert got == want
