@@ -245,26 +245,41 @@ def _signatures_from_hashed(shh: DataFrame, k: int) -> DataFrame:
     return shh.select("id", *mins)
 
 
-def _jaccard_on_candidates(
-    shh: DataFrame, cand: DataFrame, threshold: float
+def _metric_on_candidates(
+    shh: DataFrame, cand: DataFrame, metric: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over hashed shingle sets, restricted to a candidate
-    pair frame: two id-equi-joins (uniform keys) — O(|candidates|), never
-    O(n²)."""
+    """Shared verify kernel: score ``metric`` over hashed shingle sets,
+    restricted to a candidate pair frame — two id-equi-joins (uniform
+    keys), O(|candidates|), never O(n²). ``metric`` is 'jaccard'
+    (|A∩B| / |A∪B|) or 'containment' (|A∩B| / min(|A|, |B|)); one
+    scaffold so every verify path keeps the same join shape."""
     a = shh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     b = shh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    if metric == "jaccard":
+        denom = F.size("sh_a") + F.size("sh_b") - inter
+    elif metric == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+            metric,
+            F.when(denom > 0, inter.cast("double") / denom).otherwise(
+                F.lit(0.0)
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
+
+
+def _jaccard_on_candidates(
+    shh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    return _metric_on_candidates(shh, cand, "jaccard", threshold)
 
 
 def containment_on_candidates(
@@ -274,24 +289,10 @@ def containment_on_candidates(
     shingle sets, restricted to a candidate pair frame. Containment is
     the sub/superset detector Jaccard structurally misses: a page fully
     embedded in a 10× larger page has Jaccard ≤ 0.1 but containment 1.0
-    — the "quoted-inside" duplicate class in web corpora. Same shape as
-    _jaccard_on_candidates: two id-equi-joins, O(|candidates|)."""
-    a = shh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
-    b = shh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "containment",
-            F.when(smaller > 0, inter.cast("double") / smaller).otherwise(
-                F.lit(0.0)
-            ),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    — the "quoted-inside" duplicate class in web corpora. Same kernel as
+    the Jaccard verify (_metric_on_candidates): two id-equi-joins,
+    O(|candidates|)."""
+    return _metric_on_candidates(shh, cand, "containment", threshold)
 
 
 def candidate_jaccard(

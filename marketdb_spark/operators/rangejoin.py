@@ -33,6 +33,43 @@ _UNIT_SECONDS = {
 }
 
 
+def _parse_cell_width_us(cell: str, who: str) -> int:
+    """Parse '<n> <unit>' into an exact microsecond width. One parser for
+    every operator in this module — the two join shapes MUST agree on the
+    grid, so the spec grammar lives in one place. Rejects variable-width
+    units (month/year), non-integer multiples, and non-positive widths
+    (width 0 would make pmod NULL/raise and silently empty the join)."""
+    n_str, _, unit_str = cell.strip().partition(" ")
+    unit = unit_str.strip().rstrip("s")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"{who} cell unit must be fixed-width "
+            f"{sorted(_UNIT_SECONDS)}, got {cell!r}"
+        )
+    try:
+        n = int(n_str)
+    except ValueError:
+        raise ValueError(
+            f"{who} cell multiple must be a positive integer, got {cell!r}"
+        ) from None
+    if n <= 0:
+        raise ValueError(
+            f"{who} cell multiple must be a positive integer, got {cell!r}"
+        )
+    return n * _UNIT_SECONDS[unit] * 1_000_000
+
+
+def _cell_of(col: Column, width_us: int) -> Column:
+    """Epoch-anchored cell id: epoch_micros − epoch_micros mod width.
+    Exact int64 arithmetic — no double division whose rounding could flip
+    a boundary bucket. The timestamp cast: unix_micros rejects
+    TIMESTAMP_NTZ/DATE; the session-tz shift this applies to NTZ values
+    is identical on both sides of any join, so grid alignment (the thing
+    that matters) is unaffected."""
+    us = F.unix_micros(col.cast("timestamp"))
+    return us - F.pmod(us, F.lit(width_us))
+
+
 def cell_range_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -56,21 +93,10 @@ def cell_range_join(
     double division whose rounding could flip a boundary bucket.
     Columns from both inputs are carried through; callers
     project/aggregate after."""
-    n_str, _, unit_str = cell.strip().partition(" ")
-    unit = unit_str.strip().rstrip("s")
-    if unit not in _UNIT_SECONDS:
-        raise ValueError(
-            f"cell_range_join cell unit must be fixed-width "
-            f"{sorted(_UNIT_SECONDS)}, got {cell!r}"
-        )
-    width_us = int(n_str) * _UNIT_SECONDS[unit] * 1_000_000
+    width_us = _parse_cell_width_us(cell, "cell_range_join")
 
     def cell_of(col: str) -> Column:
-        # cast: unix_micros rejects TIMESTAMP_NTZ/DATE; the session-tz
-        # shift this applies to NTZ values is identical on both sides,
-        # so grid alignment (the thing that matters) is unaffected
-        us = F.unix_micros(F.col(col).cast("timestamp"))
-        return us - F.pmod(us, F.lit(width_us))
+        return _cell_of(F.col(col), width_us)
 
     cells = F.sequence(
         cell_of(start_col), cell_of(end_col), F.lit(width_us)
@@ -117,18 +143,10 @@ def interval_overlap_join(
     O(Σ cells_a + Σ cells_b + |cell-collision candidates|); cell width ≈
     typical interval width keeps the explode factor ~2 and the candidate
     set near the true result size."""
-    n_str, _, unit_str = cell.strip().partition(" ")
-    unit = unit_str.strip().rstrip("s")
-    if unit not in _UNIT_SECONDS:
-        raise ValueError(
-            f"interval_overlap_join cell unit must be fixed-width "
-            f"{sorted(_UNIT_SECONDS)}, got {cell!r}"
-        )
-    width_us = int(n_str) * _UNIT_SECONDS[unit] * 1_000_000
+    width_us = _parse_cell_width_us(cell, "interval_overlap_join")
 
     def cell_of(col: Column) -> Column:
-        us = F.unix_micros(col.cast("timestamp"))
-        return us - F.pmod(us, F.lit(width_us))
+        return _cell_of(col, width_us)
 
     def explode_cells(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.withColumn(

@@ -660,3 +660,69 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_ORACLE_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    w AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS weight_u
+      FROM s
+    )
+    SELECT source, lang, n_docs, n_tokens, weight_u,
+           CAST((n_tokens * 1000000)
+                // (SELECT SUM(n_tokens) FROM s) AS BIGINT) AS share_ppm,
+           CAST((10000 * weight_u)
+                // (SELECT SUM(weight_u) FROM w) AS BIGINT) AS quota_docs
+    FROM w
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXING weights for multi-source/multi-lingual training — the
+    sampling schedule step every LLM corpus pipeline runs after cleaning:
+    per (source, lang) stratum, token counts plus a temperature-scaled
+    sampling weight w = tokens^alpha with alpha = 0.5 (upsamples the
+    tail, downweights the head — the multilingual-LM recipe), and the
+    resulting integer document quota out of a 10k-batch budget. sqrt is
+    the ONE float op and is IEEE-exactly-rounded on both engines (inputs
+    are integers < 2^52), so floor(1e6*sqrt(n)) is deterministic; shares
+    and quotas are integer floor-division against the single-row totals.
+    Shape: one two-phase count over the corpus into |strata| rows; the
+    totals come from an empty-partition window OVER THE STRATA FRAME —
+    a single-partition exchange of |sources|×|langs| rows at any corpus
+    size, so the corpus is scanned exactly once (scalar subqueries over
+    the lazy strata plan would have re-aggregated it per subquery).
+    Pairs with sample_stratified_det, which APPLIES a schedule like
+    this scan-side."""
+    docs = load(spark, sf_dir, "documents")
+    n = token_count("text")
+    s = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "weight_u",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+            "bigint"
+        ),
+    )
+    return w.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_u",
+        F.expr(
+            "CAST((n_tokens * 1000000) div (SUM(n_tokens) OVER ()) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((10000 * weight_u) div (SUM(weight_u) OVER ()) AS BIGINT)"
+        ).alias("quota_docs"),
+    )

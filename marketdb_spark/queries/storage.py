@@ -297,8 +297,12 @@ def store_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND retention dropped exactly the right partitions. Mirrors the
     reference's HBase region compaction + table lifecycle
     (install/create_tables.sh, drop_tables.sh), which a file-based store
-    must do explicitly. Time is truncated to month so partitions stay
-    coarse (~84 months x 5 markets); at cluster scale the same two
+    must do explicitly. Time is truncated to YEAR so partitions stay
+    coarse (7 years x 5 markets = 35): compact_store rewrites each
+    oversplit partition as its own job, so partition count — not data
+    volume — drives job count (the month-granularity first cut, 420
+    partitions, spent ~90 s on per-partition job overhead at sf0.1), and
+    retention granularity is whole years. At cluster scale the same two
     operators run as maintenance jobs whose cost scales with
     fragmentation (compact reads only oversplit partitions; expire is a
     directory-delete, no data read)."""

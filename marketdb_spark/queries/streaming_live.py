@@ -729,7 +729,10 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # three micro-batches split by TIME (day-of-month tertiles), so
         # every key's state genuinely accumulates across batches — a
-        # key-split would give each key a single trivial batch
+        # key-split would give each key a single trivial batch. prep is
+        # materialized once; without it each write re-ran the events
+        # scan + dedup shuffle (3x the dominant cost)
+        prep = prep.localCheckpoint()
         tertile = F.least(F.floor((F.dayofmonth("ts") - 1) / 10), F.lit(2))
         for i in range(3):
             prep.filter(tertile == i).coalesce(1).write.mode(
