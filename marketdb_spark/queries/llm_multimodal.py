@@ -135,3 +135,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("frame").alias("frame_md5"),
         F.length("frame").cast("bigint").alias("frame_len"),
     )
+
+
+@query(
+    "mm_arrow_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(CASE WHEN length(text) >= 2
+                THEN ascii(substring(text, 1, 1)) * 256
+                     + ascii(substring(text, 2, 1))
+                ELSE NULL END AS INT) AS fake_width
+    FROM documents
+    """,
+)
+def mm_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow media path under the hash gate: the UDF receives
+    and emits raw pyarrow.RecordBatches — zero pandas materialization,
+    the leanest lane for binary-heavy rows (a pandas Series of blobs
+    copies every buffer; Arrow buffers are zero-copy IPC slices). The
+    oracle recomputes the byte-level features (length, content md5,
+    first-two-bytes "width") from the text carrier — exact because the
+    corpus is pure ASCII, so VARCHAR positions are byte positions.
+    Sibling of mm_decode_features (mapInPandas, real codecs); this row
+    pins the Arrow-native API variant the 100 TB pipeline would use."""
+    from marketdb_spark.operators.multimodal import decode_media_arrow
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_blob(docs, "doc_id", "text", mime="text/plain")
+    return decode_media_arrow(media)
