@@ -719,6 +719,48 @@ def ts_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bracket_obs(rows):
+    """Attach backward/forward observation brackets (t1, v1, t2, v2) to
+    every row of a union frame with columns (user_id, ts, value, is_obs):
+    t1/v1 = the latest observation at-or-before the row's ts, t2/v2 = the
+    earliest at-or-after. The shared kernel of ts_resample_interp and
+    ts_asof_nearest.
+
+    Brackets are carried as (ts, value) STRUCTS from one observation row
+    — bracketing ts and value with separate last/first(ignorenulls)
+    calls would desynchronize them when a matched observation's value is
+    NULL (ignorenulls skips past it to an OLDER observation's value
+    while the timestamp stays put). Plan shape: both windows share one
+    user_id exchange (Sort→Window→Sort→Window — the equal-ts tie orders
+    are opposite: obs-first makes the backward frame ts-inclusive,
+    grid-first the forward one)."""
+    from pyspark.sql import Window as W
+
+    obs = F.when(
+        F.col("is_obs") == 1,
+        F.struct(F.col("ts").alias("t"), F.col("value").alias("v")),
+    )
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        rows.withColumn("__b", F.last(obs, ignorenulls=True).over(w_back))
+        .withColumn("__f", F.first(obs, ignorenulls=True).over(w_fwd))
+        .withColumn("t1", F.col("__b.t"))
+        .withColumn("v1", F.col("__b.v"))
+        .withColumn("t2", F.col("__f.t"))
+        .withColumn("v2", F.col("__f.v"))
+        .drop("__b", "__f")
+    )
+
+
 @query(
     "ts_resample_interp",
     oracle="""
@@ -803,30 +845,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_obs"),
     )
     rows = ev.withColumn("is_obs", F.lit(1)).unionByName(grid)
-
-    from pyspark.sql import Window as W
-
-    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
-    obs_v = F.when(F.col("is_obs") == 1, F.col("value"))
-    # backward bracket: obs sorts BEFORE a grid point at the same ts, so
-    # the (unboundedPreceding, current) frame is ts-inclusive
-    w_back = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    # forward bracket: obs sorts AFTER the grid point at the same ts, so
-    # the (current, unboundedFollowing) frame is ts-inclusive too
-    w_fwd = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
     bracketed = (
-        rows.withColumn("t1", F.last(obs_ts, ignorenulls=True).over(w_back))
-        .withColumn("v1", F.last(obs_v, ignorenulls=True).over(w_back))
-        .withColumn("t2", F.first(obs_ts, ignorenulls=True).over(w_fwd))
-        .withColumn("v2", F.first(obs_v, ignorenulls=True).over(w_fwd))
+        _bracket_obs(rows)
         .filter(
             (F.col("is_obs") == 0)
             & F.col("t1").isNotNull()
@@ -928,30 +948,9 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = trades.unionByName(quotes)
-
-    from pyspark.sql import Window as W
-
-    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
-    obs_v = F.when(F.col("is_obs") == 1, F.col("value"))
-    w_back = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_fwd = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    b = (
-        rows.withColumn("t1", F.last(obs_ts, ignorenulls=True).over(w_back))
-        .withColumn("v1", F.last(obs_v, ignorenulls=True).over(w_back))
-        .withColumn("t2", F.first(obs_ts, ignorenulls=True).over(w_fwd))
-        .withColumn("v2", F.first(obs_v, ignorenulls=True).over(w_fwd))
-        .filter(
-            (F.col("is_obs") == 0)
-            & (F.col("t1").isNotNull() | F.col("t2").isNotNull())
-        )
+    b = _bracket_obs(rows).filter(
+        (F.col("is_obs") == 0)
+        & (F.col("t1").isNotNull() | F.col("t2").isNotNull())
     )
     d_back = F.unix_micros("ts") - F.unix_micros("t1")
     d_fwd = F.unix_micros("t2") - F.unix_micros("ts")

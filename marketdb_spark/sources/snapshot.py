@@ -114,11 +114,21 @@ def write_snapshot(
     table: str,
     mode: str = "append",
     max_retries: int = 5,
+    expected_version: int | None = None,
 ) -> int:
     """Commit ``df`` to the snapshot table atomically; returns the new
     version. ``mode`` is 'append' or 'overwrite'. Safe under concurrent
     writers: data lands in a private directory first, then the commit
-    races on an exclusive create of the next log file."""
+    races on an exclusive create of the next log file.
+
+    ``expected_version`` makes the commit CONDITIONAL (true optimistic
+    concurrency for read-modify-write callers like merge_snapshot): the
+    write commits as ``expected_version + 1`` or raises CommitConflict —
+    it never retries onto a later version, because a blind retry would
+    publish a result computed against a base the table has moved past
+    (the lost-update anomaly). Blind appends keep the retry loop: an
+    append is order-independent, so racing to the next free version is
+    safe for them."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     commit_id = uuid.uuid4().hex
@@ -131,6 +141,22 @@ def write_snapshot(
         if f.endswith(".parquet")
     )
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    if expected_version is not None:
+        version = expected_version + 1
+        entry = {"version": version, "action": mode, "files": files}
+        try:
+            fd = os.open(
+                _log_path(table, version),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"table {table} advanced past version {expected_version}; "
+                f"re-read and re-apply the merge"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        return version
     for _ in range(max_retries):
         prev = latest_version(table)
         version = 0 if prev is None else prev + 1
@@ -322,20 +348,44 @@ def merge_snapshot(
     a full overwrite — the commit protocol is unchanged, only the file
     list shrinks.
 
-    The anti-join uses ALL source keys (including deletes), so a key
-    that both updates and deletes in one batch resolves to the source
-    row's delete flag — last-writer-wins within a batch is the caller's
-    contract, not ordering luck."""
-    base = read_snapshot(spark, table)
-    keys = source.select(*key_cols).distinct()
+    Two Delta-MERGE invariants are enforced, not assumed:
+    - CONFLICT SAFETY: the commit is conditional on the version the base
+      was read at (write_snapshot expected_version) — if any writer
+      committed in between, this raises CommitConflict instead of
+      silently publishing a merge computed against a stale base (the
+      lost-update anomaly a blind read-modify-write has).
+    - SOURCE KEY UNIQUENESS: duplicate keys in one source batch raise
+      ValueError (Delta's 'multiple source rows matched'); letting both
+      rows land would silently break the upsert-by-key invariant, and
+      an update+delete pair for one key has no defined winner."""
+    from pyspark.sql import functions as F
+
+    base_version = latest_version(table)
+    if base_version is None:
+        raise ValueError(f"{table} has no committed version to merge into")
+    base = read_snapshot(spark, table, version=base_version)
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in key_cols)!r}; one row per key "
+            f"per batch (Delta 'multiple source rows matched')"
+        )
+    keys = source.select(*key_cols)
     kept = base.join(keys, on=key_cols, how="left_anti")
     if delete_col is not None:
-        from pyspark.sql import functions as F
-
         survivors = source.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
     else:
         survivors = source
     merged = kept.unionByName(survivors)
-    return write_snapshot(merged, table, mode="overwrite")
+    return write_snapshot(
+        merged, table, mode="overwrite", expected_version=base_version
+    )

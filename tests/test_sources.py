@@ -629,6 +629,43 @@ class TestSnapshotTable:
             (1, "a"), (2, "b"), (3, "c")
         ]
 
+    def test_merge_rejects_duplicate_source_keys(self, spark, tmp_path):
+        """One row per key per merge batch (Delta 'multiple source rows
+        matched'): duplicates would silently break upsert-by-key."""
+        from marketdb_spark.sources.snapshot import (
+            merge_snapshot,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        src = spark.createDataFrame(
+            [(1, "B", False), (1, None, True)], "k long, v string, is_delete boolean"
+        )
+        with pytest.raises(ValueError, match="multiple rows"):
+            merge_snapshot(spark, t, src, ["k"], "is_delete")
+
+    def test_conditional_commit_conflicts_on_stale_base(self, spark, tmp_path):
+        """write_snapshot(expected_version=...) must raise CommitConflict
+        when the table advanced past the read version — the lost-update
+        guard merge_snapshot relies on — instead of retrying onto a later
+        version with a stale result."""
+        from marketdb_spark.sources.snapshot import (
+            CommitConflict,
+            write_snapshot,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        assert write_snapshot(df, t) == 0
+        assert write_snapshot(df, t) == 1  # another writer advanced the table
+        with pytest.raises(CommitConflict, match="advanced past"):
+            write_snapshot(df, t, mode="overwrite", expected_version=0)
+        # and the conditional commit succeeds when the base is current
+        assert write_snapshot(df, t, mode="overwrite", expected_version=1) == 2
+
     def test_concurrent_commit_exactly_one_version_each(self, spark, tmp_path):
         """Two writers race: both data writes land, the exclusive log
         create serializes them into distinct versions — no lost update,
