@@ -964,3 +964,163 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(take_back, F.col("t1")).otherwise(F.col("t2")).alias("quote_ts"),
         F.when(take_back, F.col("v1")).otherwise(F.col("v2")).alias("quote_px"),
     )
+
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 UTC, shrinks x so x² sums stay exact
+
+
+@query(
+    "ts_linreg_trend",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                  - {_EPOCH_2024} AS HUGEINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yu
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(yu) AS sy,
+             SUM(x * yu) AS sxy, SUM(x * x) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_micro_per_sec
+    FROM a
+    """,
+)
+def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series LINEAR TREND (ordinary least squares slope of value
+    over time) — the drift estimator behind momentum/decay analytics —
+    with the moment sums computed EXACTLY: x = epoch seconds rebased to
+    2024-01-01 (slope is shift-invariant; rebasing keeps x² sums within
+    exact integer range), y = micro-scaled integer value, and Sx, Sy,
+    Sxy, Sxx accumulated as decimal(38,0) on Spark / HUGEINT in DuckDB —
+    order-independent, unlike the streaming covar/var built-ins whose
+    float accumulation both engines order differently. The closed-form
+    slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) then converts the exact
+    integers to doubles (correctly rounded identically on both engines)
+    for one final division of identical operands. Degenerate series
+    (all observations at one timestamp) yield NULL. Shape: one
+    two-phase aggregation — five map-side integer sums per key."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts) div 1000000") - F.lit(_EPOCH_2024)
+        ).cast("decimal(20,0)").alias("x"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(20,0)")
+        .alias("yu"),
+    )
+    a = p.groupBy("user_id").agg(
+        F.count("*").cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return a.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_obs"),
+        num.cast("double").alias("slope_num"),
+        den.cast("double").alias("slope_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_micro_per_sec"
+        ),
+    )
+
+
+@query(
+    "ts_corr_series",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS HUGEINT) AS x
+      FROM events WHERE event_type = 'view'
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                           AS HUGEINT)) AS HUGEINT) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    j AS (SELECT v.user_id, v.x, p.y FROM v JOIN p USING (user_id, h)),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS corr_view_purchase
+    FROM a
+    """,
+)
+def ts_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SERIES Pearson correlation, engine-exact: per user, the
+    correlation between hourly view activity (count) and hourly purchase
+    volume (exact micro-scaled sum) over the hours where both exist.
+    Spark's corr()/covar_samp() accumulate floats in partition order, so
+    two engines (or two runs) can disagree in the last bits — here every
+    moment sum (Sx, Sy, Sxy, Sxx, Syy) is an exact integer
+    (decimal(38,0) / HUGEINT), and the one float sequence — int→double
+    conversion, multiply, sqrt, divide — has identical operands on both
+    engines, so IEEE rounding is identical too. Degenerate series
+    (constant x or y) yield NULL. Shape: two grouped counts, an
+    equi-join on (user, hour), one moment aggregation — all two-phase,
+    no window."""
+    ev = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts")).alias("h")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", h)
+        .agg(F.count("*").cast("decimal(20,0)").alias("x"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", h)
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast(
+                    "decimal(20,0)"
+                )
+            ).alias("y")
+        )
+    )
+    j = v.join(p, ["user_id", "h"]).select("user_id", "x", "y")
+    a = j.groupBy("user_id").agg(
+        F.count("*").cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.when(
+            (dx != 0) & (dy != 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("corr_view_purchase"),
+    )
