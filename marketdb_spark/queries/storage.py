@@ -433,3 +433,57 @@ def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_deltalog_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_deltalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the DELTA LAKE transaction log
+    (sources/deltalog.py — protocol replay, no delta jars): orders
+    commit in two appends (even keys at v0, odd keys at v1) through the
+    minimal protocol-correct writer, then the latest snapshot is read
+    back by log replay and aggregated — hash-equal to the raw table iff
+    the add-action file set, schema round-trip (schemaString →
+    StructType), and commit versioning are all correct. Time travel is
+    asserted inline (v0 reads exactly the even-keyed half). Interop
+    scope: the reader replays JSON commits + parquet checkpoints from
+    ANY Delta writer (spec-fidelity pinned by hand-crafted-log unit
+    tests in tests/test_sources.py::TestDeltaLog); at scale the replay
+    cost is the KB-sized log, and the returned frame scans exactly the
+    live files."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="deltalog_store_")
+    t = f"{work}/orders_tbl"
+    try:
+        evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+        assert write_delta(evens, t) == 0
+        assert write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t) == 1
+        assert read_delta(spark, t, version=0).count() == evens.count()
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -5,6 +5,7 @@ TradeDataIterateeTest, MarketDbTradesTest reject cases, UIDProviderTest)."""
 from __future__ import annotations
 
 import json
+import os
 from decimal import Decimal
 
 import pytest
@@ -896,3 +897,180 @@ class TestZipDataSource:
             zf.writestr("readme.txt", "junk")
         with pytest.raises(Exception, match="ft.csv"):
             read_rts_zip_distributed(spark, str(zp)).collect()
+
+
+class TestDeltaLog:
+    """Jar-free Delta Lake log reader (sources/deltalog.py). The read
+    path is tested against HAND-CRAFTED protocol JSON (spec fidelity —
+    not just a round-trip of our own writer), plus the writer
+    round-trip and a parquet checkpoint."""
+
+    _SCHEMA = (
+        '{"type":"struct","fields":['
+        '{"name":"k","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"v","type":"string","nullable":true,"metadata":{}}]}'
+    )
+
+    def _mk_file(self, table, name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "v": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(table, name),
+        )
+
+    def _commit(self, table, version, actions):
+        import json as _json
+
+        log = os.path.join(table, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    def _meta(self, partition_cols=()):
+        import json as _json
+
+        schema = self._SCHEMA
+        if partition_cols:
+            schema = schema.replace(
+                "]}",
+                ',{"name":"p","type":"string","nullable":true,'
+                '"metadata":{}}]}',
+            )
+        return {
+            "metaData": {
+                "id": "t",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": list(partition_cols),
+                "configuration": {},
+            }
+        }
+
+    def test_handcrafted_log_add_remove_time_travel(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import delta_versions, read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        self._mk_file(t, "f1.parquet", [(1, "a"), (2, "b")])
+        self._mk_file(t, "f2.parquet", [(3, "c")])
+        add = lambda p: {"add": {"path": p, "partitionValues": {},
+                                 "size": 1, "dataChange": True}}
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            self._meta(), add("f1.parquet"),
+        ])
+        self._commit(t, 1, [add("f2.parquet")])
+        self._commit(t, 2, [
+            {"remove": {"path": "f1.parquet", "dataChange": True}},
+        ])
+        assert delta_versions(t) == [0, 1, 2]
+        rows = lambda df: sorted(tuple(r) for r in df.collect())
+        assert rows(read_delta(spark, t, 0)) == [(1, "a"), (2, "b")]
+        assert rows(read_delta(spark, t, 1)) == [(1, "a"), (2, "b"), (3, "c")]
+        assert rows(read_delta(spark, t)) == [(3, "c")]
+
+    def test_partition_values_are_authoritative(self, spark, tmp_path):
+        """Partition columns come from add.partitionValues, not from any
+        directory layout — data files do NOT contain the column."""
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        self._mk_file(t, "f1.parquet", [(1, "a")])
+        self._mk_file(t, "f2.parquet", [(2, "b")])
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            self._meta(partition_cols=["p"]),
+            {"add": {"path": "f1.parquet", "partitionValues": {"p": "x"},
+                     "size": 1, "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {"p": "y"},
+                     "size": 1, "dataChange": True}},
+        ])
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "a", "x"), (2, "b", "y")]
+
+    def test_checkpoint_replay(self, spark, tmp_path):
+        """A parquet checkpoint replaces the JSON commits at or before
+        its version; later JSON commits apply on top."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "_delta_log"))
+        self._mk_file(t, "f1.parquet", [(1, "a")])
+        self._mk_file(t, "f2.parquet", [(2, "b")])
+        meta = self._meta()["metaData"]
+        # explicit schema: partitionValues is map<string,string> in real
+        # Delta checkpoints (an empty inferred struct can't hit parquet)
+        ck_schema = pa.schema([
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+            ])),
+            ("protocol", pa.struct([("minReaderVersion", pa.int32())])),
+        ])
+        ck = pa.Table.from_pylist([
+            {"add": {"path": "f1.parquet", "partitionValues": []},
+             "metaData": None, "protocol": None},
+            {"add": None,
+             "metaData": {"id": meta["id"],
+                          "schemaString": meta["schemaString"],
+                          "partitionColumns": meta["partitionColumns"]},
+             "protocol": None},
+            {"add": None, "metaData": None,
+             "protocol": {"minReaderVersion": 1}},
+        ], schema=ck_schema)
+        pq.write_table(
+            ck, os.path.join(t, "_delta_log", f"{1:020d}.checkpoint.parquet")
+        )
+        self._commit(t, 2, [
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "dataChange": True}},
+        ])
+        got = sorted(tuple(r) for r in read_delta(spark, t, 2).collect())
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_unsupported_reader_version_raises(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        self._mk_file(t, "f1.parquet", [(1, "a")])
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            self._meta(),
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "dataChange": True}},
+        ])
+        with pytest.raises(ValueError, match="minReaderVersion"):
+            read_delta(spark, t)
+
+    def test_writer_roundtrip_time_travel(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b = spark.createDataFrame([(3, "c")], "k long, v string")
+        c = spark.createDataFrame([(9, "z")], "k long, v string")
+        assert write_delta(a, t) == 0
+        assert write_delta(b, t) == 1
+        assert write_delta(c, t, mode="overwrite") == 2
+        rows = lambda df: sorted(tuple(r) for r in df.collect())
+        assert rows(read_delta(spark, t)) == [(9, "z")]
+        assert rows(read_delta(spark, t, 1)) == [(1, "a"), (2, "b"), (3, "c")]
+        assert rows(read_delta(spark, t, 0)) == [(1, "a"), (2, "b")]
