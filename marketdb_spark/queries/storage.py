@@ -472,8 +472,11 @@ def store_deltalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = f"{work}/orders_tbl"
     try:
         evens = orders.filter(F.col("o_orderkey") % 2 == 0)
-        assert write_delta(evens, t) == 0
-        assert write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t) == 1
+        # writes stay OUTSIDE asserts: under python -O an assert-wrapped
+        # side effect silently never runs
+        v0 = write_delta(evens, t)
+        v1 = write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        assert (v0, v1) == (0, 1), (v0, v1)
         assert read_delta(spark, t, version=0).count() == evens.count()
         out = (
             read_delta(spark, t)

@@ -16,12 +16,15 @@ file set after replaying 0..V — same replay model as our own snapshot
 table (sources/snapshot.py), which is why the implementation is ~100
 lines: Delta's log IS a superset of that design.
 
-Scope (documented, not hidden): JSON commits + the ``_last_checkpoint``
-parquet checkpoint are replayed; deletion vectors, column mapping, and
-v2 checkpoints (reader version > 1 features) raise instead of returning
-wrong rows. Partition values ride back in as literal columns per add —
-the directory layout is NOT trusted (the protocol says partitionValues
-is authoritative).
+Scope (documented, not hidden): JSON commits + single-part classic
+parquet checkpoints are replayed (located by filename; checkpoint-only
+tables whose JSON commits expired under log retention read fine).
+Deletion vectors, column mapping, v2 and multi-part checkpoints, and
+truncated logs with no covering checkpoint RAISE instead of returning
+wrong rows; add/remove paths are percent-decoded per the protocol and
+absolute (shallow-clone) paths are rejected. Partition values ride back
+in as literal columns per add — the directory layout is NOT trusted
+(the protocol says partitionValues is authoritative).
 
 At 100 TB the replay cost is the log size (KBs per commit, one
 checkpoint parquet), not the data; the returned DataFrame scans exactly
@@ -57,28 +60,77 @@ def delta_versions(table: str) -> list[int]:
     return [v for v, _ in _log_entries(table)]
 
 
+def _checkpoint_versions(table: str) -> list[int]:
+    """Versions of single-part classic checkpoints. Multi-part classic
+    checkpoints (``n.checkpoint.k.m.parquet``) and v2 checkpoints are an
+    explicit ERROR, not a silent skip — ignoring one and replaying JSON
+    alone can return a partial file set once log cleanup has removed the
+    pre-checkpoint commits."""
+    import re
+
+    singles, unsupported = [], []
+    for name in os.listdir(os.path.join(table, _LOG)):
+        if re.fullmatch(r"\d{20}\.checkpoint\.parquet", name):
+            singles.append(int(name.split(".")[0]))
+        elif re.fullmatch(r"\d+\.checkpoint\..+", name):
+            unsupported.append(name)
+    if unsupported:
+        raise ValueError(
+            f"unsupported checkpoint layout {sorted(unsupported)} "
+            f"(multi-part / v2 checkpoints need a feature-aware reader)"
+        )
+    return sorted(singles)
+
+
+def _decode_path(raw: str) -> str:
+    """add/remove paths are URL-encoded per the protocol (RFC 2396);
+    decode before touching the filesystem. Absolute paths (shallow
+    clones) are out of scope — error, never read outside the table."""
+    from urllib.parse import unquote
+
+    path = unquote(raw)
+    if os.path.isabs(path) or "://" in path:
+        raise ValueError(
+            f"absolute add.path {raw!r} unsupported (shallow clones are "
+            f"out of this reader's scope)"
+        )
+    return path
+
+
 def _replay(table: str, version: int | None):
     """Replay the log up to ``version`` (default: latest). Returns
     (schema_json, partition_cols, {path: partitionValues})."""
     entries = _log_entries(table)
-    if not entries:
+    ckpts = _checkpoint_versions(table)
+    if not entries and not ckpts:
         raise ValueError(f"no Delta log at {table}/{_LOG}")
+    latest = max(
+        entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+    )
     if version is None:
-        version = entries[-1][0]
+        version = latest
+    elif version > latest:
+        raise ValueError(
+            f"version {version} not in {table} (latest is {latest})"
+        )
     schema_json: str | None = None
     part_cols: list[str] = []
     live: dict[str, dict] = {}
 
     # Start from the newest checkpoint at-or-before `version`, if any —
-    # the protocol's _last_checkpoint points at the latest one; older
-    # ones remain addressable by filename.
-    ckpt_version = -1
+    # a checkpoint-only table (JSON commits expired by log retention) is
+    # valid: the checkpoint fully describes the snapshot.
+    ckpt_version = max((v for v in ckpts if v <= version), default=-1)
+    # reconstruction is complete iff a checkpoint anchors the replay OR
+    # the JSON log still reaches back to version 0 — anything else is a
+    # truncated history and must error, not return a partial file set
+    if ckpt_version < 0 and (not entries or entries[0][0] != 0):
+        raise ValueError(
+            f"cannot reconstruct version {version} of {table}: no "
+            f"checkpoint at-or-before it and the JSON log does not "
+            f"start at 0 (log cleanup removed early commits)"
+        )
     log_dir = os.path.join(table, _LOG)
-    for name in sorted(os.listdir(log_dir)):
-        if name.endswith(".checkpoint.parquet"):
-            v = int(name.split(".")[0])
-            if v <= version:
-                ckpt_version = max(ckpt_version, v)
     if ckpt_version >= 0:
         import pyarrow.parquet as pq
 
@@ -94,7 +146,9 @@ def _replay(table: str, version: int | None):
                 # checkpoint schema stores partitionValues as
                 # map<string,string>; pyarrow's to_pylist renders maps
                 # as (key, value) tuple lists
-                live[add["path"]] = dict(pv) if isinstance(pv, list) else pv
+                live[_decode_path(add["path"])] = (
+                    dict(pv) if isinstance(pv, list) else pv
+                )
             meta = row.get("metaData")
             if meta and meta.get("schemaString"):
                 schema_json = meta["schemaString"]
@@ -123,9 +177,11 @@ def _replay(table: str, version: int | None):
                     )
                 elif "add" in action:
                     a = action["add"]
-                    live[a["path"]] = a.get("partitionValues") or {}
+                    live[_decode_path(a["path"])] = (
+                        a.get("partitionValues") or {}
+                    )
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    live.pop(_decode_path(action["remove"]["path"]), None)
                 elif "protocol" in action:
                     if (action["protocol"].get("minReaderVersion") or 1) > 1:
                         raise ValueError(
@@ -189,13 +245,21 @@ def write_delta(
 ) -> int:
     """Minimal protocol-correct Delta writer (unpartitioned tables):
     data files land at the table root under fresh names, then one
-    commit JSON (protocol + metaData on first commit, add/remove
-    actions after) claims the next version via an exclusive create —
-    the same put-if-absent commit race as sources/snapshot.py, which is
-    also how Delta itself commits. Exists so round-trips and interop
-    tests don't need delta jars; partitioned WRITES are out of scope
-    (the reader handles partitioned tables written by real writers)."""
+    commit JSON (protocol + metaData on first commit or schema-changing
+    overwrite, add/remove actions) claims the next version via an
+    exclusive create — the same put-if-absent commit race as
+    sources/snapshot.py (and Delta itself), with the same retry
+    discipline: blind appends recompute and retry, and a final loss
+    raises the shared CommitConflict. Guards, not assumptions: an append
+    to a PARTITIONED table or with a mismatched schema raises instead of
+    silently committing adds the existing metaData would misread; an
+    overwrite with a new schema re-emits metaData so readers never force
+    the old schema onto new files. Exists so round-trips and interop
+    tests don't need delta jars; partitioned WRITES are out of scope."""
+    import shutil as _shutil
     import uuid as _uuid
+
+    from marketdb_spark.sources.snapshot import CommitConflict
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -208,51 +272,66 @@ def write_delta(
             name = f"part-{_uuid.uuid4().hex}.parquet"
             os.replace(os.path.join(tmp, f), os.path.join(table, name))
             names.append(name)
-    import shutil as _shutil
-
     _shutil.rmtree(tmp, ignore_errors=True)
 
-    entries = _log_entries(table)
-    removes: list[str] = []
-    if mode == "overwrite" and entries:
-        _, _, live = _replay(table, None)
-        removes = sorted(live)
-    version = entries[-1][0] + 1 if entries else 0
-    actions = []
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-        actions.append(
-            {
-                "metaData": {
-                    "id": _uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": [],
-                    "configuration": {},
+    for _ in range(5):
+        entries = _log_entries(table)
+        removes: list[str] = []
+        need_meta = not entries
+        if entries:
+            schema_json, part_cols, live = _replay(table, None)
+            if part_cols:
+                raise ValueError(
+                    f"{table} is partitioned ({part_cols}); partitioned "
+                    f"writes are out of this writer's scope"
+                )
+            if mode == "overwrite":
+                removes = sorted(live)
+                need_meta = schema_json != df.schema.json()
+            elif schema_json != df.schema.json():
+                raise ValueError(
+                    f"append schema mismatch on {table}: table has "
+                    f"{schema_json}, batch has {df.schema.json()}"
+                )
+        version = entries[-1][0] + 1 if entries else 0
+        actions = []
+        if not entries:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if need_meta:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": _uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
                 }
-            }
-        )
-    for p in removes:
-        actions.append(
-            {"remove": {"path": p, "dataChange": True}}
-        )
-    for n in names:
-        actions.append(
-            {
-                "add": {
-                    "path": n,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table, n)),
-                    "modificationTime": 0,
-                    "dataChange": True,
+            )
+        for p in removes:
+            actions.append({"remove": {"path": p, "dataChange": True}})
+        for n in names:
+            actions.append(
+                {
+                    "add": {
+                        "path": n,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, n)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
                 }
-            }
-        )
-    log_path = os.path.join(table, _LOG, f"{version:020d}.json")
-    fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    return version
+            )
+        log_path = os.path.join(table, _LOG, f"{version:020d}.json")
+        try:
+            fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue  # lost the race — recompute the live set and retry
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        return version
+    raise CommitConflict(f"lost the commit race 5 times on {table}")

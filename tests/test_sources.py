@@ -1074,3 +1074,134 @@ class TestDeltaLog:
         assert rows(read_delta(spark, t)) == [(9, "z")]
         assert rows(read_delta(spark, t, 1)) == [(1, "a"), (2, "b"), (3, "c")]
         assert rows(read_delta(spark, t, 0)) == [(1, "a"), (2, "b")]
+
+
+class TestDeltaLogEdges:
+    """Protocol edge cases the first cut silently mishandled: encoded
+    paths, checkpoint-only tables, truncated logs, version validation,
+    multi-part checkpoints, writer races and schema guards."""
+
+    _SCHEMA = TestDeltaLog._SCHEMA
+    _mk_file = TestDeltaLog._mk_file
+    _commit = TestDeltaLog._commit
+    _meta = TestDeltaLog._meta
+
+    def test_encoded_paths_decoded(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        self._mk_file(t, "part a.parquet", [(1, "a")])
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            self._meta(),
+            {"add": {"path": "part%20a.parquet", "partitionValues": {},
+                     "size": 1, "dataChange": True}},
+        ])
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1, "a")]
+
+    def test_absolute_path_rejected(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        self._commit(t, 0, [
+            self._meta(),
+            {"add": {"path": "/etc/passwd", "partitionValues": {},
+                     "size": 1, "dataChange": True}},
+        ])
+        with pytest.raises(ValueError, match="absolute"):
+            read_delta(spark, t)
+
+    def test_checkpoint_only_table_reads(self, spark, tmp_path):
+        """JSON commits expired under log retention; the checkpoint alone
+        fully describes the snapshot."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "_delta_log"))
+        self._mk_file(t, "f1.parquet", [(7, "x")])
+        meta = self._meta()["metaData"]
+        ck_schema = pa.schema([
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+            ])),
+        ])
+        ck = pa.Table.from_pylist([
+            {"add": {"path": "f1.parquet", "partitionValues": []},
+             "metaData": None},
+            {"add": None,
+             "metaData": {"id": "t", "schemaString": meta["schemaString"],
+                          "partitionColumns": []}},
+        ], schema=ck_schema)
+        pq.write_table(
+            ck, os.path.join(t, "_delta_log", f"{3:020d}.checkpoint.parquet")
+        )
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [(7, "x")]
+
+    def test_out_of_range_and_truncated_versions_raise(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        write_delta(df, t)
+        with pytest.raises(ValueError, match="not in"):
+            read_delta(spark, t, version=5)
+        # truncated log: commit 0 deleted, no checkpoint → unreadable
+        os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+        with pytest.raises(ValueError, match="reconstruct|no Delta log"):
+            read_delta(spark, t)
+
+    def test_multipart_checkpoint_rejected(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        open(
+            os.path.join(
+                t, "_delta_log",
+                f"{0:020d}.checkpoint.0000000001.0000000002.parquet",
+            ),
+            "w",
+        ).close()
+        with pytest.raises(ValueError, match="multi-part"):
+            read_delta(spark, t)
+
+    def test_writer_retries_lost_race(self, spark, tmp_path):
+        """Another writer grabs the next version between the log listing
+        and the O_EXCL create: the blind append retries onto the next
+        free version instead of surfacing FileExistsError."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        assert write_delta(df, t) == 0
+        # simulate the interleaved winner: version 1 already committed
+        # with an empty commit
+        open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w").close()
+        assert write_delta(df, t) == 2
+        assert read_delta(spark, t).count() == 2
+
+    def test_append_schema_mismatch_raises(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        other = spark.createDataFrame([(1.5,)], "x double")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(other, t)
+        # overwrite with a new schema re-emits metaData and reads back
+        assert write_delta(other, t, mode="overwrite") == 1
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1.5,)]
