@@ -137,15 +137,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct from dedup_verified_pairs by verify-shingle width (3 vs 2)
     and threshold (0.05 vs 0.2); int/int division only: engine-exact.
     The shared shingle-hash projection runs in parquet-TABLE mode (the
-    100 TB shape — no session-lifetime storage-pinned blocks)."""
+    100 TB shape — no session-lifetime storage-pinned blocks). The small
+    RESULT is localCheckpoint'd so the corpus-sized shingle table can be
+    rmtree'd before returning (the store_* query pattern) — no temp-dir
+    leak per invocation."""
+    import shutil
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, k=16, bands=8, shingle_n=2)
-    return candidate_jaccard(
-        docs, cand, n=3, threshold=0.05,
-        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_ngram_"),
-    )
+    tmp = tempfile.mkdtemp(prefix="shingle_hash_ngram_")
+    try:
+        return candidate_jaccard(
+            docs, cand, n=3, threshold=0.05, shingle_table_path=tmp
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -169,14 +176,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: LSH candidates → exact Jaccard verify
     (≥0.2) on candidates only — the scalable two-phase shape. Shingle
-    hashes share via a parquet table (no storage-pinned blocks)."""
+    hashes share via a parquet table (no storage-pinned blocks); the small
+    result is localCheckpoint'd so the table can be rmtree'd on return."""
+    import shutil
     import tempfile
 
-    return verified_near_dups(
-        load(spark, sf_dir, "documents"),
-        threshold=0.2,
-        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_pairs_"),
-    )
+    tmp = tempfile.mkdtemp(prefix="shingle_hash_pairs_")
+    try:
+        return verified_near_dups(
+            load(spark, sf_dir, "documents"),
+            threshold=0.2,
+            shingle_table_path=tmp,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -708,14 +721,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard structurally under-scores — the asymmetric metric
     every web-corpus dedup stack runs alongside Jaccard. Same 100 TB
     shape as dedup_verified_pairs: banded candidates, verify restricted
-    to candidates, shingle hashes shared via parquet table."""
+    to candidates, shingle hashes shared via parquet table (result
+    localCheckpoint'd, table rmtree'd on return)."""
+    import shutil
     import tempfile
 
-    return contained_near_dups(
-        load(spark, sf_dir, "documents"),
-        threshold=0.5,
-        shingle_table_path=tempfile.mkdtemp(prefix="shingle_hash_contain_"),
-    )
+    tmp = tempfile.mkdtemp(prefix="shingle_hash_contain_")
+    try:
+        return contained_near_dups(
+            load(spark, sf_dir, "documents"),
+            threshold=0.5,
+            shingle_table_path=tmp,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

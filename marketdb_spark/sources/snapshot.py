@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +84,30 @@ def latest_version(table: str) -> int | None:
 def _read_commit(table: str, version: int) -> dict:
     with open(_log_path(table, version)) as f:
         return json.load(f)
+
+
+def _publish_commit(table: str, version: int, entry: dict) -> bool:
+    """Atomically publish ``entry`` as ``version``'s commit file: write
+    the full JSON to a hidden temp name, fsync, then claim the version
+    via ``os.link`` — put-if-absent (False when another writer owns the
+    version) AND all-or-nothing, so a concurrent log replayer can never
+    open a commit file whose content isn't fully on disk yet. (A bare
+    ``O_CREAT|O_EXCL`` create makes the NAME visible before the JSON
+    body exists, breaking the 'readers never see a half-commit' claim.)
+    On object stores this maps to a single put-if-absent of the final
+    object, which is atomic by construction."""
+    tmp = os.path.join(table, _LOG_DIR, f".tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _log_path(table, version))
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+    return True
 
 
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
@@ -144,33 +169,19 @@ def write_snapshot(
     if expected_version is not None:
         version = expected_version + 1
         entry = {"version": version, "action": mode, "files": files}
-        try:
-            fd = os.open(
-                _log_path(table, version),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
-        except FileExistsError:
+        if not _publish_commit(table, version, entry):
             raise CommitConflict(
                 f"table {table} advanced past version {expected_version}; "
                 f"re-read and re-apply the merge"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+            )
         return version
     for _ in range(max_retries):
         prev = latest_version(table)
         version = 0 if prev is None else prev + 1
         entry = {"version": version, "action": mode, "files": files}
-        try:
-            fd = os.open(
-                _log_path(table, version),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
-        except FileExistsError:
-            continue  # lost the race — recompute next version and retry
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
-        return version
+        if _publish_commit(table, version, entry):
+            return version
+        # lost the race — recompute next version and retry
     raise CommitConflict(
         f"lost the commit race {max_retries} times on {table}"
     )
@@ -188,11 +199,22 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str,
+    keep_versions: int = 1,
+    min_file_age_seconds: float = 3600.0,
+) -> list[str]:
     """Delete data files unreachable from the last ``keep_versions``
     snapshots (and drop the older log entries). Returns deleted paths.
     The irreversible step of the format — time travel beyond the kept
-    window is gone after this."""
+    window is gone after this.
+
+    Unreferenced files YOUNGER than ``min_file_age_seconds`` are kept
+    (Delta's retention-check approach): an in-flight write_snapshot
+    stages its data files BEFORE creating the log entry, so without the
+    age gate a concurrent vacuum could delete files whose commit then
+    succeeds — a committed version pointing at vanished data. Pass
+    ``min_file_age_seconds=0`` only when writers are quiesced."""
     versions = _list_versions(table)
     if not versions:
         return []
@@ -216,11 +238,16 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     os.replace(tmp, _log_path(table, base))
     deleted = []
     data_root = os.path.join(table, _DATA_DIR)
+    cutoff = time.time() - min_file_age_seconds
     for dirpath, _, filenames in os.walk(data_root):
         for fname in filenames:
             full = os.path.join(dirpath, fname)
             rel = os.path.relpath(full, table)
-            if fname.endswith(".parquet") and rel not in keep_files:
+            if (
+                fname.endswith(".parquet")
+                and rel not in keep_files
+                and os.path.getmtime(full) <= cutoff
+            ):
                 os.remove(full)
                 deleted.append(full)
     for v in versions:
@@ -267,20 +294,14 @@ def write_snapshot_batch(
             "files": files,
             "batch_id": batch_id,
         }
-        try:
-            fd = os.open(
-                _log_path(table, version),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
-        except FileExistsError:
-            # racing writer took this version — if it was OUR batch (a
-            # concurrent replay), drop out; otherwise take the next slot
-            if _read_commit(table, version).get("batch_id") == batch_id:
-                return None
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
-        return version
+        if _publish_commit(table, version, entry):
+            return version
+        # racing writer took this version — if it was OUR batch (a
+        # concurrent replay), drop out; otherwise take the next slot.
+        # The losing probe reads a FULLY-written commit: _publish_commit
+        # only makes a version name visible with complete content.
+        if _read_commit(table, version).get("batch_id") == batch_id:
+            return None
 
 
 def snapshot_sink(table: str):

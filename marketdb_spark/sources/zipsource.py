@@ -115,14 +115,19 @@ def read_rts_zip_distributed(
     spark: SparkSession, zip_glob: str, entry_suffix: str = "ft.csv"
 ) -> DataFrame:
     """Distributed equivalent of read_rts_zip: archives scanned in
-    executors, lines split into the RTS_RAW_SCHEMA columns (blank and
-    short lines surface through the `_corrupt` column exactly as the
-    PERMISSIVE csv reader would), ready for `parse_trades`."""
+    executors, lines split into the RTS_RAW_SCHEMA columns (short lines
+    surface through the `_corrupt` column exactly as the PERMISSIVE csv
+    reader would), ready for `parse_trades`. Blank lines are DROPPED —
+    Spark's csv reader skips empty lines entirely rather than producing
+    a row, and the two paths must agree on downstream quarantine counts
+    (an all-NULL row with NULL _corrupt would be neither valid nor
+    quarantined)."""
     register_zip_source(spark)
     lines = (
         spark.read.format("rtszip")
         .option("suffix", entry_suffix)
         .load(zip_glob)
+        .filter(F.length("line") > 0)
     )
     n_cols = len(RTS_RAW_SCHEMA.fields) - 1  # minus _corrupt
     fields = F.split(F.col("line"), ";")
@@ -135,10 +140,7 @@ def read_rts_zip_distributed(
         for i in range(n_cols)
     ]
     corrupt = (
-        F.when(
-            (F.size(fields) != n_cols) & (F.length("line") > 0),
-            F.col("line"),
-        )
+        F.when(F.size(fields) != n_cols, F.col("line"))
         .alias("_corrupt")
     )
     return lines.select(*cols, corrupt)

@@ -737,7 +737,10 @@ class TestSnapshotTable:
             mode="overwrite",
         )
         write_snapshot(spark.range(12, 14).withColumnRenamed("id", "v"), t)
-        deleted = vacuum(t, keep_versions=2)
+        # default retention keeps seconds-old unreferenced files — an
+        # in-flight writer's staged data must survive a concurrent vacuum
+        assert vacuum(t, keep_versions=2) == []
+        deleted = vacuum(t, keep_versions=2, min_file_age_seconds=0)
         assert deleted  # version-0 files were only reachable from v0
         assert self._rows(spark, read_snapshot(spark, t)) == [
             (10,), (11,), (12,), (13,)
@@ -858,12 +861,15 @@ class TestZipDataSource:
         from marketdb_spark.sources.zipsource import read_rts_zip_distributed
 
         [zp] = self._make_archives(tmp_path, n=1)
-        v_ref, q_ref = parse_trades(
-            read_rts_zip(spark, str(zp), str(tmp_path / "work"))
-        )
-        v_new, q_new = parse_trades(
-            read_rts_zip_distributed(spark, str(zp))
-        )
+        raw_ref = read_rts_zip(spark, str(zp), str(tmp_path / "work"))
+        raw_new = read_rts_zip_distributed(spark, str(zp))
+        # RTS_LINES contains a BLANK line: the csv reader skips it
+        # entirely, and the zip path must agree row-for-row — an all-NULL
+        # row with NULL _corrupt would be neither valid nor quarantined,
+        # silently shifting quarantine accounting between the two paths.
+        assert raw_new.count() == raw_ref.count()
+        v_ref, q_ref = parse_trades(raw_ref)
+        v_new, q_new = parse_trades(raw_new)
         ref = sorted(map(tuple, v_ref.collect()))
         new = sorted(map(tuple, v_new.collect()))
         assert new == ref and len(ref) == 3
@@ -885,7 +891,10 @@ class TestZipDataSource:
             .load(str(tmp_path / "*.zip"))
         )
         assert raw.rdd.getNumPartitions() == 3
-        assert df.count() == 3 * len(RTS_LINES.splitlines())
+        # blank lines are dropped (csv-reader parity), so count the
+        # non-empty lines only
+        n_lines = sum(1 for ln in RTS_LINES.splitlines() if ln)
+        assert df.count() == 3 * n_lines
 
     def test_missing_suffix_raises(self, spark, tmp_path):
         import zipfile
@@ -1147,6 +1156,52 @@ class TestDeltaLogEdges:
         )
         assert [tuple(r) for r in read_delta(spark, t).collect()] == [(7, "x")]
 
+    def test_append_to_checkpoint_only_table_commits_above_checkpoint(
+        self, spark, tmp_path
+    ):
+        """ADVICE r5 (medium): on a checkpoint-only table (JSON commits
+        expired under retention) the writer must commit at
+        checkpoint_version + 1 — a version derived from JSON entries
+        alone lands at 0, at-or-below the checkpoint, and replay
+        silently drops the committed rows. The schema guard must also
+        run against the checkpoint's metaData."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "_delta_log"))
+        self._mk_file(t, "f1.parquet", [(7, "x")])
+        meta = self._meta()["metaData"]
+        ck_schema = pa.schema([
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+            ])),
+        ])
+        ck = pa.Table.from_pylist([
+            {"add": {"path": "f1.parquet", "partitionValues": []},
+             "metaData": None},
+            {"add": None,
+             "metaData": {"id": "t", "schemaString": meta["schemaString"],
+                          "partitionColumns": []}},
+        ], schema=ck_schema)
+        pq.write_table(
+            ck, os.path.join(t, "_delta_log", f"{3:020d}.checkpoint.parquet")
+        )
+        # schema guard fires even with zero JSON commits
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(spark.createDataFrame([(1.5,)], "x double"), t)
+        df = spark.createDataFrame([(8, "y")], "k long, v string")
+        assert write_delta(df, t) == 4  # above the checkpoint, not 0
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(7, "x"), (8, "y")]  # append visible after replay
+
     def test_out_of_range_and_truncated_versions_raise(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import read_delta, write_delta
 
@@ -1191,6 +1246,29 @@ class TestDeltaLogEdges:
         open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w").close()
         assert write_delta(df, t) == 2
         assert read_delta(spark, t).count() == 2
+
+    def test_txn_idempotent_commit(self, spark, tmp_path):
+        """Delta setTransaction: a write replayed with the same
+        (appId, version) is skipped — the streaming exactly-once
+        primitive. A higher version commits; a different app is
+        independent."""
+        from marketdb_spark.sources.deltalog import (
+            last_txn_version,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        assert write_delta(df, t, txn_app="job", txn_version=0) == 0
+        assert write_delta(df, t, txn_app="job", txn_version=0) is None
+        assert last_txn_version(t, "job") == 0
+        assert last_txn_version(t, "other") is None
+        assert write_delta(df, t, txn_app="job", txn_version=1) == 2 - 1
+        assert write_delta(df, t, txn_app="other", txn_version=0) == 2
+        assert read_delta(spark, t).count() == 3  # not 4: one skip
+        with pytest.raises(ValueError, match="together"):
+            write_delta(df, t, txn_app="job")
 
     def test_append_schema_mismatch_raises(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import read_delta, write_delta
