@@ -759,3 +759,83 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the Delta table via its native
+    setTransaction protocol (sources/deltalog.delta_sink): events split
+    across 3 source files stream through 3 micro-batches, each commit
+    carrying a ``txn`` action; a 4th write REPLAYS batch 0 (simulating
+    Structured Streaming's at-least-once redelivery after a restart) and
+    must be skipped — asserted inline on the recorded txn version. The
+    final Delta snapshot's aggregate is hash-equal to the batch
+    aggregation of all events iff every batch committed exactly once.
+    Companion to stream_snapshot_ingest: same exactly-once contract,
+    expressed in the open Delta protocol so ANY Delta reader observes
+    it."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import (
+        delta_sink,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_delta_")
+    src, ckpt, table = f"{work}/src", f"{work}/ckpt", f"{work}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(delta_sink(table, "ingest"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert last_txn_version(table, "ingest") == 2
+        # redeliver batch 0 (restart replay): the txn action dedups it
+        replay = write_delta(
+            ev.filter(F.col("event_id") % 3 == 0).limit(5),
+            table,
+            txn_app="ingest",
+            txn_version=0,
+        )
+        assert replay is None, f"replayed batch committed as v{replay}"
+        out = read_delta(spark, table).groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+        # detach from the temp table so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

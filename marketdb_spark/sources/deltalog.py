@@ -193,6 +193,48 @@ def _replay(table: str, version: int | None):
     return schema_json, part_cols, live
 
 
+def last_txn_version(table: str, app_id: str) -> int | None:
+    """Highest ``txn`` (setTransaction) version committed for ``app_id``,
+    or None if the application never committed. This is Delta's
+    idempotent-writer primitive (PROTOCOL.md "Transaction Identifiers"):
+    a streaming sink records (appId, batchId) with each commit and skips
+    batches at-or-below the recorded version on replay. Reads the JSON
+    commits plus any ``txn`` rows a checkpoint carries."""
+    if not os.path.isdir(os.path.join(table, _LOG)):
+        return None  # table doesn't exist yet: no app ever committed
+    entries = _log_entries(table)
+    ckpts = _checkpoint_versions(table)
+    if not entries and not ckpts:
+        return None
+    best: int | None = None
+
+    def _see(txn: dict | None) -> None:
+        nonlocal best
+        if txn and txn.get("appId") == app_id and txn.get("version") is not None:
+            v = int(txn["version"])
+            best = v if best is None or v > best else best
+
+    log_dir = os.path.join(table, _LOG)
+    ckpt_version = ckpts[-1] if ckpts else -1
+    if ckpt_version >= 0:
+        import pyarrow.parquet as pq
+
+        ck_path = os.path.join(
+            log_dir, f"{ckpt_version:020d}.checkpoint.parquet"
+        )
+        for row in pq.read_table(ck_path).to_pylist():
+            _see(row.get("txn"))
+    for v, path in entries:
+        if v <= ckpt_version:
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _see(json.loads(line).get("txn"))
+    return best
+
+
 def read_delta(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -241,8 +283,12 @@ def read_delta(
 
 
 def write_delta(
-    df: DataFrame, table: str, mode: str = "append"
-) -> int:
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
     """Minimal protocol-correct Delta writer (unpartitioned tables):
     data files land at the table root under fresh names, then one
     commit JSON (protocol + metaData on first commit or schema-changing
@@ -255,7 +301,16 @@ def write_delta(
     silently committing adds the existing metaData would misread; an
     overwrite with a new schema re-emits metaData so readers never force
     the old schema onto new files. Exists so round-trips and interop
-    tests don't need delta jars; partitioned WRITES are out of scope."""
+    tests don't need delta jars; partitioned WRITES are out of scope.
+
+    ``txn_app`` + ``txn_version`` make the commit IDEMPOTENT per Delta's
+    setTransaction protocol (PROTOCOL.md "Transaction Identifiers"): the
+    commit carries a ``txn`` action, and a replayed write — same app at
+    or below the recorded version, e.g. a Structured Streaming
+    micro-batch redelivered after a restart — is skipped and returns
+    None instead of double-committing. This is exactly how delta-spark's
+    streaming sink achieves exactly-once on top of at-least-once
+    micro-batch replay."""
     import shutil as _shutil
     import uuid as _uuid
 
@@ -263,6 +318,12 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be set together")
+    if txn_app is not None:
+        seen = last_txn_version(table, txn_app)
+        if seen is not None and seen >= txn_version:
+            return None  # replayed batch: already committed
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     tmp = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
     df.write.mode("error").parquet(tmp)
@@ -276,26 +337,55 @@ def write_delta(
 
     for _ in range(5):
         entries = _log_entries(table)
+        # Checkpoints count as table state too: a checkpoint-only table
+        # (JSON commits expired under log retention — a layout read_delta
+        # explicitly supports) must commit ABOVE the checkpoint version
+        # and still run the schema/partition guards, else the new commit
+        # lands at-or-below the checkpoint and replay silently skips it.
+        ckpts = _checkpoint_versions(table)
+        latest = max(
+            entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+        )
         removes: list[str] = []
-        need_meta = not entries
-        if entries:
+        need_meta = latest < 0
+        if latest >= 0:
             schema_json, part_cols, live = _replay(table, None)
             if part_cols:
                 raise ValueError(
                     f"{table} is partitioned ({part_cols}); partitioned "
                     f"writes are out of this writer's scope"
                 )
+            # STRUCTURAL schema compare, not string equality: pyspark's
+            # schema.json() sorts keys while external Delta writers emit
+            # {"type":...,"fields":...} order — a raw string compare would
+            # reject every schema-identical append to a foreign table.
+            table_schema = T.StructType.fromJson(json.loads(schema_json))
             if mode == "overwrite":
                 removes = sorted(live)
-                need_meta = schema_json != df.schema.json()
-            elif schema_json != df.schema.json():
+                need_meta = table_schema != df.schema
+            elif table_schema != df.schema:
                 raise ValueError(
                     f"append schema mismatch on {table}: table has "
                     f"{schema_json}, batch has {df.schema.json()}"
                 )
-        version = entries[-1][0] + 1 if entries else 0
+        if txn_app is not None:
+            # re-check inside the loop: a concurrent replay of the SAME
+            # batch may have won an earlier race iteration
+            seen = last_txn_version(table, txn_app)
+            if seen is not None and seen >= txn_version:
+                for n in names:  # staged files are now orphans — clean up
+                    try:
+                        os.unlink(os.path.join(table, n))
+                    except OSError:
+                        pass
+                return None
+        version = latest + 1
         actions = []
-        if not entries:
+        if txn_app is not None:
+            actions.append(
+                {"txn": {"appId": txn_app, "version": int(txn_version)}}
+            )
+        if latest < 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
@@ -325,13 +415,40 @@ def write_delta(
                     }
                 }
             )
+        # Atomic publish: write the full commit body to a temp name, then
+        # claim the version via os.link — put-if-absent AND all-or-nothing,
+        # so a concurrent replayer can never observe a half-written commit
+        # file (the version name only appears with complete content).
         log_path = os.path.join(table, _LOG, f"{version:020d}.json")
-        try:
-            fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            continue  # lost the race — recompute the live set and retry
-        with os.fdopen(fd, "w") as f:
+        tmp_log = os.path.join(
+            table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
+        )
+        with open(tmp_log, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp_log, log_path)
+        except FileExistsError:
+            continue  # lost the race — recompute the live set and retry
+        finally:
+            os.unlink(tmp_log)
         return version
     raise CommitConflict(f"lost the commit race 5 times on {table}")
+
+
+def delta_sink(table: str, app_id: str):
+    """foreachBatch callable: ``stream.writeStream.foreachBatch(
+    delta_sink(path, "my-query-id"))`` — exactly-once streaming ingest
+    into the Delta table. Structured Streaming replays micro-batches
+    at-least-once after a restart; the ``txn`` action dedups them by
+    (app_id, batch_id), upgrading the sink to exactly-once — the same
+    contract sources/snapshot.snapshot_sink provides for the snapshot
+    table, here expressed in Delta's own protocol so ANY Delta reader
+    sees exactly-once results."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        write_delta(batch, table, txn_app=app_id, txn_version=batch_id)
+
+    return _sink
