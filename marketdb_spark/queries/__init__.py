@@ -26,5 +26,6 @@ from marketdb_spark.queries import llm_similarity  # noqa: E402,F401
 from marketdb_spark.queries import llm_multimodal  # noqa: E402,F401
 from marketdb_spark.queries import streaming_live  # noqa: E402,F401
 from marketdb_spark.queries import storage  # noqa: E402,F401
+from marketdb_spark.queries import corpus_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
