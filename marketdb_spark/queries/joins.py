@@ -575,3 +575,77 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b_key").alias("min_key"),
         F.max("b_key").alias("max_key"),
     )
+
+
+@query(
+    "join_runtime_filter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Catalyst's InjectRuntimeFilter): the
+    selective predicate on orders is turned into a bloom filter that
+    prunes lineitem rows BEFORE the join shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling only
+    the ~2% of lines whose orderkey can match. Spark only injects the
+    filter on the shuffle-join path (a broadcast join prunes during the
+    probe already), so the query pins the non-broadcast plan the big-data
+    case would take: at real scale the filtered orders side exceeds the
+    broadcast threshold naturally and these session confs are the
+    defaults. tests/test_plans.py gates that bloom_filter_might_contain
+    is actually present in the optimized plan — the conf combination is
+    asserted, not assumed."""
+    prev = {k: spark.conf.get(k, None) for k in RUNTIME_FILTER_CONFS}
+    for k, v in RUNTIME_FILTER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # evaluate INSIDE the pinned-conf window (the frame is lazy; the
+        # caller would otherwise run it under restored session confs)
+        return _runtime_filter_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# The conf pin for join_runtime_filter (and its plan gate): bloom filters
+# only inject on the shuffle-join path, and the application-side size gate
+# defaults to 10GB — both are no-ops at real scale and pinned for the
+# tiny local test files.
+RUNTIME_FILTER_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _runtime_filter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join/agg under join_runtime_filter — split out so
+    tests/test_plans.py can gate the UN-executed plan for
+    bloom_filter_might_contain under the same conf pin."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                scale=4,
+            ).alias("revenue"),
+        )
+    )

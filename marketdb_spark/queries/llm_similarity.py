@@ -471,3 +471,96 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv", F.lit(0).cast("bigint"), lambda acc, q: acc + q * q
         ).alias("q_sqnorm"),
     )
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             {_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='c.embedding')})
+               AS cosine_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src ORDER BY cosine_sim DESC, dst) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    )
+    SELECT k.src AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS out_deg,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS mutual_deg
+    FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src
+    GROUP BY k.src
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=3) over sign-LSH buckets — the
+    embedding-space structure pass every semantic-dedup / clustering
+    pipeline starts from: directed edges vec → its 3 nearest bucket-mates
+    by cosine, then per-node degree accounting with MUTUAL (reciprocated)
+    edge counts, the usual mutual-kNN pruning signal. Vectors alone in
+    their bucket emit no edges and drop out (both engines agree).
+
+    Scale shape: candidate generation is the bucketed self-join (compare
+    cost corpus²/#buckets, never all-pairs — sim_bucket_topk's path, here
+    for EVERY vector as source); the top-k window partitions by source;
+    the mutuality check is one self-join of the (src,dst) edge list on
+    the reversed key — all uniform-key shuffles. Cosine is the module's
+    sequential double fold: bit-identical across engines, so the graph
+    (and hence the degrees) is deterministic."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("src") != F.col("dst")),
+    ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = W.partitionBy("src").orderBy(F.desc("cosine_sim"), "dst")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    rev = knn.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    return (
+        knn.join(
+            rev,
+            (F.col("r_src") == F.col("dst")) & (F.col("r_dst") == F.col("src")),
+            "left",
+        )
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("out_deg"),
+            F.sum(
+                F.when(F.col("r_src").isNotNull(), 1).otherwise(0)
+            ).alias("mutual_deg"),
+        )
+        .select(F.col("src").alias("vec_id"), "out_deg", "mutual_deg")
+    )

@@ -307,3 +307,52 @@ def test_quantize_int8_zero_shuffle(spark):
     would be 100 TB of needless shuffle for a per-row transform."""
     q = REGISTRY["embed_quantize_int8"].fn(spark, SF_SMALL)
     assert count_shuffles(q) == 0
+
+
+def test_runtime_filter_bloom_injected(spark):
+    """join_runtime_filter exists to prove Catalyst's InjectRuntimeFilter
+    fires on the selective-dim ⋈ fact shape: under the query's conf pin
+    the OPTIMIZED plan must contain a bloom_filter_might_contain probe on
+    the fact side. Gate the lazy frame (the registered query
+    localCheckpoints, which hides the join plan)."""
+    from marketdb_spark.queries.joins import (
+        RUNTIME_FILTER_CONFS,
+        _runtime_filter_frame,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in RUNTIME_FILTER_CONFS}
+    for k, v in RUNTIME_FILTER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _runtime_filter_frame(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_corpus_shard_assign_single_shuffle(spark):
+    """Hash-mod sharding is map-side hash + ONE 16-key aggregation —
+    partial aggregation makes the exchange carry ≤16 rows per task."""
+    df = REGISTRY["corpus_shard_assign"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 1
+
+
+def test_domain_caps_shares_exchange(spark):
+    """doc_domain_caps ranks and rolls up per source: the row_number
+    window and the final groupBy use the SAME source partitioning, so
+    the plan needs at most two exchanges (one if AQE reuses)."""
+    df = REGISTRY["doc_domain_caps"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) <= 2
+
+
+def test_token_budget_single_shuffle(spark):
+    """The budget prefix-sum is one window over source partitioning —
+    a single exchange, not a global sort."""
+    df = REGISTRY["corpus_token_budget"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 1
