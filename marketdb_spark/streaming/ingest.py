@@ -149,6 +149,28 @@ def read_trade_stream_socket(
     return parse_event_lines(lines, kind, watermark, dedup_within_watermark)
 
 
+def read_trade_stream_queue(
+    spark: SparkSession,
+    spool_dir: str,
+    kind: str = "trades",
+    watermark: str = "10 minutes",
+    dedup_within_watermark: bool = True,
+) -> DataFrame:
+    """REPLAYABLE queue stream of ndjson trade/order events — the
+    faithful Kestrel-consumer analog (MarketLoader.scala:33-55) with the
+    reliable-read semantics the socket source cannot give: the custom
+    Python streaming source (streaming/queuesource.py) tracks
+    per-segment line offsets through Spark's checkpoint, so a restarted
+    query resumes exactly where it acked and any committed batch can be
+    replayed bit-identically. Decode/validate/dedup is the shared
+    parse_event_lines path, identical to the file/socket/Kafka shapes."""
+    from marketdb_spark.streaming.queuesource import register_queue_source
+
+    register_queue_source(spark)
+    lines = spark.readStream.format("spoolqueue").load(spool_dir)
+    return parse_event_lines(lines, kind, watermark, dedup_within_watermark)
+
+
 def validate_split(df: DataFrame, kind: str = "trades") -> DataFrame:
     """Tag each event valid/rejected with a reason (V1 pipeline,
     Trade.scala:52-54 / Order.scala:53-55). Returns one frame with

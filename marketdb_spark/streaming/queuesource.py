@@ -1,0 +1,242 @@
+"""Replayable QUEUE streaming source — a Spark 4 Python streaming data
+source over an append-only ndjson spool directory, with REAL offset
+tracking: `spark.readStream.format("spoolqueue").load(dir)`.
+
+This is the closest faithful analog of the reference's Kestrel consumer
+(marketdb-app/.../MarketLoader.scala:33-55): a queue whose messages are
+consumed in arrival order with at-least-once delivery upgraded to
+exactly-once by offset bookkeeping — but where Kestrel tracked delivery
+by per-message ack, Spark's model is resumable OFFSETS, so the spool is
+the queue's journal and the offset is a per-segment line count. Unlike
+the socket source (streaming/ingest.read_trade_stream_socket — a live
+transport with no replay), this source is REPLAYABLE: any committed
+offset range can be re-read bit-identically, which is what checkpoint
+recovery needs for exactly-once end to end.
+
+Producer contract (the queue's journal format):
+- a spool directory of segment files; segment NAMES sort in arrival
+  order (e.g. zero-padded sequence numbers or timestamps);
+- segments are APPEND-ONLY and lines are immutable once written —
+  appends must be line-atomic (write the full line + newline);
+- one JSON document per line (the wire format parse_event_lines
+  decodes), though this source is payload-agnostic: it emits raw lines.
+
+Offset format: ``{"pos": {segment_name: lines_consumed}}`` — a vector
+of per-segment line counts. Monotone (counts only grow, segments only
+gain entries), JSON-serializable (Spark persists it in the offset log),
+and replayable: the rows between two offsets are exactly the lines in
+each segment's [start_count, end_count) slice, in (segment, line_no)
+order.
+
+Scale shape: SimpleDataSourceStreamReader reads on the DRIVER — right
+for a control-plane-sized queue (the reference's use: one day's trades
+per host). At 100 TB the same offset/replay design moves to the
+partition-based DataSourceStreamReader (one InputPartition per segment
+slice, executors read) or to Kafka, which is this exact model with
+brokers; the consuming query code is unchanged either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    HAS_PYTHON_STREAM_SOURCE = True
+except ImportError:  # pragma: no cover - older pyspark
+    HAS_PYTHON_STREAM_SOURCE = False
+
+    class DataSource:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        pass
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+
+def _segments(path: str, suffix: str) -> list[str]:
+    """Segment file names in arrival (= lexicographic) order."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(f for f in os.listdir(path) if f.endswith(suffix))
+
+
+def _read_lines(path: str, seg: str, start: int, end: int | None):
+    """Lines [start, end) of a segment (end=None → to EOF). Trailing
+    partial line (producer mid-append, no newline yet) is NOT consumed —
+    it will be read once the newline lands, keeping line-atomicity."""
+    out = []
+    with open(os.path.join(path, seg), "rb") as f:
+        for i, raw in enumerate(f):
+            if not raw.endswith(b"\n"):
+                break  # partial tail: not yet committed by the producer
+            if i < start:
+                continue
+            if end is not None and i >= end:
+                break
+            out.append((seg, i, raw.rstrip(b"\r\n").decode("utf-8", "replace")))
+    return out
+
+
+class SpoolQueueStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".ndjson")
+
+    def initialOffset(self) -> dict:
+        # start BEFORE everything currently in the spool: a fresh query
+        # consumes the full journal (the reference reloads a day's queue)
+        return {"pos": {}}
+
+    def read(self, start: dict):
+        pos = dict(start.get("pos", {}))
+        rows = []
+        for seg in _segments(self.path, self.suffix):
+            consumed = int(pos.get(seg, 0))
+            new = _read_lines(self.path, seg, consumed, None)
+            rows.extend(new)
+            if new:
+                pos[seg] = new[-1][1] + 1
+            else:
+                pos[seg] = consumed  # record the segment even when empty
+        return iter(rows), {"pos": pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic REPLAY of a committed range — checkpoint
+        recovery calls this to re-materialize a batch bit-identically."""
+        spos = start.get("pos", {})
+        rows = []
+        for seg, end_count in sorted(end.get("pos", {}).items()):
+            s = int(spos.get(seg, 0))
+            e = int(end_count)
+            if e > s:
+                rows.extend(_read_lines(self.path, seg, s, e))
+        return iter(rows)
+
+
+class SpoolQueueDataSource(DataSource):
+    """``spark.readStream.format("spoolqueue").load(dir)`` →
+    (segment, line_no, value) rows in arrival order, resumable by
+    offset. `value` carries the raw line; feed `parse_event_lines`
+    (streaming/ingest.py) for the validated trade/order path."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spoolqueue"
+
+    def schema(self) -> str:
+        return "segment string, line_no long, value string"
+
+    def simpleStreamReader(self, schema) -> SpoolQueueStreamReader:
+        return SpoolQueueStreamReader(self.options)
+
+
+class SegmentSlicePartition(InputPartition):
+    """One task = one segment's [start, end) line slice — segments are
+    independent files, so tasks never contend on a handle."""
+
+    def __init__(self, seg: str, start: int, end: int):
+        self.seg = seg
+        self.start = start
+        self.end = end
+
+
+class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
+    """The EXECUTOR-SIDE variant of the spool reader — the 100 TB shape
+    the simple reader's docstring promises: the driver only LISTS the
+    spool (latestOffset = per-segment complete-line counts, a metadata
+    pass), and each micro-batch fans out one InputPartition per
+    advancing segment slice, read by executors in parallel. Same offset
+    format and replay contract as SpoolQueueStreamReader, so the two
+    are drop-in interchangeable; the spool must live on storage every
+    executor can reach (shared FS / object store), exactly like any
+    file-based source."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".ndjson")
+
+    def initialOffset(self) -> dict:
+        return {"pos": {}}
+
+    def latestOffset(self) -> dict:
+        pos = {}
+        for seg in _segments(self.path, self.suffix):
+            n = 0
+            with open(os.path.join(self.path, seg), "rb") as f:
+                for raw in f:
+                    if not raw.endswith(b"\n"):
+                        break  # partial tail: producer mid-append
+                    n += 1
+            pos[seg] = n
+        return {"pos": pos}
+
+    def partitions(self, start: dict, end: dict):
+        spos = start.get("pos", {})
+        parts = []
+        for seg, e in sorted(end.get("pos", {}).items()):
+            s = int(spos.get(seg, 0))
+            if int(e) > s:
+                parts.append(SegmentSlicePartition(seg, s, int(e)))
+        # Spark requires ≥1 partition per batch; an empty advance still
+        # needs a no-op slice
+        return parts or [SegmentSlicePartition("", 0, 0)]
+
+    def read(self, partition: SegmentSlicePartition):
+        if not partition.seg:
+            return iter(())
+        return iter(
+            _read_lines(self.path, partition.seg, partition.start, partition.end)
+        )
+
+    def commit(self, end: dict) -> None:
+        # spool retention belongs to the producer (segments are the
+        # journal); nothing to acknowledge source-side
+        pass
+
+
+class SpoolQueueDistDataSource(DataSource):
+    """``spark.readStream.format("spoolqueue_dist").load(dir)`` — the
+    partition-based executor-read form of the spool queue."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spoolqueue_dist"
+
+    def schema(self) -> str:
+        return "segment string, line_no long, value string"
+
+    def streamReader(self, schema) -> SpoolQueuePartitionedStreamReader:
+        return SpoolQueuePartitionedStreamReader(self.options)
+
+
+def register_queue_source(spark: SparkSession) -> None:
+    """Idempotent format registration (re-register is a cheap overwrite)."""
+    spark.dataSource.register(SpoolQueueDataSource)
+    spark.dataSource.register(SpoolQueueDistDataSource)
+
+
+def append_segment(path: str, name: str, records: list[dict]) -> str:
+    """Producer helper: append JSON records to a segment line-atomically
+    (each record written as one `json.dumps + newline` unit). Returns
+    the segment path."""
+    os.makedirs(path, exist_ok=True)
+    seg = os.path.join(path, name)
+    with open(seg, "a", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return seg

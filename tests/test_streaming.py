@@ -918,3 +918,154 @@ class TestStreamingAsof:
         )
         got = {r.trade_id: r.quote_px for r in rows}
         assert got[1] == 107.0
+
+
+class TestSpoolQueueSource:
+    """Custom Python STREAMING data source (streaming/queuesource.py):
+    an append-only ndjson spool consumed by per-segment line offsets —
+    the replayable Kestrel-consumer analog. Exactly-once is the offset
+    log's job, so the tests attack exactly that: restart resume, late
+    appends to old segments, partial-line atomicity, and bit-identical
+    offset-range replay."""
+
+    def _drain(self, spark, spool, out, ckpt):
+        from marketdb_spark.streaming.queuesource import register_queue_source
+
+        register_queue_source(spark)
+        q = (
+            spark.readStream.format("spoolqueue")
+            .load(spool)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    def test_restart_resumes_from_offsets_no_dup_no_loss(self, spark, tmp_path):
+        from marketdb_spark.streaming.queuesource import append_segment
+
+        spool = str(tmp_path / "spool")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(5)])
+        append_segment(spool, "0002.ndjson", [{"id": i} for i in range(5, 8)])
+        assert self._drain(spark, spool, out, ckpt).count() == 8
+        # restart with NEW data: a fresh segment AND a late append to an
+        # old segment — both must be picked up exactly once
+        append_segment(spool, "0001.ndjson", [{"id": 100}])
+        append_segment(spool, "0003.ndjson", [{"id": 200}, {"id": 300}])
+        got = self._drain(spark, spool, out, ckpt)
+        ids = sorted(json.loads(r.value)["id"] for r in got.collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 100, 200, 300]
+
+    def test_partial_tail_line_not_consumed_until_complete(self, spark, tmp_path):
+        import os
+
+        from marketdb_spark.streaming.queuesource import append_segment
+
+        spool = str(tmp_path / "spool")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        append_segment(spool, "0001.ndjson", [{"id": 1}])
+        # producer mid-append: no trailing newline yet
+        with open(os.path.join(spool, "0001.ndjson"), "a") as f:
+            f.write('{"id": 2')
+        assert self._drain(spark, spool, out, ckpt).count() == 1
+        with open(os.path.join(spool, "0001.ndjson"), "a") as f:
+            f.write('}\n')
+        got = self._drain(spark, spool, out, ckpt)
+        ids = sorted(json.loads(r.value)["id"] for r in got.collect())
+        assert ids == [1, 2]  # completed line arrives exactly once
+
+    def test_read_between_offsets_replays_bit_identically(self, tmp_path):
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueueStreamReader,
+            append_segment,
+        )
+
+        spool = str(tmp_path / "spool")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(4)])
+        r = SpoolQueueStreamReader({"path": spool})
+        start = r.initialOffset()
+        rows1, mid = r.read(start)
+        rows1 = list(rows1)
+        append_segment(spool, "0001.ndjson", [{"id": 9}])
+        append_segment(spool, "0002.ndjson", [{"id": 10}])
+        rows2, end = r.read(mid)
+        rows2 = list(rows2)
+        assert len(rows1) == 4 and len(rows2) == 2
+        # recovery path: both committed ranges replay exactly
+        assert list(r.readBetweenOffsets(start, mid)) == rows1
+        assert list(r.readBetweenOffsets(mid, end)) == rows2
+
+    def test_queue_feeds_validated_trade_path(self, spark, tmp_path):
+        """End to end: spool queue → parse_event_lines → dual write —
+        the Kestrel consumer wired into the V1 validate pipeline, with a
+        redelivered event deduped and a bad event quarantined."""
+        from marketdb_spark.streaming.ingest import (
+            _dual_write_sink,
+            read_trade_stream_queue,
+        )
+        from marketdb_spark.streaming.queuesource import append_segment
+
+        spool = str(tmp_path / "spool")
+        good = [_event(i, minutes=i) for i in range(4)]
+        append_segment(spool, "0001.ndjson", good + [good[0]])
+        append_segment(spool, "0002.ndjson", [_event(99, price="-1")])
+        parsed = read_trade_stream_queue(spark, spool, kind="trades")
+        store = str(tmp_path / "store")
+        quarantine = str(tmp_path / "quarantine")
+        q = (
+            parsed.writeStream.foreachBatch(
+                _dual_write_sink(spark, "trades", store, quarantine)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        main = spark.read.parquet(store)
+        assert {r.trade_id for r in main.collect()} == {0, 1, 2, 3}
+        rejects = spark.read.parquet(quarantine).collect()
+        assert len(rejects) == 1 and rejects[0].reject_reason == "bad price"
+
+    def test_partitioned_reader_matches_simple_reader(self, spark, tmp_path):
+        """format("spoolqueue_dist") — the executor-read, one-partition-
+        per-segment-slice variant — must deliver exactly the same rows
+        as the driver-side simple reader, across a restart with new
+        segments and late appends."""
+        from marketdb_spark.streaming.queuesource import append_segment
+
+        spool = str(tmp_path / "spool")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(6)])
+        append_segment(spool, "0002.ndjson", [{"id": 6}])
+
+        def drain():
+            from marketdb_spark.streaming.queuesource import (
+                register_queue_source,
+            )
+
+            register_queue_source(spark)
+            q = (
+                spark.readStream.format("spoolqueue_dist")
+                .load(spool)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(out)
+
+        assert drain().count() == 7
+        append_segment(spool, "0001.ndjson", [{"id": 100}])
+        append_segment(spool, "0003.ndjson", [{"id": 200}])
+        got = drain()
+        ids = sorted(json.loads(r.value)["id"] for r in got.collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 6, 100, 200]
+        # slices really fan out: >1 partition-carrying segment per batch
+        segs = {r.segment for r in got.collect()}
+        assert segs == {"0001.ndjson", "0002.ndjson", "0003.ndjson"}
