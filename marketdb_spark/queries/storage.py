@@ -490,3 +490,71 @@ def store_deltalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_checkpoint",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def store_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta LOG-COMPACTION lifecycle under the hash gate
+    (sources/deltalog.write_checkpoint/clean_log): customers commit in
+    two appends (one carrying a txn action), a parquet CHECKPOINT is
+    written at the head, every JSON commit is deleted (log retention),
+    and a third append lands on the now checkpoint-only table — the
+    exact layout the r5 review showed silently lost writes. The final
+    replay (checkpoint + one JSON commit) must aggregate hash-equal to
+    the raw customer table, and the txn high-water mark must survive
+    the cleanup (asserted inline). Scale: the checkpoint is KBs of
+    driver-side metadata; replay cost after cleanup is one parquet
+    footer + one JSON commit instead of the whole log."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        clean_log,
+        delta_versions,
+        last_txn_version,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="delta_ckpt_store_")
+    t = f"{work}/cust_tbl"
+    try:
+        third = F.col("c_custkey") % 3
+        v0 = write_delta(cust.filter(third == 0), t)
+        v1 = write_delta(
+            cust.filter(third == 1), t, txn_app="loader", txn_version=41
+        )
+        assert (v0, v1) == (0, 1), (v0, v1)
+        assert write_checkpoint(t) == 1
+        removed = clean_log(t)
+        assert len(removed) == 2 and delta_versions(t) == []
+        # append onto the checkpoint-only table: must land at v2
+        v2 = write_delta(cust.filter(third == 2), t)
+        assert v2 == 2, v2
+        assert last_txn_version(t, "loader") == 41  # survived cleanup
+        out = (
+            read_delta(spark, t)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_customers"),
+                dsum("c_acctbal", scale=6).alias("sum_acctbal"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

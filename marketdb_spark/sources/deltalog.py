@@ -438,6 +438,166 @@ def write_delta(
     raise CommitConflict(f"lost the commit race 5 times on {table}")
 
 
+def write_checkpoint(table: str, version: int | None = None) -> int:
+    """Write a classic single-part parquet checkpoint at ``version``
+    (default: latest) plus the ``_last_checkpoint`` pointer — the log
+    compaction step that makes log retention safe: after this, JSON
+    commits at-or-before the checkpoint are redundant (clean_log removes
+    them) and a reader replays checkpoint + newer commits only. One row
+    per action: protocol, metaData, one ``add`` per live file
+    (partitionValues as map<string,string>, per the protocol), one
+    ``txn`` per application high-water mark — so idempotent-writer state
+    survives log cleanup. At 100 TB the checkpoint is KBs-to-MBs of
+    metadata written driver-side; Delta itself writes multi-part /
+    v2 checkpoints beyond ~100k files, which this minimal writer leaves
+    out of scope (the reader already ERRORS on those layouts rather
+    than misreading them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entries = _log_entries(table)
+    ckpts = _checkpoint_versions(table)
+    latest = max(
+        entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+    )
+    if latest < 0:
+        raise ValueError(f"no Delta log at {table}/{_LOG}")
+    if version is None:
+        version = latest
+    schema_json, part_cols, live = _replay(table, version)
+
+    # per-app txn high-water marks visible at `version`
+    txns: dict[str, int] = {}
+    ckpt_anchor = max((v for v in ckpts if v <= version), default=-1)
+    if ckpt_anchor >= 0:
+        ck_path = os.path.join(
+            table, _LOG, f"{ckpt_anchor:020d}.checkpoint.parquet"
+        )
+        for row in pq.read_table(ck_path).to_pylist():
+            txn = row.get("txn")
+            if txn and txn.get("appId") is not None:
+                txns[txn["appId"]] = int(txn["version"])
+    for v, path in entries:
+        if v <= ckpt_anchor or v > version:
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    txn = json.loads(line).get("txn")
+                    if txn and txn.get("appId") is not None:
+                        txns[txn["appId"]] = max(
+                            int(txn["version"]),
+                            txns.get(txn["appId"], -1),
+                        )
+
+    ck_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+        ]
+    )
+    from urllib.parse import quote
+
+    rows: list[dict] = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+            "txn": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "marketdb-spark",
+                "schemaString": schema_json,
+                "partitionColumns": part_cols,
+            },
+            "add": None,
+            "txn": None,
+        },
+    ]
+    for path, pvals in sorted(live.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                # re-encode per the protocol (reader percent-decodes)
+                "add": {
+                    "path": quote(path),
+                    "partitionValues": list((pvals or {}).items()),
+                    "dataChange": True,
+                },
+                "txn": None,
+            }
+        )
+    for app, v in sorted(txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app, "version": v},
+            }
+        )
+    ck_path = os.path.join(table, _LOG, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema), ck_path)
+    with open(os.path.join(table, _LOG, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version
+
+
+def clean_log(table: str) -> list[str]:
+    """Delete JSON commits at-or-before the latest checkpoint — Delta's
+    log-retention cleanup, safe ONLY because the checkpoint fully
+    describes that prefix (write_checkpoint first). Time travel to
+    versions below the checkpoint is gone after this, exactly as with
+    snapshot.vacuum's log checkpointing. Returns deleted paths."""
+    ckpts = _checkpoint_versions(table)
+    if not ckpts:
+        raise ValueError(
+            f"{table} has no checkpoint; write_checkpoint before clean_log"
+        )
+    anchor = ckpts[-1]
+    deleted = []
+    for v, path in _log_entries(table):
+        if v <= anchor:
+            os.remove(path)
+            deleted.append(path)
+    return deleted
+
+
 def delta_sink(table: str, app_id: str):
     """foreachBatch callable: ``stream.writeStream.foreachBatch(
     delta_sink(path, "my-query-id"))`` — exactly-once streaming ingest

@@ -1283,3 +1283,79 @@ class TestDeltaLogEdges:
         # overwrite with a new schema re-emits metaData and reads back
         assert write_delta(other, t, mode="overwrite") == 1
         assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1.5,)]
+
+
+class TestDeltaCheckpoint:
+    """Checkpoint WRITER + log retention (sources/deltalog.py
+    write_checkpoint/clean_log): the compaction loop that pairs with the
+    checkpoint-only READ path."""
+
+    def test_checkpoint_then_clean_log_roundtrip(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_versions,
+            last_txn_version,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b = spark.createDataFrame([(3, "c")], "k long, v string")
+        write_delta(a, t, txn_app="job", txn_version=7)
+        write_delta(b, t)
+        assert write_checkpoint(t) == 1
+        assert os.path.exists(
+            os.path.join(t, "_delta_log", "_last_checkpoint")
+        )
+        removed = clean_log(t)
+        assert len(removed) == 2 and delta_versions(t) == []
+        # checkpoint-only table: reads, txn marks, and appends all work
+        rows = lambda df: sorted(tuple(r) for r in df.collect())
+        assert rows(read_delta(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+        assert last_txn_version(t, "job") == 7
+        assert write_delta(a, t, txn_app="job", txn_version=7) is None
+        assert write_delta(b, t) == 2
+        assert read_delta(spark, t).count() == 4
+        # time travel below the checkpoint is gone (documented loss)
+        with pytest.raises(ValueError):
+            read_delta(spark, t, version=0)
+
+    def test_checkpoint_preserves_partition_values(self, spark, tmp_path):
+        """Checkpoint rows carry partitionValues as map<string,string>;
+        replaying through a written checkpoint must re-attach partition
+        columns exactly as JSON replay did."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            read_delta,
+            write_checkpoint,
+        )
+
+        mk = TestDeltaLog()
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        mk._mk_file(t, "f1.parquet", [(1, "a")])
+        mk._mk_file(t, "f2.parquet", [(2, "b")])
+        mk._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            mk._meta(partition_cols=["p"]),
+            {"add": {"path": "f1.parquet", "partitionValues": {"p": "x"},
+                     "size": 1, "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {"p": "y"},
+                     "size": 1, "dataChange": True}},
+        ])
+        write_checkpoint(t)
+        clean_log(t)
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "a", "x"), (2, "b", "y")]
+
+    def test_clean_log_without_checkpoint_refuses(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import clean_log, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="checkpoint"):
+            clean_log(t)
