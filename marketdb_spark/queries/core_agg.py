@@ -632,3 +632,42 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("o_custkey", "custkey")
     )
+
+
+@query(
+    "sample_reservoir_det",
+    oracle="""
+    SELECT event_type, event_id, rk FROM (
+      SELECT event_type, event_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS INT) AS rk
+      FROM events
+    ) WHERE rk <= 10
+    """,
+)
+def sample_reservoir_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sampling (the reservoir contract: exactly
+    k rows per group, unlike the fixed-RATE Bernoulli sample of
+    sample_stratified_det): keep each event_type's 10 rows with the
+    smallest md5(event_id). Hash-ordering is the deterministic,
+    engine-portable replacement for random reservoir fill — same
+    marginal distribution (md5 is uniform on the key), reproducible
+    across runs and engines, and mergeable: the k smallest hashes of a
+    union are computable from each part's k smallest, which is why
+    bottom-k-by-hash is the standard distributed reservoir. At 100 TB
+    the window's per-group top-k is pushed map-side by Spark's
+    WindowGroupLimit, so each task forwards at most k rows per group to
+    the single exchange."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col("event_id").cast("string"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(h, "event_id")
+    )
+    return (
+        ev.select("event_type", "event_id", rk.alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )

@@ -165,3 +165,71 @@ def mm_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_blob(docs, "doc_id", "text", mime="text/plain")
     return decode_media_arrow(media)
+
+
+@query(
+    "mm_resize_pixels",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 24 AS w,
+             8 + (doc_id * 7) % 24 AS h
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    px AS (
+      SELECT media_id,
+             list_transform(range(0, 64), i ->
+               (media_id
+                + (((i % 8) * w) // 8)
+                + 3 * ((((i // 8) * h) // 8))) % 256) AS pix
+      FROM m
+    )
+    SELECT media_id,
+           CAST(528 AS BIGINT) AS out_len,
+           array_to_string(list_transform(pix, v -> CAST(v AS VARCHAR)), ',')
+             AS pix_csv,
+           CAST(list_reduce(pix, (a, b) -> a + b) AS BIGINT) AS pix_sum
+    FROM px
+    """,
+)
+def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-CODEC image resize under the hash gate: synthesize_media
+    renders genuine PNG/BMP/farbfeld files (gradient pixel(x,y) =
+    (id + x + 3y) mod 256, dims derived from the id), resize_media
+    (real_codec=True) pixel-decodes each file, nearest-neighbor
+    resamples to 8×8 and re-encodes as farbfeld; the query then reads
+    the 64 resampled gray values back out of the farbfeld buffer
+    JVM-side (hex slicing — pixel i is the high byte of R at offset
+    16 + 8i) and emits them as CSV + checksum. The oracle replays the
+    full chain in SQL: source dims from the id, nearest-neighbor index
+    math sx = (x·w)//8, sy = (y·h)//8, gradient value at (sx, sy) —
+    so the hash gate pins the DECODE → RESAMPLE → ENCODE pixel path
+    end-to-end, not just plumbing. Format cycles by id (all three
+    codecs exercised); the 1:1 mapInPandas shape never shuffles.
+    Scale: per-row Python codec work, Arrow-batched — the lane a real
+    image library (PIL/ffmpeg) drops into unchanged."""
+    from marketdb_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    media = synthesize_media(docs, "doc_id")
+    resized = resize_media(media, out_w=8, out_h=8, real_codec=True)
+    hexed = resized.select(
+        "media_id",
+        F.length("blob").cast("bigint").alias("out_len"),
+        F.hex("blob").alias("hx"),
+    )
+    pix = [
+        F.conv(
+            F.substring("hx", (16 + i * 8) * 2 + 1, 2), 16, 10
+        ).cast("bigint")
+        for i in range(64)
+    ]
+    return hexed.select(
+        "media_id",
+        "out_len",
+        F.concat_ws(",", *[p.cast("string") for p in pix]).alias("pix_csv"),
+        sum(pix[1:], pix[0]).alias("pix_sum"),
+    )

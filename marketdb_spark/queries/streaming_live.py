@@ -839,3 +839,226 @@ def stream_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_late_drop_audit",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+    GROUP BY day, event_type
+    """,
+)
+def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS under the hash gate — the one §2B
+    streaming behavior previously proven only by unit tests. Batches 0-1
+    deliver the on-time half of the corpus (ts ≥ Jan 16), advancing the
+    watermark to max(ts) − 1h ≈ Jan 30; batch 2 then delivers the OLD
+    half (ts < Jan 16) — every one of its daily windows closed weeks
+    below the watermark, so the engine must drop ALL of those rows. The
+    oracle aggregates exactly the on-time slice; any late row leaking
+    into state (or any on-time row wrongly dropped) shifts the hash.
+    The engine's own numRowsDroppedByWatermark metric is asserted equal
+    to the late-row count inline — the drop is observed, not assumed.
+
+    The on-time half spans TWO batches because Spark ≥3.4 filters late
+    events with the PREVIOUS batch's watermark (the chained-stateful-
+    operator fix): a watermark advanced by batch N guards input only
+    from batch N+2 on — measured here, not assumed, hence the spare
+    batch in between. Batch ORDER matters (unlike the order-insensitive
+    ingest queries), so source files get explicit strictly-increasing
+    mtimes — the file source schedules by modification time.
+    Update-mode sink; final value per window = the max emission (counts
+    are monotone). Scale: this is the bounded-state contract that lets
+    a 100 TB stream run forever — state is O(windows inside the late
+    horizon), and everything older is finalized and dropped on
+    arrival."""
+    import os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+
+    split = "2024-01-16"
+    work = tempfile.mkdtemp(prefix="stream_late_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        on_time = F.col("ts") >= F.lit(split).cast("timestamp")
+        n_late = ev.filter(~on_time).count()
+        for i, pred in enumerate(
+            [
+                on_time & (F.col("event_id") % 2 == 0),  # on-time, part A
+                on_time & (F.col("event_id") % 2 == 1),  # on-time, part B
+                ~on_time,  # late — watermark is live by now
+            ]
+        ):
+            stage = f"{work}/stage{i}"
+            ev.filter(pred).coalesce(1).write.mode("error").parquet(stage)
+            [part] = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            # strictly-increasing mtimes pin the batch order
+            os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value", scale=6).alias("sum_value"),
+            )
+        )
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the engine must REPORT drops: numRowsDroppedByWatermark counts
+        # post-shuffle PARTIAL-AGGREGATE rows reaching the state store
+        # (groups × map tasks), not raw input rows — so assert presence,
+        # and assert the semantic effect (no pre-split window survived)
+        # directly on the sink; the oracle hash then pins exact values.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert n_late > 0 and dropped > 0, (
+            f"{n_late} late input rows but engine reported no drops"
+        )
+        tbl = spark.table(name)
+        import datetime as _dt
+
+        min_day = tbl.agg(F.min(F.col("win.start"))).first()[0]
+        assert min_day >= _dt.datetime(2024, 1, 16), (
+            f"late window {min_day} leaked past the watermark"
+        )
+        final = F.max(F.struct("n_events", "sum_value"))
+        out = tbl.groupBy("win", "event_type").agg(
+            final.getField("n_events").alias("n_events"),
+            final.getField("sum_value").alias("sum_value"),
+        )
+        return out.select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_queue_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_queue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM PYTHON STREAMING SOURCE under the driver's hash gate:
+    events are journaled into an append-only ndjson spool (3 segments,
+    written BY SPARK as to_json lines — the queue's journal), then
+    consumed back through `format("spoolqueue")` (streaming/
+    queuesource.py — per-segment line offsets, replayable ranges, the
+    reliable Kestrel-consumer analog), JSON-decoded in-stream and
+    aggregated in complete mode. The result is hash-equal to the batch
+    aggregation of the events table iff the queue delivered every line
+    exactly once and the JSON round-trip (double values, µs timestamps)
+    was lossless. Restart/replay/partial-line semantics are pinned by
+    tests/test_streaming.py::TestSpoolQueueSource."""
+    import os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.streaming.queuesource import register_queue_source
+
+    register_queue_source(spark)
+    work = tempfile.mkdtemp(prefix="stream_queue_")
+    spool = f"{work}/spool"
+    os.makedirs(spool)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            stage = f"{work}/stage{i}"
+            (
+                ev.filter(F.col("event_id") % 3 == i)
+                # timestamps ride as epoch-MICROS ints: to_json's default
+                # timestamp format truncates to milliseconds, which the
+                # hash gate catches — integer micros round-trip exactly
+                .select(
+                    F.to_json(
+                        F.struct(
+                            "event_id",
+                            F.unix_micros("ts").alias("ts_us"),
+                            "event_type",
+                            "value",
+                        )
+                    )
+                )
+                .coalesce(1)
+                .write.mode("error")
+                .text(stage)
+            )
+            [part] = [f for f in os.listdir(stage) if f.endswith(".txt")]
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(spool, f"{i:04d}.ndjson"),
+            )
+        parsed = (
+            spark.readStream.format("spoolqueue")
+            .load(spool)
+            .select(
+                F.from_json(
+                    "value",
+                    "event_id long, ts_us long, event_type string, value double",
+                ).alias("e")
+            )
+            .select(
+                "e.event_id",
+                F.timestamp_micros("e.ts_us").alias("ts"),
+                "e.event_type",
+                "e.value",
+            )
+        )
+        agg = parsed.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        tbl = _run_to_memory(agg, "stream_queue", spark)
+        return tbl.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

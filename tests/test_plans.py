@@ -356,3 +356,13 @@ def test_token_budget_single_shuffle(spark):
     a single exchange, not a global sort."""
     df = REGISTRY["corpus_token_budget"].fn(spark, SF_SMALL)
     assert count_shuffles(df) == 1
+
+
+def test_reservoir_sample_pushes_group_limit(spark):
+    """sample_reservoir_det's per-group bottom-k-by-hash must plan with
+    WindowGroupLimit so each task forwards at most k rows per group to
+    the exchange — without it the window sorts the whole fact table."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["sample_reservoir_det"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
