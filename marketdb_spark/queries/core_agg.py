@@ -671,3 +671,55 @@ def sample_reservoir_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "event_id", rk.alias("rk"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "agg_sketch_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT
+             CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1024) AS BIGINT) AS buckets_set,
+           CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+             AS n_partials
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes approximate
+    distinct-counting distributable: a linear-counting bitmap is built
+    independently per (priority, MONTH) slice (the shape a partitioned
+    ingest naturally produces: one partial sketch per arriving
+    partition), then the per-month cell sets are UNION-merged per
+    priority — and the hash gate proves merged(partials) ==
+    direct(whole period), the defining sketch identity. The Spark side
+    really materializes the partial sketches (collect_set of occupied
+    cells per slice, then flatten+distinct across slices); the oracle
+    computes the direct whole-period sketch. At 100 TB this is how
+    distinct-over-a-year runs: per-partition sketches merge in O(cells)
+    per group instead of re-shuffling raw keys."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1024
+    )
+    partials = (
+        orders.select(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            bucket.alias("cell"),
+        )
+        .groupBy("o_orderpriority", "mon")
+        .agg(F.collect_set("cell").alias("cells"))
+    )
+    return partials.groupBy("o_orderpriority").agg(
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("cells")))
+        ).cast("bigint").alias("buckets_set"),
+        F.count("*").alias("n_partials"),
+    )

@@ -338,10 +338,10 @@ _KM_D2 = (
 )
 
 
-@query(
-    "embed_kmeans_clusters",
-    oracle=f"""
-    WITH pts AS (
+# The k-means assignment pipeline as composable CTE text: seeds by hash,
+# one exact Lloyd update, final assignment. Shared by the clustering
+# query and the SemDeDup-style semantic-pairs query.
+_KM_CTES = f"""pts AS (
       SELECT vec_id AS id, embedding AS v,
              ((vec_id % 2147483648) * 506952113) % 2147483648 AS h
       FROM embeddings
@@ -373,13 +373,22 @@ _KM_D2 = (
              list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {_KM_SCALE}
                   ORDER BY dim) AS c
       FROM u1 GROUP BY cid
-    )
-    SELECT id AS vec_id, cid AS cluster_id FROM (
-      SELECT p.id, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-               {_KM_D2.format(v='p.v', c='c.c')}, c.cid) AS rn
-      FROM pts p CROSS JOIN c1 c
-    ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT id AS vec_id, cid AS cluster_id FROM (
+        SELECT p.id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+                 {_KM_D2.format(v='p.v', c='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN c1 c
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "embed_kmeans_clusters",
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT vec_id, cluster_id FROM assign
     """,
 )
 def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,4 +572,78 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mutual_deg"),
         )
         .select(F.col("src").alias("vec_id"), "out_deg", "mutual_deg")
+    )
+
+
+@query(
+    "dedup_semantic_pairs",
+    oracle=f"""
+    WITH {_KM_CTES},
+    j AS (
+      SELECT a.vec_id, a.cluster_id, e.embedding AS v
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster_id,
+           {_DOT.format(a='x.v', b='y.v')}
+             / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')})
+             AS cosine_sim
+    FROM j x JOIN j y
+      ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    WHERE {_DOT.format(a='x.v', b='y.v')}
+            / ({_NORM.format(a='x.v')} * {_NORM.format(a='y.v')}) >= 0.18
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup, the SemDeDup shape (Abbas et al. 2023): k-means
+    partitions the embedding space, then near-duplicate candidates are
+    scored by exact cosine ONLY within each cluster — the partitioning
+    bounds the quadratic verify at corpus²/k per cluster instead of
+    all-pairs (same candidates-then-verify discipline as the MinHash
+    family, with clusters instead of bands). Emits the above-threshold
+    pairs with their cluster. The assignment is the engine-exact
+    kmeans_refine (hash seeds, exact int centroid sums), so the oracle
+    replays clustering AND scoring bit-for-bit. At 100 TB: assignment is
+    a map (centroids broadcast as literals), the pair join shuffles on
+    cluster_id — k sized to keep clusters partition-sized, hot clusters
+    split by the skew machinery. Norms are HOISTED to one column per
+    vector before the pair join (each vector scores O(cluster) pairs;
+    an inline cosine() would re-fold the norm per pair); the per-pair
+    work is the dot fold plus a division by the two precomputed norms —
+    the same expressions per element, so values are identical."""
+    from marketdb_spark.operators.similarity import dot, kmeans_refine, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_refine(emb, k=8, iters=2, dims=64).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    j = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "cluster_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    x = j.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster_id",
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    y = j.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id").alias("cid_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        x.join(
+            y,
+            (F.col("cluster_id") == F.col("cid_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine_sim") >= 0.18)
+        .select("id_a", "id_b", "cluster_id", "cosine_sim")
     )

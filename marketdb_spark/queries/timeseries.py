@@ -1124,3 +1124,86 @@ def ts_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dx.cast("double") * dy.cast("double")),
         ).alias("corr_view_purchase"),
     )
+
+
+@query(
+    "ts_mad_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    u AS (
+      SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+      FROM d
+    ),
+    f AS (
+      SELECT user_id, ts, vu,
+             list(vu) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW
+             ) AS frame
+      FROM u
+    ),
+    m AS (
+      SELECT user_id, ts, vu, frame,
+             list_sort(frame)[(len(frame) + 1) // 2] AS med
+      FROM f
+    )
+    SELECT user_id, ts, vu AS value_micro,
+           med AS med_micro,
+           list_sort(list_transform(frame, x -> abs(x - med)))
+             [(len(frame) + 1) // 2] AS mad_micro,
+           (abs(vu - med) > 5 * list_sort(
+               list_transform(frame, x -> abs(x - med))
+             )[(len(frame) + 1) // 2]) AS is_outlier
+    FROM m
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per series: a point is an outlier when
+    its distance from the rolling MEDIAN exceeds 5× the rolling MAD
+    (median absolute deviation) over the trailing 9-row frame — the
+    median/MAD pair is the robust alternative to ts_zscore_outliers'
+    mean/stddev, immune to the outliers it is hunting. Implementation
+    device: the frame is materialized as an ARRAY (collect_list window
+    over integer micro-units), so median and MAD are lower-median
+    element_at(sorted, (n+1) div 2) picks — pure integer arithmetic,
+    bit-equal across engines, no interpolation convention to diverge.
+    Scale: one exchange on user_id; the 9-element frame array is O(1)
+    per row (bounded frame, never a partition buffer)."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("vu"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(-8, 0)
+    f = ev.select(
+        "user_id", "ts", "vu", F.collect_list("vu").over(w).alias("frame")
+    )
+    lower_med = lambda arr: F.element_at(
+        F.array_sort(arr), ((F.size(arr) + 1) / 2).cast("int")
+    )
+    m = f.select(
+        "user_id", "ts", "vu", "frame", lower_med(F.col("frame")).alias("med")
+    )
+    dev = F.transform("frame", lambda x: F.abs(x - F.col("med")))
+    mad = lower_med(dev)
+    return m.select(
+        "user_id",
+        "ts",
+        F.col("vu").alias("value_micro"),
+        F.col("med").alias("med_micro"),
+        mad.alias("mad_micro"),
+        (F.abs(F.col("vu") - F.col("med")) > 5 * mad).alias("is_outlier"),
+    )

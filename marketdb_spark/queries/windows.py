@@ -270,3 +270,62 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    u AS (
+      SELECT user_id, ts,
+             CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  AS DOUBLE) AS vu
+      FROM d
+    )
+    SELECT user_id, ts,
+           quantile_cont(vu, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med_micro,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_frame
+    FROM u
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN over a 7-row frame per user — the robust-statistics
+    window (outlier-resistant smoothing) the moving AVERAGE family can't
+    express: an order statistic, not a running sum, so the engine
+    re-ranks the frame per row. Exactness device: values are pre-scaled
+    to integer micro-units (as doubles < 2^53), so both engines'
+    linear-interpolation formulas — Spark's a + (b−a)·frac and DuckDB's
+    quantile_cont — are EXACT integer-or-half arithmetic and agree
+    bit-for-bit on even-sized head frames; (user, ts) is pre-deduped
+    with MAX so the frame contents are a deterministic set. Scale: one
+    exchange on user_id; the 7-row frame is O(1) state per row —
+    unlike a growing frame, this never buffers a partition."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .cast("double")
+            .alias("vu"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(-6, 0)
+    return ev.select(
+        "user_id",
+        "ts",
+        F.expr("percentile(vu, 0.5)").over(w).alias("med_micro"),
+        F.count("*").over(w).alias("n_frame"),
+    )
