@@ -723,3 +723,59 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("buckets_set"),
         F.count("*").alias("n_partials"),
     )
+
+
+@query(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view
+                          AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM m
+    """,
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL conversion (the product-analytics staple): users
+    counted into view → click-after-view → purchase-after-click stages
+    by comparing each stage's FIRST event time — min-reduction per
+    (user, stage), then one global rollup. Strictly-ordered semantics
+    (each stage must start after the previous stage's first touch).
+    Pure conditional-min aggregation: one shuffle on user_id with full
+    map-side partial aggregation, then a scalar rollup — at 100 TB the
+    exchange carries one row per user, and the stage comparison is free.
+    The cogrouped-pandas sibling (udf_cogrouped_funnel) covers the
+    arbitrary-logic form; this row pins the pure-SQL shape."""
+    ev = load(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    m = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    full = clicked & (F.col("first_purchase") > F.col("first_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return m.agg(
+        F.count("*").alias("n_users"),
+        one(viewed).alias("n_viewed"),
+        one(clicked).alias("n_clicked_after_view"),
+        one(full).alias("n_full_funnel"),
+    )

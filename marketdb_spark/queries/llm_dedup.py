@@ -796,3 +796,81 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
         .distinct()
     )
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_HASHED_SH2} AS s FROM documents
+    ),
+    cand AS ({_MINHASH_ORACLE}),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b
+      WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    )
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(v.jaccard) AS max_jaccard
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.id_a
+    JOIN documents db ON db.doc_id = v.id_b
+    GROUP BY source_x, source_y
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix — the corpus-curation report that
+    tells you WHICH sources mirror each other (the decision input for
+    per-source dedup order and crawl dedup budgets): verified near-dup
+    pairs (the dedup_verified_pairs pipeline) are attributed to their
+    unordered (source, source) cell with pair counts and the strongest
+    overlap. Aggregates are order-insensitive (count, max) so the
+    report is exact. Scale shape: the heavy lifting is the shared
+    LSH→verify pipeline; the attribution is two broadcast-size joins on
+    doc_id and an aggregation on the tiny source-pair key space."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="shingle_hash_matrix_")
+    try:
+        pairs = verified_near_dups(
+            docs, threshold=0.2, shingle_table_path=tmp
+        )
+        src = docs.select("doc_id", "source")
+        attributed = (
+            pairs.join(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("src_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("src_b"),
+                ),
+                "id_b",
+            )
+            .groupBy(
+                F.least("src_a", "src_b").alias("source_x"),
+                F.greatest("src_a", "src_b").alias("source_y"),
+            )
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.max("jaccard").alias("max_jaccard"),
+            )
+        )
+        return attributed.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

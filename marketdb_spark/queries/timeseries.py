@@ -1207,3 +1207,98 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad.alias("mad_micro"),
         (F.abs(F.col("vu") - F.col("med")) > 5 * mad).alias("is_outlier"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    u AS (
+      SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+      FROM d
+    ),
+    dev AS (
+      SELECT user_id, ts,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) * vu
+               - CAST(SUM(vu) OVER (PARTITION BY user_id) AS BIGINT) AS dv
+      FROM u
+    ),
+    pre AS (
+      SELECT user_id, ts,
+             CAST(SUM(dv) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS p
+      FROM dev
+    ),
+    stat AS (
+      SELECT user_id,
+             p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT)) AS s
+      FROM pre
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           GREATEST(CAST(0 AS BIGINT), MAX(s)) AS cusum_max
+    FROM stat GROUP BY user_id
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEPOINT detection per series (one-sided CUSUM): the running
+    statistic s_i = max(0, s_{i-1} + d_i) over mean-centered deviations
+    spikes when the series' level shifts upward — the classic sequential
+    test. Computed via the Kadane identity (max CUSUM == max-subarray
+    sum of deviations == max_j [prefix_j - min(0, min_{i<j} prefix_i)]),
+    which turns the order-dependent recurrence into three WINDOW passes
+    sharing ONE user_id exchange — no per-series array collection, no
+    engine-specific fold semantics (DuckDB v1.0's list_reduce evaluates
+    dependent struct fields against a mutating accumulator — measured,
+    avoided). Deviations are scaled by n (d_i = n*x_i - sum x) so the
+    whole computation is exact BIGINT arithmetic. Scale: windows over
+    user partitions, state O(1) per row; NULL window heads handled by
+    least(0, NULL) -> 0, identical in both engines (probed)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("vu"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy("user_id")
+    wcum = wall.orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wprev = wall.orderBy("ts").rowsBetween(W.unboundedPreceding, -1)
+    dev = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.count("*").over(wall) * F.col("vu")
+            - F.sum("vu").over(wall)
+        ).alias("dv"),
+    )
+    pre = dev.select(
+        "user_id", "ts", F.sum("dv").over(wcum).alias("p")
+    )
+    stat = pre.select(
+        "user_id",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wprev))
+        ).alias("s"),
+    )
+    return stat.groupBy("user_id").agg(
+        F.count("*").alias("n_obs"),
+        F.greatest(F.lit(0).cast("long"), F.max("s")).alias("cusum_max"),
+    )
