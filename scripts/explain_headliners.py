@@ -71,6 +71,12 @@ HEADLINERS = {
     "sim_knn_graph": "bucketed kNN candidates (corpus²/#buckets, never "
     "all-pairs); per-source top-k window; mutual check = one self-join "
     "of the edge list on the reversed key",
+    "ts_changepoint_cusum": "order-dependent CUSUM recurrence as the "
+    "Kadane max-subarray identity: three window passes sharing ONE "
+    "user_id exchange, exact BIGINT arithmetic",
+    "dedup_semantic_pairs": "SemDeDup: map-only kmeans assignment "
+    "(centroids as literals) → within-cluster pair join on cluster_id "
+    "(corpus²/k bound) with per-vector norms hoisted out of the join",
     "corpus_mixture_weights": "single corpus scan: two-phase strata "
     "aggregation, then totals from an empty-partition window over the "
     "|strata|-row frame — no scalar-subquery re-scans",
