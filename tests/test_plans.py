@@ -366,3 +366,12 @@ def test_reservoir_sample_pushes_group_limit(spark):
 
     plan = physical_plan(REGISTRY["sample_reservoir_det"].fn(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
+
+
+def test_cusum_windows_share_one_user_exchange(spark):
+    """ts_changepoint_cusum's three window passes and the final rollup
+    must all reuse the user_id partitioning: exactly two exchanges total
+    (the (user, ts) dedup + the user repartition) — a per-window
+    re-shuffle would quadruple the data motion at 100 TB."""
+    df = REGISTRY["ts_changepoint_cusum"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 2
