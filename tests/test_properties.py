@@ -301,3 +301,57 @@ def test_interval_overlap_join_matches_brute_force(spark, a_ivs, b_ivs, cell):
         if s1 < s2 + w2 and s2 < s1 + w1
     )
     assert got == want
+
+
+class TestSpoolQueueOffsetAlgebra:
+    """Property: for ANY interleaving of segment creations and
+    line-atomic appends, chaining read() calls consumes every complete
+    line exactly once, and readBetweenOffsets replays each committed
+    range bit-identically (the invariant checkpoint recovery rests on).
+    Pure-driver test — no Spark session needed."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(1, 4)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_chained_reads_partition_the_journal(self, tmp_path_factory, ops):
+        import json as _json
+
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueueStreamReader,
+            append_segment,
+        )
+
+        spool = str(tmp_path_factory.mktemp("spool"))
+        reader = SpoolQueueStreamReader({"path": spool})
+        offset = reader.initialOffset()
+        seen: list[tuple] = []
+        offsets = [offset]
+        written = 0
+        for seg_i, n_lines in ops:
+            append_segment(
+                spool,
+                f"{seg_i:04d}.ndjson",
+                [{"v": written + j} for j in range(n_lines)],
+            )
+            written += n_lines
+            rows, offset = reader.read(offsets[-1])
+            seen.extend(rows)
+            offsets.append(offset)
+        # drain any tail
+        rows, offset = reader.read(offsets[-1])
+        seen.extend(rows)
+        offsets.append(offset)
+        # every written line exactly once (values are globally unique)
+        values = sorted(_json.loads(v)["v"] for _, _, v in seen)
+        assert values == list(range(written))
+        # committed ranges replay bit-identically, and their concatenation
+        # reproduces the full consumption in order
+        replayed = []
+        for a, b in zip(offsets, offsets[1:]):
+            replayed.extend(reader.readBetweenOffsets(a, b))
+        assert replayed == seen
