@@ -134,9 +134,35 @@ _DRIVER_CHECKED_R05 = frozenset({
     "unpivot_lineitem_metrics", "win_gaps_islands",
 })
 
+# Round-6 window (CORRECTNESS_r06.json): all 50 green — including every one
+# of the 19 queries added in round 6. With this batch rotated to the back,
+# all 181 registered queries have driver-green rows, so queries added in
+# round 7 sort alone at the front of the window.
+_DRIVER_CHECKED_R06 = frozenset({
+    "agg_approx_distinct", "agg_approx_quantiles", "agg_bitmap_distinct",
+    "agg_collect_ordered", "agg_countmin_freq", "agg_cube_flags",
+    "agg_distinct_counts", "agg_funnel_conversion", "agg_grouping_sets",
+    "agg_heavy_hitters", "agg_minmax_by", "agg_mode_deterministic",
+    "agg_quantiles", "agg_rollup_priority", "agg_salted_two_phase",
+    "agg_sketch_merge", "corpus_shard_assign", "corpus_token_budget",
+    "dedup_semantic_pairs", "dedup_source_matrix", "doc_domain_caps",
+    "graph_pagerank_dedup", "join_anti_inactive_customers",
+    "join_correlated_avg", "join_dim_enrich",
+    "join_full_outer_nation_profile", "join_nonequi_balance_pairs",
+    "join_outer_nation_customers", "join_point_in_interval",
+    "join_range_price_band", "join_runtime_filter",
+    "join_semi_active_customers", "mm_resize_pixels", "q01_pricing_summary",
+    "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q10_returned_items", "q18_large_orders",
+    "sample_reservoir_det", "sample_stratified_det", "sim_knn_graph",
+    "store_delta_checkpoint", "stream_delta_ingest",
+    "stream_late_drop_audit", "stream_queue_ingest", "ts_changepoint_cusum",
+    "ts_mad_outliers", "unpivot_lineitem_metrics", "win_rolling_median",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
-    | _DRIVER_CHECKED_R05
+    | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
