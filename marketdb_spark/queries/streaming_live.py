@@ -985,9 +985,11 @@ def stream_queue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM PYTHON STREAMING SOURCE under the driver's hash gate:
     events are journaled into an append-only ndjson spool (3 segments,
     written BY SPARK as to_json lines — the queue's journal), then
-    consumed back through `format("spoolqueue")` (streaming/
-    queuesource.py — per-segment line offsets, replayable ranges, the
-    reliable Kestrel-consumer analog), JSON-decoded in-stream and
+    consumed back through the EXECUTOR-READ `format("spoolqueue_dist")`
+    (streaming/queuesource.py — the driver only stats/plans per-segment
+    line offsets, incremental O(new bytes) per trigger; executors read
+    the slices in parallel with byte-seek hints; same replayable-range
+    contract as the driver-read simple source), JSON-decoded in-stream and
     aggregated in complete mode. The result is hash-equal to the batch
     aggregation of the events table iff the queue delivered every line
     exactly once and the JSON round-trip (double values, µs timestamps)
@@ -1037,7 +1039,7 @@ def stream_queue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(spool, f"{i:04d}.ndjson"),
             )
         parsed = (
-            spark.readStream.format("spoolqueue")
+            spark.readStream.format("spoolqueue_dist")
             .load(spool)
             .select(
                 F.from_json(

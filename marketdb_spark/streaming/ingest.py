@@ -155,6 +155,7 @@ def read_trade_stream_queue(
     kind: str = "trades",
     watermark: str = "10 minutes",
     dedup_within_watermark: bool = True,
+    distributed: bool = True,
 ) -> DataFrame:
     """REPLAYABLE queue stream of ndjson trade/order events — the
     faithful Kestrel-consumer analog (MarketLoader.scala:33-55) with the
@@ -163,11 +164,22 @@ def read_trade_stream_queue(
     per-segment line offsets through Spark's checkpoint, so a restarted
     query resumes exactly where it acked and any committed batch can be
     replayed bit-identically. Decode/validate/dedup is the shared
-    parse_event_lines path, identical to the file/socket/Kafka shapes."""
+    parse_event_lines path, identical to the file/socket/Kafka shapes.
+
+    Default transport is the EXECUTOR-READ partitioned source
+    (`spoolqueue_dist`): the driver only lists/stats the spool to plan
+    offsets — the reference's "server plans, client executes" scan
+    contract (TimeSeriesEnumerator.scala:36-46) — and each segment slice
+    is read in parallel by executors, which is the only shape that holds
+    when the spool outgrows one machine's read bandwidth.
+    `distributed=False` selects the driver-read simple source — same
+    offsets, same replay contract, fewer moving parts — for
+    control-plane-sized queues."""
     from marketdb_spark.streaming.queuesource import register_queue_source
 
     register_queue_source(spark)
-    lines = spark.readStream.format("spoolqueue").load(spool_dir)
+    fmt = "spoolqueue_dist" if distributed else "spoolqueue"
+    lines = spark.readStream.format(fmt).load(spool_dir)
     return parse_event_lines(lines, kind, watermark, dedup_within_watermark)
 
 

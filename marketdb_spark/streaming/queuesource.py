@@ -75,20 +75,39 @@ def _segments(path: str, suffix: str) -> list[str]:
     return sorted(f for f in os.listdir(path) if f.endswith(suffix))
 
 
-def _read_lines(path: str, seg: str, start: int, end: int | None):
+def _read_lines(
+    path: str,
+    seg: str,
+    start: int,
+    end: int | None,
+    base_line: int = 0,
+    base_byte: int = 0,
+):
     """Lines [start, end) of a segment (end=None → to EOF). Trailing
     partial line (producer mid-append, no newline yet) is NOT consumed —
-    it will be read once the newline lands, keeping line-atomicity."""
+    it will be read once the newline lands, keeping line-atomicity.
+
+    (base_line, base_byte) is an optional seek hint — "line `base_line`
+    starts at byte `base_byte`" — letting a reader skip the prefix
+    without rescanning it (segments are append-only, so a once-true
+    hint stays true). base_line must be ≤ start."""
     out = []
     with open(os.path.join(path, seg), "rb") as f:
-        for i, raw in enumerate(f):
+        if base_byte and base_line <= start:
+            f.seek(base_byte)
+            i = base_line
+        else:
+            i = 0
+        for raw in f:
             if not raw.endswith(b"\n"):
                 break  # partial tail: not yet committed by the producer
-            if i < start:
-                continue
+            if i >= start and (end is None or i < end):
+                out.append(
+                    (seg, i, raw.rstrip(b"\r\n").decode("utf-8", "replace"))
+                )
+            i += 1
             if end is not None and i >= end:
                 break
-            out.append((seg, i, raw.rstrip(b"\r\n").decode("utf-8", "replace")))
     return out
 
 
@@ -147,12 +166,19 @@ class SpoolQueueDataSource(DataSource):
 
 class SegmentSlicePartition(InputPartition):
     """One task = one segment's [start, end) line slice — segments are
-    independent files, so tasks never contend on a handle."""
+    independent files, so tasks never contend on a handle.
+    (base_line, base_byte) is the driver's seek hint: the byte position
+    of some line ≤ start, so the executor seeks instead of rescanning
+    the segment prefix (cold replay after restart gets (0, 0))."""
 
-    def __init__(self, seg: str, start: int, end: int):
+    def __init__(
+        self, seg: str, start: int, end: int, base_line: int = 0, base_byte: int = 0
+    ):
         self.seg = seg
         self.start = start
         self.end = end
+        self.base_line = base_line
+        self.base_byte = base_byte
 
 
 class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
@@ -169,21 +195,61 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.suffix = options.get("suffix", ".ndjson")
+        # Driver-side incremental-scan state, per segment:
+        #   _tail[seg]  = (clean_bytes, lines): byte length of the
+        #                 newline-terminated prefix and its line count —
+        #                 latestOffset only rescans bytes appended past
+        #                 clean_bytes, so a quiet trigger is one stat()
+        #                 per segment, O(new bytes) overall, never
+        #                 O(journal) per trigger.
+        #   _index[seg] = ascending [(line, byte), ...] checkpoints (one
+        #                 per trigger that advanced the segment), used to
+        #                 hand executors a seek hint so a slice read is
+        #                 O(slice), not O(prefix + slice).
+        # Both are best-effort caches: lost on restart (replay falls back
+        # to a (0, 0) hint), invalidated if a file shrinks (contract
+        # violation; rescan from zero defensively).
+        self._tail: dict[str, tuple[int, int]] = {}
+        self._index: dict[str, list[tuple[int, int]]] = {}
 
     def initialOffset(self) -> dict:
         return {"pos": {}}
 
+    def _scan_tail(self, seg: str) -> int:
+        """Complete-line count of a segment, rescanning only appended
+        bytes since the previous trigger."""
+        full = os.path.join(self.path, seg)
+        size = os.path.getsize(full)
+        clean, lines = self._tail.get(seg, (0, 0))
+        if size < clean:  # truncated/rewritten: contract violation
+            clean, lines = 0, 0
+            self._index.pop(seg, None)
+        if size == clean:
+            return lines
+        with open(full, "rb") as f:
+            f.seek(clean)
+            for raw in f:
+                if not raw.endswith(b"\n"):
+                    break  # partial tail: producer mid-append
+                clean += len(raw)
+                lines += 1
+        self._tail[seg] = (clean, lines)
+        idx = self._index.setdefault(seg, [(0, 0)])
+        if idx[-1][0] < lines:
+            idx.append((lines, clean))
+        return lines
+
     def latestOffset(self) -> dict:
-        pos = {}
-        for seg in _segments(self.path, self.suffix):
-            n = 0
-            with open(os.path.join(self.path, seg), "rb") as f:
-                for raw in f:
-                    if not raw.endswith(b"\n"):
-                        break  # partial tail: producer mid-append
-                    n += 1
-            pos[seg] = n
-        return {"pos": pos}
+        return {"pos": {seg: self._scan_tail(seg) for seg in _segments(self.path, self.suffix)}}
+
+    def _hint(self, seg: str, start: int) -> tuple[int, int]:
+        """Largest known (line, byte) checkpoint with line ≤ start."""
+        best = (0, 0)
+        for line, byte in self._index.get(seg, ()):
+            if line > start:
+                break
+            best = (line, byte)
+        return best
 
     def partitions(self, start: dict, end: dict):
         spos = start.get("pos", {})
@@ -191,7 +257,10 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         for seg, e in sorted(end.get("pos", {}).items()):
             s = int(spos.get(seg, 0))
             if int(e) > s:
-                parts.append(SegmentSlicePartition(seg, s, int(e)))
+                base_line, base_byte = self._hint(seg, s)
+                parts.append(
+                    SegmentSlicePartition(seg, s, int(e), base_line, base_byte)
+                )
         # Spark requires ≥1 partition per batch; an empty advance still
         # needs a no-op slice
         return parts or [SegmentSlicePartition("", 0, 0)]
@@ -200,7 +269,14 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         if not partition.seg:
             return iter(())
         return iter(
-            _read_lines(self.path, partition.seg, partition.start, partition.end)
+            _read_lines(
+                self.path,
+                partition.seg,
+                partition.start,
+                partition.end,
+                partition.base_line,
+                partition.base_byte,
+            )
         )
 
     def commit(self, end: dict) -> None:

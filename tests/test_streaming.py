@@ -1069,3 +1069,98 @@ class TestSpoolQueueSource:
         # slices really fan out: >1 partition-carrying segment per batch
         segs = {r.segment for r in got.collect()}
         assert segs == {"0001.ndjson", "0002.ndjson", "0003.ndjson"}
+
+    def test_latest_offset_scans_only_appended_bytes(self, tmp_path):
+        """The partitioned reader's driver pass must be incremental:
+        a quiet trigger is stat()-only (zero file opens), and an append
+        rescans only the new suffix — never the whole journal
+        (otherwise a long-running stream degrades O(journal²))."""
+        import builtins
+
+        from unittest import mock
+
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueuePartitionedStreamReader,
+            append_segment,
+        )
+
+        spool = str(tmp_path / "spool")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(5)])
+        append_segment(spool, "0002.ndjson", [{"id": 5}])
+        r = SpoolQueuePartitionedStreamReader({"path": spool})
+        assert r.latestOffset() == {"pos": {"0001.ndjson": 5, "0002.ndjson": 1}}
+
+        real_open = builtins.open
+        opened: list[str] = []
+
+        def spy(file, *a, **k):
+            opened.append(str(file))
+            return real_open(file, *a, **k)
+
+        with mock.patch("builtins.open", side_effect=spy):
+            # nothing appended: no segment may be reopened
+            assert r.latestOffset() == {
+                "pos": {"0001.ndjson": 5, "0002.ndjson": 1}
+            }
+        assert opened == []
+        # append to one segment: only THAT segment is reopened, and
+        # the scan resumes from the cached clean-byte position
+        append_segment(spool, "0002.ndjson", [{"id": 6}, {"id": 7}])
+        tail_before = r._tail["0002.ndjson"][0]
+        with mock.patch("builtins.open", side_effect=spy):
+            assert r.latestOffset() == {
+                "pos": {"0001.ndjson": 5, "0002.ndjson": 3}
+            }
+        assert opened == [str(tmp_path / "spool" / "0002.ndjson")]
+        assert r._tail["0002.ndjson"][0] > tail_before
+
+    def test_partition_seek_hints_skip_the_prefix(self, tmp_path):
+        """partitions() hands executors the (line, byte) checkpoint the
+        driver recorded at the slice boundary, and _read_lines seeks it —
+        the slice read is O(slice). The hinted read must be
+        bit-identical to the unhinted one, including across a partial
+        producer tail."""
+        import os
+
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueuePartitionedStreamReader,
+            _read_lines,
+            append_segment,
+        )
+
+        spool = str(tmp_path / "spool")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(4)])
+        r = SpoolQueuePartitionedStreamReader({"path": spool})
+        start = r.latestOffset()
+        append_segment(spool, "0001.ndjson", [{"id": 4}, {"id": 5}])
+        with open(os.path.join(spool, "0001.ndjson"), "a") as f:
+            f.write('{"id": 6')  # partial tail: must not be consumed
+        end = r.latestOffset()
+        [part] = r.partitions(start, end)
+        assert (part.start, part.end) == (4, 6)
+        assert (part.base_line, part.base_byte) == (4, r._index["0001.ndjson"][1][1])
+        assert part.base_byte > 0
+        hinted = list(r.read(part))
+        unhinted = _read_lines(spool, "0001.ndjson", 4, 6)
+        assert hinted == unhinted
+        assert [json.loads(v)["id"] for _, _, v in hinted] == [4, 5]
+
+    def test_truncated_segment_rescans_defensively(self, tmp_path):
+        """Contract violation (segment shrank): the cached tail and index
+        are dropped and the count is re-derived from byte zero instead of
+        seeking past EOF."""
+        import os
+
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueuePartitionedStreamReader,
+            append_segment,
+        )
+
+        spool = str(tmp_path / "spool")
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(5)])
+        r = SpoolQueuePartitionedStreamReader({"path": spool})
+        assert r.latestOffset()["pos"]["0001.ndjson"] == 5
+        with open(os.path.join(spool, "0001.ndjson"), "w") as f:
+            f.write('{"id": 0}\n')
+        assert r.latestOffset()["pos"]["0001.ndjson"] == 1
+        assert r._index["0001.ndjson"][0] == (0, 0)
