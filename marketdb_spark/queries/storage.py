@@ -558,3 +558,77 @@ def store_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def store_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-PARTITIONED Delta round trip under the hash gate
+    (sources/deltalog.write_delta(partition_by=...) — the reference's
+    partitioned K1 sink, MarketDB.scala:170-210, in Delta's protocol):
+    orders land in Hive-style ``o_year=YYYY`` dirs across two appends
+    (the second ADOPTS the table's partitioning with no partition_by),
+    a checkpoint is written at the head and the JSON log cleaned, then
+    the snapshot is read back by replay — hash-equal to the raw table
+    iff add.partitionValues (authoritative per the protocol, the dirs
+    are never trusted) re-attach every partition column with the
+    table-schema type through the checkpoint's map<string,string>
+    round-trip. Time travel to v0 is asserted inline. Scale: each
+    distinct partition tuple is one pruned parquet scan; a filter on
+    o_year constant-folds every other branch of the union away, which
+    is exactly how the reference's row-key date ranges prune HBase
+    scans (ScanOperation key planning)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        clean_log,
+        delta_versions,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_totalprice",
+    )
+    work = tempfile.mkdtemp(prefix="delta_part_store_")
+    t = f"{work}/orders_tbl"
+    try:
+        evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+        v0 = write_delta(evens, t, partition_by=["o_year"])
+        v1 = write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        assert (v0, v1) == (0, 1), (v0, v1)
+        # time travel BEFORE compaction (v0 predates the checkpoint and
+        # is unreachable after clean_log — by design)
+        n_evens = evens.count()
+        assert read_delta(spark, t, version=0).count() == n_evens
+        assert write_checkpoint(t) == 1
+        removed = clean_log(t)
+        assert len(removed) == 2 and delta_versions(t) == []
+        # time travel through the checkpoint's partitionValues maps:
+        # v1 == the checkpoint version stays reachable after cleanup
+        assert read_delta(spark, t, version=1).count() > n_evens
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_year")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

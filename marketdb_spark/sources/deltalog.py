@@ -282,26 +282,116 @@ def read_delta(
     return out
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _table_partitioning(table: str) -> list[str] | None:
+    """The table's partitionColumns, or None if the table doesn't exist
+    yet (no commits and no checkpoints)."""
+    if not os.path.isdir(os.path.join(table, _LOG)):
+        return None
+    if not _log_entries(table) and not _checkpoint_versions(table):
+        return None
+    _schema, part_cols, _live = _replay(table, None)
+    return part_cols
+
+
+def _stage_files(
+    df: DataFrame, table: str, part_cols: list[str]
+) -> list[tuple[str, dict]]:
+    """Write df's data files into the table directory under fresh names
+    (Hive-style ``col=value`` subdirs when partitioned) WITHOUT
+    committing them — they become live only when an add action lands.
+    Returns [(relative_path, partitionValues)] with partitionValues
+    decoded from the staged directory layout (Spark percent-encodes
+    special chars; ``__HIVE_DEFAULT_PARTITION__`` means null)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from urllib.parse import unquote
+
+    tmp = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    staged: list[tuple[str, dict]] = []
+    try:
+        for root, _dirs, files in sorted(os.walk(tmp)):
+            rel_dir = os.path.relpath(root, tmp)
+            pvals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for comp in rel_dir.split(os.sep):
+                    col, sep, raw = comp.partition("=")
+                    if not sep:
+                        continue  # not a partition component
+                    pvals[col] = None if raw == _HIVE_NULL else unquote(raw)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                if set(pvals) != set(part_cols):
+                    raise ValueError(
+                        f"staged layout {rel_dir!r} does not carry the "
+                        f"partition columns {part_cols}"
+                    )
+                name = f"part-{_uuid.uuid4().hex}.parquet"
+                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                dest = os.path.join(table, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(root, f), dest)
+                staged.append((rel, {c: pvals[c] for c in part_cols}))
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        raise
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return staged
+
+
+def _unstage(table: str, rels: list[str]) -> None:
+    """Best-effort removal of staged-but-never-committed data files (and
+    any partition dirs they emptied) — nothing references them, so
+    leaving them behind only wastes space and confuses direct-parquet
+    listings."""
+    for rel in rels:
+        try:
+            os.unlink(os.path.join(table, rel))
+        except OSError:
+            continue
+        d = os.path.dirname(rel)
+        while d:
+            try:
+                os.rmdir(os.path.join(table, d))
+            except OSError:
+                break
+            d = os.path.dirname(d)
+
+
 def write_delta(
     df: DataFrame,
     table: str,
     mode: str = "append",
     txn_app: str | None = None,
     txn_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
-    """Minimal protocol-correct Delta writer (unpartitioned tables):
-    data files land at the table root under fresh names, then one
-    commit JSON (protocol + metaData on first commit or schema-changing
-    overwrite, add/remove actions) claims the next version via an
-    exclusive create — the same put-if-absent commit race as
-    sources/snapshot.py (and Delta itself), with the same retry
+    """Minimal protocol-correct Delta writer: data files land under the
+    table under fresh names (Hive-style ``col=value`` dirs for
+    partitioned tables, with add.partitionValues authoritative per the
+    protocol), then one commit JSON (protocol + metaData on first commit
+    or schema-changing overwrite, add/remove actions) claims the next
+    version via an exclusive create — the same put-if-absent commit race
+    as sources/snapshot.py (and Delta itself), with the same retry
     discipline: blind appends recompute and retry, and a final loss
     raises the shared CommitConflict. Guards, not assumptions: an append
-    to a PARTITIONED table or with a mismatched schema raises instead of
-    silently committing adds the existing metaData would misread; an
-    overwrite with a new schema re-emits metaData so readers never force
-    the old schema onto new files. Exists so round-trips and interop
-    tests don't need delta jars; partitioned WRITES are out of scope.
+    with a mismatched schema, or a ``partition_by`` that disagrees with
+    the table's partitionColumns, raises instead of committing adds the
+    existing metaData would misread (appends to an existing table ADOPT
+    its partitioning when ``partition_by`` is omitted); every
+    non-success exit unstages the data files it wrote, so guards and
+    lost races never leave orphan parquet in the table. An overwrite
+    with a new schema re-emits metaData so readers never force the old
+    schema onto new files; overwrites cannot change the partitioning.
 
     ``txn_app`` + ``txn_version`` make the commit IDEMPOTENT per Delta's
     setTransaction protocol (PROTOCOL.md "Transaction Identifiers"): the
@@ -311,8 +401,9 @@ def write_delta(
     None instead of double-committing. This is exactly how delta-spark's
     streaming sink achieves exactly-once on top of at-least-once
     micro-batch replay."""
-    import shutil as _shutil
     import uuid as _uuid
+
+    from urllib.parse import quote
 
     from marketdb_spark.sources.snapshot import CommitConflict
 
@@ -324,118 +415,144 @@ def write_delta(
         seen = last_txn_version(table, txn_app)
         if seen is not None and seen >= txn_version:
             return None  # replayed batch: already committed
+    existing_parts = _table_partitioning(table)
+    if existing_parts is not None and partition_by is not None:
+        if list(partition_by) != existing_parts:
+            raise ValueError(
+                f"partition_by {list(partition_by)} disagrees with "
+                f"{table}'s partitionColumns {existing_parts}"
+            )
+    part_cols = (
+        existing_parts
+        if existing_parts is not None
+        else list(partition_by or [])
+    )
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
-    tmp = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
-    df.write.mode("error").parquet(tmp)
-    names = []
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            name = f"part-{_uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(tmp, f), os.path.join(table, name))
-            names.append(name)
-    _shutil.rmtree(tmp, ignore_errors=True)
+    staged = _stage_files(df, table, part_cols)
+    names = [rel for rel, _ in staged]
 
-    for _ in range(5):
-        entries = _log_entries(table)
-        # Checkpoints count as table state too: a checkpoint-only table
-        # (JSON commits expired under log retention — a layout read_delta
-        # explicitly supports) must commit ABOVE the checkpoint version
-        # and still run the schema/partition guards, else the new commit
-        # lands at-or-below the checkpoint and replay silently skips it.
-        ckpts = _checkpoint_versions(table)
-        latest = max(
-            entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
-        )
-        removes: list[str] = []
-        need_meta = latest < 0
-        if latest >= 0:
-            schema_json, part_cols, live = _replay(table, None)
-            if part_cols:
-                raise ValueError(
-                    f"{table} is partitioned ({part_cols}); partitioned "
-                    f"writes are out of this writer's scope"
+    try:
+        for _ in range(5):
+            entries = _log_entries(table)
+            # Checkpoints count as table state too: a checkpoint-only
+            # table (JSON commits expired under log retention — a layout
+            # read_delta explicitly supports) must commit ABOVE the
+            # checkpoint version and still run the schema/partition
+            # guards, else the new commit lands at-or-below the
+            # checkpoint and replay silently skips it.
+            ckpts = _checkpoint_versions(table)
+            latest = max(
+                entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+            )
+            removes: list[str] = []
+            need_meta = latest < 0
+            if latest >= 0:
+                schema_json, table_parts, live = _replay(table, None)
+                if table_parts != part_cols:
+                    # a concurrent writer created/changed the table with a
+                    # different layout after we staged — the staged files
+                    # would be misread, so refuse
+                    raise ValueError(
+                        f"{table} is partitioned by {table_parts}, staged "
+                        f"files are laid out by {part_cols}"
+                    )
+                # STRUCTURAL schema compare, not string equality:
+                # pyspark's schema.json() sorts keys while external Delta
+                # writers emit {"type":...,"fields":...} order — a raw
+                # string compare would reject every schema-identical
+                # append to a foreign table.
+                table_schema = T.StructType.fromJson(json.loads(schema_json))
+                if mode == "overwrite":
+                    removes = sorted(live)
+                    need_meta = table_schema != df.schema
+                elif table_schema != df.schema:
+                    raise ValueError(
+                        f"append schema mismatch on {table}: table has "
+                        f"{schema_json}, batch has {df.schema.json()}"
+                    )
+            if txn_app is not None:
+                # re-check inside the loop: a concurrent replay of the
+                # SAME batch may have won an earlier race iteration
+                seen = last_txn_version(table, txn_app)
+                if seen is not None and seen >= txn_version:
+                    _unstage(table, names)  # staged files are orphans now
+                    return None
+            version = latest + 1
+            actions = []
+            if txn_app is not None:
+                actions.append(
+                    {"txn": {"appId": txn_app, "version": int(txn_version)}}
                 )
-            # STRUCTURAL schema compare, not string equality: pyspark's
-            # schema.json() sorts keys while external Delta writers emit
-            # {"type":...,"fields":...} order — a raw string compare would
-            # reject every schema-identical append to a foreign table.
-            table_schema = T.StructType.fromJson(json.loads(schema_json))
-            if mode == "overwrite":
-                removes = sorted(live)
-                need_meta = table_schema != df.schema
-            elif table_schema != df.schema:
-                raise ValueError(
-                    f"append schema mismatch on {table}: table has "
-                    f"{schema_json}, batch has {df.schema.json()}"
+            if latest < 0:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
                 )
-        if txn_app is not None:
-            # re-check inside the loop: a concurrent replay of the SAME
-            # batch may have won an earlier race iteration
-            seen = last_txn_version(table, txn_app)
-            if seen is not None and seen >= txn_version:
-                for n in names:  # staged files are now orphans — clean up
-                    try:
-                        os.unlink(os.path.join(table, n))
-                    except OSError:
-                        pass
-                return None
-        version = latest + 1
-        actions = []
-        if txn_app is not None:
-            actions.append(
-                {"txn": {"appId": txn_app, "version": int(txn_version)}}
-            )
-        if latest < 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
-        if need_meta:
-            actions.append(
-                {
-                    "metaData": {
-                        "id": _uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
-                        "partitionColumns": [],
-                        "configuration": {},
+            if need_meta:
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": _uuid.uuid4().hex,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": df.schema.json(),
+                            "partitionColumns": part_cols,
+                            "configuration": {},
+                        }
                     }
-                }
-            )
-        for p in removes:
-            actions.append({"remove": {"path": p, "dataChange": True}})
-        for n in names:
-            actions.append(
-                {
-                    "add": {
-                        "path": n,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(table, n)),
-                        "modificationTime": 0,
-                        "dataChange": True,
+                )
+            for p in removes:
+                actions.append(
+                    {"remove": {"path": quote(p, safe="/="), "dataChange": True}}
+                )
+            for rel, pvals in staged:
+                full = os.path.join(table, rel)
+                actions.append(
+                    {
+                        "add": {
+                            # URL-encode per the protocol; keep the
+                            # Hive-style / and = readable as delta-spark
+                            # does
+                            "path": quote(rel, safe="/="),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": int(
+                                os.path.getmtime(full) * 1000
+                            ),
+                            "dataChange": True,
+                        }
                     }
-                }
+                )
+            # Atomic publish: write the full commit body to a temp name,
+            # then claim the version via os.link — put-if-absent AND
+            # all-or-nothing, so a concurrent replayer can never observe
+            # a half-written commit file (the version name only appears
+            # with complete content).
+            log_path = os.path.join(table, _LOG, f"{version:020d}.json")
+            tmp_log = os.path.join(
+                table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
             )
-        # Atomic publish: write the full commit body to a temp name, then
-        # claim the version via os.link — put-if-absent AND all-or-nothing,
-        # so a concurrent replayer can never observe a half-written commit
-        # file (the version name only appears with complete content).
-        log_path = os.path.join(table, _LOG, f"{version:020d}.json")
-        tmp_log = os.path.join(
-            table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
-        )
-        with open(tmp_log, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp_log, log_path)
-        except FileExistsError:
-            continue  # lost the race — recompute the live set and retry
-        finally:
-            os.unlink(tmp_log)
-        return version
-    raise CommitConflict(f"lost the commit race 5 times on {table}")
+            with open(tmp_log, "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp_log, log_path)
+            except FileExistsError:
+                continue  # lost the race — recompute the live set, retry
+            finally:
+                os.unlink(tmp_log)
+            return version
+        raise CommitConflict(f"lost the commit race 5 times on {table}")
+    except BaseException:
+        # guards, CommitConflict, or anything else before a successful
+        # commit: the staged files were never referenced — remove them
+        _unstage(table, names)
+        raise
 
 
 def write_checkpoint(table: str, version: int | None = None) -> int:
@@ -507,8 +624,21 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
                 pa.struct(
                     [
                         ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    (
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),
@@ -518,6 +648,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
                     [
                         ("path", pa.string()),
                         ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                     ]
                 ),
@@ -541,22 +673,30 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
             "protocol": None,
             "metaData": {
                 "id": "marketdb-spark",
+                "format": {"provider": "parquet", "options": []},
                 "schemaString": schema_json,
                 "partitionColumns": part_cols,
+                "configuration": [],
             },
             "add": None,
             "txn": None,
         },
     ]
     for path, pvals in sorted(live.items()):
+        # size/modificationTime are required checkpoint fields
+        # (PROTOCOL.md "Checkpoint Schema") external readers parse;
+        # stat the live file (it must exist — it's in the live set)
+        full = os.path.join(table, path)
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
                 # re-encode per the protocol (reader percent-decodes)
                 "add": {
-                    "path": quote(path),
+                    "path": quote(path, safe="/="),
                     "partitionValues": list((pvals or {}).items()),
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": True,
                 },
                 "txn": None,
@@ -573,8 +713,23 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         )
     ck_path = os.path.join(table, _LOG, f"{version:020d}.checkpoint.parquet")
     pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema), ck_path)
-    with open(os.path.join(table, _LOG, "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
+    # _last_checkpoint must stay MONOTONE: an explicit older `version`
+    # (re-materializing a historical checkpoint) must not move the
+    # pointer backwards — after clean_log anchors retention to the
+    # NEWEST checkpoint and deletes intervening JSON commits, a reader
+    # following a rewound pointer could no longer replay to head.
+    pointer = os.path.join(table, _LOG, "_last_checkpoint")
+    recorded = -1
+    if os.path.exists(pointer):
+        try:
+            with open(pointer) as f:
+                recorded = int(json.load(f).get("version", -1))
+        except (ValueError, json.JSONDecodeError):
+            recorded = -1  # unreadable pointer: rewrite it
+    newest_ckpt = max(_checkpoint_versions(table), default=-1)
+    if version >= max(recorded, newest_ckpt):
+        with open(pointer, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
     return version
 
 

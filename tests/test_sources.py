@@ -1359,3 +1359,256 @@ class TestDeltaCheckpoint:
         )
         with pytest.raises(ValueError, match="checkpoint"):
             clean_log(t)
+
+
+class TestDeltaPartitionedWrites:
+    """Partitioned write_delta (sources/deltalog.py): Hive-style
+    ``col=value`` data layout with add.partitionValues authoritative,
+    the reference's partitioned K1 sink (MarketDB.scala:170-210)
+    expressed in Delta's protocol. Plus the no-orphans contract: every
+    non-success exit unstages its data files."""
+
+    def _orphans(self, spark, t):
+        """part-*.parquet under the table that the CURRENT live set does
+        not reference."""
+        from marketdb_spark.sources.deltalog import _replay
+
+        live = set(_replay(t, None)[2])
+        found = set()
+        for root, _dirs, files in os.walk(t):
+            if "_delta_log" in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    found.add(os.path.relpath(os.path.join(root, f), t))
+        return found - live
+
+    def test_partitioned_roundtrip_time_travel_and_layout(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")],
+            "k long, d string, v string",
+        )
+        assert write_delta(df, t, partition_by=["d"]) == 0
+        # Hive-style dirs on disk; data files do NOT carry the partition col
+        assert sorted(
+            x for x in os.listdir(t) if x.startswith("d=")
+        ) == ["d=2024-01-01", "d=2024-01-02"]
+        got = read_delta(spark, t)
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, "2024-01-01", "a"),
+            (2, "2024-01-02", "b"),
+        ]
+        assert got.columns == ["k", "d", "v"]
+        # append ADOPTS the table's partitioning without partition_by
+        more = spark.createDataFrame(
+            [(3, "2024-01-02", "c")], "k long, d string, v string"
+        )
+        assert write_delta(more, t) == 1
+        assert read_delta(spark, t).count() == 3
+        assert read_delta(spark, t, version=0).count() == 2  # time travel
+        # add actions carry partitionValues (authoritative per protocol)
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as f:
+            adds = [
+                json.loads(line)["add"]
+                for line in f
+                if '"add"' in line
+            ]
+        assert all(a["partitionValues"] == {"d": "2024-01-02"} for a in adds)
+        assert all(a["size"] > 0 and a["modificationTime"] > 0 for a in adds)
+        assert self._orphans(spark, t) == set()
+
+    def test_null_and_special_partition_values_roundtrip(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, None, "a"), (2, "x y/z", "b")], "k long, d string, v string"
+        )
+        write_delta(df, t, partition_by=["d"])
+        got = sorted(
+            (r.k, r.d, r.v) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, None, "a"), (2, "x y/z", "b")]
+
+    def test_partition_by_mismatch_raises_and_unstages(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "d1", "a")], "k long, d string, v string"
+        )
+        write_delta(df, t, partition_by=["d"])
+        with pytest.raises(ValueError, match="disagrees"):
+            write_delta(df, t, partition_by=["v"])
+        with pytest.raises(ValueError, match="disagrees"):
+            write_delta(df, t, partition_by=[])
+        assert self._orphans(spark, t) == set()
+        assert read_delta(spark, t).count() == 1
+
+    def test_failed_append_leaves_no_orphan_files(self, spark, tmp_path):
+        """ADVICE r6: schema-mismatch appends and final-loss conflicts
+        must unlink their staged part files, not abandon them in the
+        table directory."""
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(spark.createDataFrame([(1.5,)], "x double"), t)
+        assert self._orphans(spark, t) == set()
+
+    def test_commit_conflict_after_retries_unstages(self, spark, tmp_path, monkeypatch):
+        """Force 5 straight lost races: the writer must raise
+        CommitConflict AND remove every staged file."""
+        import marketdb_spark.sources.deltalog as dl
+        from marketdb_spark.sources.snapshot import CommitConflict
+
+        t = str(tmp_path / "tbl")
+        dl.write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        real_link = os.link
+
+        def always_lose(src, dst, *a, **k):
+            if "_delta_log" in dst and dst.endswith(".json"):
+                raise FileExistsError(dst)
+            return real_link(src, dst, *a, **k)
+
+        monkeypatch.setattr(os, "link", always_lose)
+        with pytest.raises(CommitConflict):
+            dl.write_delta(
+                spark.createDataFrame([(2, "b")], "k long, v string"), t
+            )
+        monkeypatch.undo()
+        assert self._orphans(spark, t) == set()
+
+    def test_partitioned_checkpoint_clean_log_time_travel(self, spark, tmp_path):
+        """VERDICT r6 done-condition: date-partitioned table round trip
+        write → checkpoint → clean_log → read + time travel, all through
+        the partitionValues-authoritative path."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_versions,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        for i, d in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"]):
+            df = spark.createDataFrame(
+                [(i, d, float(i))], "k long, d string, x double"
+            )
+            assert write_delta(df, t, partition_by=["d"]) == i
+        assert write_checkpoint(t, version=1) == 1
+        removed = clean_log(t)
+        assert len(removed) == 2  # commits 0 and 1 compacted away
+        assert delta_versions(t) == [2]
+        assert read_delta(spark, t).count() == 3
+        # time travel to the checkpointed version still works (1 ≤ ckpt)
+        assert sorted(r.d for r in read_delta(spark, t, version=1).collect()) == [
+            "2024-01-01",
+            "2024-01-02",
+        ]
+
+
+class TestDeltaCheckpointEdges:
+    def test_checkpoint_has_required_protocol_fields(self, spark, tmp_path):
+        """ADVICE r6: external readers parse add.size,
+        add.modificationTime, metaData.format and metaData.configuration
+        out of checkpoint rows — they must be present and sane."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import write_checkpoint, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        v = write_checkpoint(t)
+        rows = pq.read_table(
+            os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+        [meta] = [r["metaData"] for r in rows if r["metaData"]]
+        assert meta["format"]["provider"] == "parquet"
+        assert meta["configuration"] == []  # empty map
+        adds = [r["add"] for r in rows if r["add"]]
+        assert adds and all(
+            a["size"] > 0 and a["modificationTime"] > 0 for a in adds
+        )
+
+    def test_last_checkpoint_pointer_is_monotone(self, spark, tmp_path):
+        """ADVICE r6: re-materializing an OLDER checkpoint must not
+        rewind _last_checkpoint — after clean_log anchors to the newest
+        checkpoint, a rewound pointer would strand external readers."""
+        from marketdb_spark.sources.deltalog import write_checkpoint, write_delta
+
+        t = str(tmp_path / "tbl")
+        for i in range(3):
+            write_delta(
+                spark.createDataFrame([(i, "a")], "k long, v string"), t
+            )
+        assert write_checkpoint(t) == 2
+        assert write_checkpoint(t, version=0) == 0  # historical rebuild
+        with open(os.path.join(t, "_delta_log", "_last_checkpoint")) as f:
+            assert json.load(f)["version"] == 2  # pointer did NOT rewind
+
+    def test_checkpoint_only_concurrent_writers_exactly_one_commit(
+        self, spark, tmp_path
+    ):
+        """VERDICT r6 item 10: two writers racing on a table whose JSON
+        prefix was cleaned (checkpoint-only state) — exactly one commit
+        per version above the checkpoint, replay sees every row exactly
+        once. Serialized-thread variant of the snapshot race tests: both
+        writers observe the SAME checkpoint-only state, then race the
+        os.link publish."""
+        import threading
+
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_versions,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(0, "seed")], "k long, v string"), t
+        )
+        write_checkpoint(t)
+        clean_log(t)
+        assert delta_versions(t) == []  # checkpoint-only
+
+        errs: list[Exception] = []
+        versions: list[int] = []
+        barrier = threading.Barrier(2)
+        dfs = [
+            spark.createDataFrame([(i, "w")], "k long, v string")
+            for i in (1, 2)
+        ]
+
+        def writer(df):
+            barrier.wait()
+            try:
+                versions.append(write_delta(df, t))
+            except Exception as e:  # CommitConflict after retries is legal
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(d,)) for d in dfs]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        # both writers retry through the race: two distinct versions,
+        # both ABOVE the checkpoint version (0), no errors expected at
+        # this contention level
+        assert errs == []
+        assert sorted(versions) == [1, 2]
+        got = sorted(r.k for r in read_delta(spark, t).collect())
+        assert got == [0, 1, 2]  # exactly-once: seed + one row per writer
