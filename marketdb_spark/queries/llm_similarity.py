@@ -341,7 +341,11 @@ _KM_D2 = (
 # The k-means assignment pipeline as composable CTE text: seeds by hash,
 # one exact Lloyd update, final assignment. Shared by the clustering
 # query and the SemDeDup-style semantic-pairs query.
-_KM_CTES = f"""pts AS (
+def _km_ctes(k: int) -> str:
+    """The k-means assignment pipeline parametrized by cluster count —
+    dedup_semantic_pairs runs a finer k than embed_kmeans_clusters so
+    its within-cluster quadratic stays partition-sized."""
+    return f"""pts AS (
       SELECT vec_id AS id, embedding AS v,
              ((vec_id % 2147483648) * 506952113) % 2147483648 AS h
       FROM embeddings
@@ -350,7 +354,7 @@ _KM_CTES = f"""pts AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INT) AS cid,
              list_transform(v, x -> CAST(x AS DOUBLE)) AS c
       FROM pts
-      QUALIFY ROW_NUMBER() OVER (ORDER BY h, id) <= 8
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, id) <= {k}
     ),
     a1 AS (
       SELECT id, v, cid FROM (
@@ -382,6 +386,9 @@ _KM_CTES = f"""pts AS (
         FROM pts p CROSS JOIN c1 c
       ) WHERE rn = 1
     )"""
+
+
+_KM_CTES = _km_ctes(8)
 
 
 @query(
@@ -578,7 +585,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_pairs",
     oracle=f"""
-    WITH {_KM_CTES},
+    WITH {_km_ctes(32)},
     j AS (
       SELECT a.vec_id, a.cluster_id, e.embedding AS v
       FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -603,9 +610,11 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with their cluster. The assignment is the engine-exact
     kmeans_refine (hash seeds, exact int centroid sums), so the oracle
     replays clustering AND scoring bit-for-bit. At 100 TB: assignment is
-    a map (centroids broadcast as literals), the pair join shuffles on
-    cluster_id — k sized to keep clusters partition-sized, hot clusters
-    split by the skew machinery. Norms are HOISTED to one column per
+    a map (centroids ride in as one scalar-subquery row), the pair join
+    shuffles on cluster_id — k=32 here (vs the clustering query's 8)
+    because k IS the cost dial: expected pair work is corpus²/k, so k
+    scales with corpus size to keep each cluster partition-sized, and
+    hot clusters split by the skew machinery. Norms are HOISTED to one column per
     vector before the pair join (each vector scores O(cluster) pairs;
     an inline cosine() would re-fold the norm per pair); the per-pair
     work is the dot fold plus a division by the two precomputed norms —
@@ -613,14 +622,23 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdb_spark.operators.similarity import dot, kmeans_refine, norm
 
     emb = load(spark, sf_dir, "embeddings")
-    assign = kmeans_refine(emb, k=8, iters=2, dims=64).select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    j = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "vec_id",
-        "cluster_id",
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
+    # keep_vec: the assignment plan already carries each embedding, so
+    # scoring needs NO join back to the corpus — one scan end to end.
+    # localCheckpoint materializes the assignment ONCE before the
+    # self-join: both pair sides reference the same frame, and without
+    # a shared exchange each side would re-run the whole Lloyd plan
+    # (scalar subqueries included). At 100 TB this is a persist of
+    # (id, cluster, vec) — corpus-sized, the standard pre-self-join
+    # materialization — not a driver collect.
+    j = (
+        kmeans_refine(emb, k=32, iters=2, dims=64, keep_vec=True)
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster_id",
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+        )
+        .localCheckpoint()
     )
     x = j.select(
         F.col("vec_id").alias("id_a"),
