@@ -222,39 +222,64 @@ def store_rtszip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on the raw table, proving the full archive → lines →
     typed-trade path is lossless. A header row and a malformed line per
     archive must quarantine, not leak into the aggregate (asserted by
-    construction: their trade_ids would shift min/max/count)."""
+    construction: their trade_ids would shift min/max/count).
+
+    The archives are produced EXECUTOR-SIDE (foreachPartition, one ZIP
+    per non-empty partition) — no sf-proportional driver
+    materialization anywhere in the query; the wire-format line itself
+    is built by JVM expressions (decimal cast pins the 5-digit price
+    scale, date_format the timestamp). On a real cluster the archive
+    dir would be shared storage, exactly like any file sink."""
     import shutil
     import tempfile
-    import zipfile
 
     from marketdb_spark.sources.rts_csv import parse_trades
     from marketdb_spark.sources.zipsource import read_rts_zip_distributed
 
-    orders = (
+    n_archives = 8  # one Python task per member: spread the line loop
+    lines = (
         load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_custkey", "o_orderdate")
         .filter(F.col("o_orderkey") % 3 == 0)  # fixture subset: the query
         # proves the archive round-trip is lossless, not line throughput
-        .collect()
+        .select(
+            F.concat_ws(
+                ";",
+                F.lit("RIH3"),
+                F.lit("RTS-3.13"),
+                # decimal(18,5) → string keeps exactly 5 fraction digits,
+                # matching the wire format's price scale
+                F.col("o_totalprice").cast("decimal(18,5)").cast("string"),
+                ((F.col("o_custkey") % 100) + 1).cast("string"),
+                F.concat(
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit(".000"),
+                ),
+                F.col("o_orderkey").cast("string"),
+                F.lit("0"),
+            ).alias("line")
+        )
+        .repartition(n_archives)
     )
     work = tempfile.mkdtemp(prefix="rtszip_store_")
     try:
-        n_archives = 8  # one Python task per member: spread the line loop
-        buckets: list[list[str]] = [[] for _ in range(n_archives)]
-        for r in orders:
-            line = (
-                f"RIH3;RTS-3.13;{r.o_totalprice:.5f};"
-                f"{(r.o_custkey % 100) + 1};"
-                f"{r.o_orderdate:%Y-%m-%d %H:%M:%S}.000;{r.o_orderkey};0"
-            )
-            buckets[r.o_orderkey % n_archives].append(line)
         header = "code;contract;price;amount;time;trade_id;nosystem"
-        for i, lines in enumerate(buckets):
-            with zipfile.ZipFile(f"{work}/FT{i}.zip", "w") as zf:
+
+        def _write_zip(it) -> None:
+            import zipfile as _zipfile
+
+            from pyspark import TaskContext
+
+            rows = [r.line for r in it]
+            if not rows:
+                return
+            pid = TaskContext.get().partitionId()
+            with _zipfile.ZipFile(f"{work}/FT{pid}.zip", "w") as zf:
                 zf.writestr(
-                    f"day/FT{i}ft.csv",
-                    "\n".join([header, *lines, "this;line;is;broken"]) + "\n",
+                    f"day/FT{pid}ft.csv",
+                    "\n".join([header, *rows, "this;line;is;broken"]) + "\n",
                 )
+
+        lines.foreachPartition(_write_zip)
         valid, _ = parse_trades(
             read_rts_zip_distributed(spark, f"{work}/*.zip")
         )

@@ -50,26 +50,38 @@ from marketdb_spark.queries.registry import query
 def q02_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: partsupp := distinct lineitem pairs, best
     supplier := max s_acctbal instead of min ps_supplycost): snowflake join
-    + correlated "argmax per part" via window top-1. All dims broadcast;
-    the distinct pair-set is the only shuffle."""
-    ps = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .dropDuplicates(["l_partkey", "l_suppkey"])
-    )
+    + correlated "argmax per part" via window top-1. All dims broadcast.
+
+    Join ORDER is the lever: the selective dims (p_size, EUROPE) are
+    broadcast-joined onto the raw (partkey, suppkey) stream BEFORE the
+    dropDuplicates, so the only shuffle (the distinct) moves the ~1/50 ×
+    ~1/5 filtered pair set instead of every lineitem pair — equivalent
+    because the pair filter depends only on the dedup keys, and the
+    dims are 1:1 per key so the carried columns are constant within a
+    dedup group. Catalyst cannot reorder this itself (no CBO stats, and
+    a distinct is a barrier it won't push joins through); at 100 TB the
+    difference is shuffling TBs vs GBs."""
     part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
     w = Window.partitionBy("p_partkey").orderBy(
         F.desc("s_acctbal"), F.col("l_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .withColumn("rn", F.row_number().over(w))
+        ps.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
     )
@@ -100,7 +112,16 @@ def q02_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation dim joined TWICE under different roles
-    (supplier side / customer side) with a symmetric pair predicate."""
+    (supplier side / customer side) with a symmetric pair predicate.
+
+    The disjunctive pair predicate IMPLIES supp_nation ∈ {3,7} AND
+    cust_nation ∈ {3,7} — decomposed per-side filters Catalyst cannot
+    derive from the OR. Applying them via broadcast joins BEFORE the
+    fact-fact shuffle cuts both shuffle inputs to the two nations'
+    share (~2/N each side) while the residual pair filter still runs
+    after the join; at 100 TB that is the difference between shuffling
+    the whole shipping window and shuffling only the two trade lanes."""
+    both = ("NATION_3", "NATION_7")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01 00:00:00").cast("timestamp"),
@@ -112,19 +133,21 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
+    ).filter(F.col("supp_nation").isin(*both))
     n2 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
+    ).filter(F.col("cust_nation").isin(*both))
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    li2 = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(n1), supp.s_nationkey == F.col("n1_key")
+    )
+    orders2 = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        li2.join(orders2, li2.l_orderkey == orders2.o_orderkey)
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -184,14 +207,22 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # broadcast the selective part dim (and the supplier role) onto
+    # lineitem, and the customer→EUROPE chain onto orders, BEFORE the
+    # fact-fact shuffle: both shuffle inputs shrink by their dims'
+    # selectivity (Catalyst keeps the written order without CBO stats)
+    li2 = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    orders2 = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    return (
+        li2.join(orders2, li2.l_orderkey == orders2.o_orderkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .withColumn("volume", volume)
         .withColumn(
