@@ -160,9 +160,36 @@ _DRIVER_CHECKED_R06 = frozenset({
     "ts_mad_outliers", "unpivot_lineitem_metrics", "win_rolling_median",
 })
 
+# Round-7 window (CORRECTNESS_r07.json): all 50 green — including the one
+# query added in round 7 (store_delta_partitioned, first row of the file).
+# With this batch rotated to the back, all 182 registered queries have
+# driver-green rows, so queries added in round 8 sort alone at the front.
+_DRIVER_CHECKED_R07 = frozenset({
+    "agg_approx_distinct", "agg_approx_quantiles", "agg_bitmap_distinct",
+    "agg_collect_ordered", "agg_countmin_freq", "agg_cube_flags",
+    "agg_distinct_counts", "agg_funnel_conversion", "agg_grouping_sets",
+    "agg_heavy_hitters", "agg_minmax_by", "agg_mode_deterministic",
+    "agg_quantiles", "agg_rollup_priority", "agg_salted_two_phase",
+    "agg_sketch_merge", "join_anti_inactive_customers",
+    "join_correlated_avg", "join_dim_enrich",
+    "join_full_outer_nation_profile", "join_interval_overlap",
+    "join_nonequi_balance_pairs", "join_outer_nation_customers",
+    "join_point_in_interval", "join_range_cells", "join_range_price_band",
+    "join_runtime_filter", "join_salted_hotkey",
+    "join_semi_active_customers", "q01_pricing_summary",
+    "q02_best_supplier", "q03_shipping_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "sample_reservoir_det", "sample_stratified_det",
+    "store_delta_partitioned", "unpivot_lineitem_metrics",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
-    | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06
+    | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
