@@ -111,10 +111,29 @@ def _read_lines(
     return out
 
 
+def _parse_max_lines(options: dict) -> int | None:
+    """`maxLinesPerTrigger` option — the per-micro-batch admission bound
+    (≙ the reference consumer's buffered(1000), MarketLoader.scala:49,55,
+    and Kafka's maxOffsetsPerTrigger): cap how many lines one trigger
+    plans, so a giant append becomes N bounded batches instead of one
+    unbounded one. None (default) = unbounded."""
+    # Spark passes DataSource options through a case-insensitive map —
+    # the Python side sees LOWER-CASED keys; direct construction in
+    # tests uses the camelCase spelling. Accept both.
+    raw = options.get("maxlinespertrigger", options.get("maxLinesPerTrigger"))
+    if raw is None:
+        return None
+    cap = int(raw)
+    if cap <= 0:
+        raise ValueError(f"maxLinesPerTrigger must be positive, got {raw}")
+    return cap
+
+
 class SpoolQueueStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.suffix = options.get("suffix", ".ndjson")
+        self.max_lines = _parse_max_lines(options)
 
     def initialOffset(self) -> dict:
         # start BEFORE everything currently in the spool: a fresh query
@@ -123,11 +142,21 @@ class SpoolQueueStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         pos = dict(start.get("pos", {}))
+        budget = self.max_lines
         rows = []
         for seg in _segments(self.path, self.suffix):
             consumed = int(pos.get(seg, 0))
-            new = _read_lines(self.path, seg, consumed, None)
+            if budget is not None and budget <= 0:
+                # admission bound hit: later segments stay at their start
+                # count (carried forward so the offset never regresses);
+                # the remainder is the NEXT trigger's batch
+                pos.setdefault(seg, consumed)
+                continue
+            end = None if budget is None else consumed + budget
+            new = _read_lines(self.path, seg, consumed, end)
             rows.extend(new)
+            if budget is not None:
+                budget -= len(new)
             if new:
                 pos[seg] = new[-1][1] + 1
             else:
@@ -211,9 +240,31 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         # violation; rescan from zero defensively).
         self._tail: dict[str, tuple[int, int]] = {}
         self._index: dict[str, list[tuple[int, int]]] = {}
+        self.max_lines = _parse_max_lines(options)
+        # Admission-control reference: the last offset this reader
+        # planned (or saw planned/committed — partitions()/commit() feed
+        # it too). Call-order facts this leans on (traced against the
+        # engine): on a FRESH query the first call is latestOffset —
+        # initialOffset comes after — so None means fresh and the cap
+        # applies from zero; on a RESTART the engine reconstructs the
+        # last planned batch via partitions(start, end) BEFORE the first
+        # latestOffset, so the reference is re-learned from the offset
+        # log and a capped plan can never regress below the checkpoint.
+        self._planned: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
+        if self._planned is None:
+            self._planned = {}
         return {"pos": {}}
+
+    def _observe(self, pos: dict) -> None:
+        """Fold an engine-provided offset (replayed batch end, commit)
+        into the planning reference, elementwise-max to stay monotone."""
+        if self._planned is None:
+            self._planned = {}
+        for seg, n in pos.items():
+            if int(n) > self._planned.get(seg, -1):
+                self._planned[seg] = int(n)
 
     def _scan_tail(self, seg: str) -> int:
         """Complete-line count of a segment, rescanning only appended
@@ -240,7 +291,27 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         return lines
 
     def latestOffset(self) -> dict:
-        return {"pos": {seg: self._scan_tail(seg) for seg in _segments(self.path, self.suffix)}}
+        tails = {
+            seg: self._scan_tail(seg)
+            for seg in _segments(self.path, self.suffix)
+        }
+        if self.max_lines is None:
+            return {"pos": tails}
+        # bounded planning: advance at most max_lines lines past the
+        # reference, in segment order; non-advanced segments carry their
+        # reference count forward so the offset vector never regresses
+        # (an end offset missing a segment would reset it to zero)
+        budget = self.max_lines
+        pos = dict(self._planned or {})
+        for seg in sorted(tails):
+            start = pos.get(seg, 0)
+            adv = min(max(tails[seg] - start, 0), budget)
+            pos[seg] = start + adv
+            budget -= adv
+            if budget <= 0:
+                break
+        self._planned = dict(pos)
+        return {"pos": pos}
 
     def _hint(self, seg: str, start: int) -> tuple[int, int]:
         """Largest known (line, byte) checkpoint with line ≤ start."""
@@ -252,6 +323,10 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         return best
 
     def partitions(self, start: dict, end: dict):
+        # a replayed batch (restart recovery) teaches the admission
+        # reference where the checkpoint already reached
+        self._observe(start.get("pos", {}))
+        self._observe(end.get("pos", {}))
         spos = start.get("pos", {})
         parts = []
         for seg, e in sorted(end.get("pos", {}).items()):
@@ -281,8 +356,9 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # spool retention belongs to the producer (segments are the
-        # journal); nothing to acknowledge source-side
-        pass
+        # journal); nothing to acknowledge source-side. The committed
+        # offset still feeds the admission reference (restart path).
+        self._observe(end.get("pos", {}))
 
 
 class SpoolQueueDistDataSource(DataSource):
