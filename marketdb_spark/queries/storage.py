@@ -586,6 +586,94 @@ def store_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_optimize",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE (small-file compaction) under the hash gate
+    (sources/deltalog.optimize_delta — remove+add with dataChange:false
+    per PROTOCOL.md, the HBase-region-compaction analog of the plain
+    store's sources/store.py:96): three micro-batch-shaped appends
+    leave every o_orderpriority partition holding 3 small files, one
+    OPTIMIZE commit folds each partition to a single file (live-file
+    count asserted to shrink to the partition count), and the snapshot
+    must aggregate hash-equal to the raw orders table — compaction that
+    changes any row changes the hash. Time travel ACROSS the optimize
+    is asserted inline: the pre-optimize version still replays its own
+    (multi-file) live set with identical row counts, because optimize
+    removes files from the live set without deleting bytes. A
+    checkpoint + log-clean after the optimize pins that the compacted
+    add actions survive the map round-trip. Scale: ingest makes one
+    file per trigger per partition, so scan cost grows with trigger
+    count until compaction; the optimize itself is one independent
+    coalesce job per loose partition — embarrassingly parallel, no
+    shuffle."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        clean_log,
+        delta_live_files,
+        optimize_delta,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="delta_opt_store_")
+    t = f"{work}/orders_tbl"
+    try:
+        third = F.col("o_orderkey") % 3
+        for i in range(3):  # three micro-batch-shaped appends
+            v = write_delta(
+                orders.filter(third == i).coalesce(1),
+                t,
+                partition_by=["o_orderpriority"] if i == 0 else None,
+            )
+            assert v == i, v
+        n_parts = len({r[0] for r in orders.select("o_orderpriority").distinct().collect()})
+        before = delta_live_files(t)
+        assert len(before) == 3 * n_parts, (len(before), n_parts)
+        n_rows = orders.count()
+        v3 = optimize_delta(spark, t)
+        assert v3 == 3, v3
+        after = delta_live_files(t)
+        assert len(after) == n_parts and not (set(after) & set(before))
+        # idempotence: everything compact → no-op, no empty commit
+        assert optimize_delta(spark, t) is None
+        # time travel across the optimize: v2 still sees the loose set
+        assert delta_live_files(t, version=2) == before
+        assert read_delta(spark, t, version=2).count() == n_rows
+        # the compacted adds survive checkpoint + log retention
+        assert write_checkpoint(t) == 3
+        clean_log(t)
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_partitioned",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -16,12 +16,15 @@ file set after replaying 0..V — same replay model as our own snapshot
 table (sources/snapshot.py), which is why the implementation is ~100
 lines: Delta's log IS a superset of that design.
 
-Scope (documented, not hidden): JSON commits + single-part classic
-parquet checkpoints are replayed (located by filename; checkpoint-only
-tables whose JSON commits expired under log retention read fine).
-Deletion vectors, column mapping, v2 and multi-part checkpoints, and
-truncated logs with no covering checkpoint RAISE instead of returning
-wrong rows; add/remove paths are percent-decoded per the protocol and
+Scope (documented, not hidden): JSON commits + classic parquet
+checkpoints — single-part AND complete multi-part sets
+(``n.checkpoint.o.p.parquet``, what stock delta-spark writes for large
+tables) — are replayed (located by filename; checkpoint-only tables
+whose JSON commits expired under log retention read fine; incomplete
+multi-part sets from a crashed writer are ignored per the protocol).
+Deletion vectors, column mapping, v2/UUID checkpoints, and truncated
+logs with no covering checkpoint RAISE instead of returning wrong
+rows; add/remove paths are percent-decoded per the protocol and
 absolute (shallow-clone) paths are rejected. Partition values ride back
 in as literal columns per add — the directory layout is NOT trusted
 (the protocol says partitionValues is authoritative).
@@ -60,26 +63,69 @@ def delta_versions(table: str) -> list[int]:
     return [v for v, _ in _log_entries(table)]
 
 
-def _checkpoint_versions(table: str) -> list[int]:
-    """Versions of single-part classic checkpoints. Multi-part classic
-    checkpoints (``n.checkpoint.k.m.parquet``) and v2 checkpoints are an
-    explicit ERROR, not a silent skip — ignoring one and replaying JSON
-    alone can return a partial file set once log cleanup has removed the
+def _checkpoints(table: str) -> dict[int, list[str]]:
+    """version → ordered part paths for every READABLE checkpoint:
+    classic single-part (``n.checkpoint.parquet``) and multi-part
+    classic sets (``n.checkpoint.o.p.parquet``, part o of p, 1-based —
+    what stock delta-spark writes past ~spark.databricks.delta.
+    checkpoint.partSize actions) with ALL p parts present. An
+    INCOMPLETE multi-part set is skipped per the protocol (a crashed
+    checkpoint writer leaves partial sets that no ``_last_checkpoint``
+    references; readers must ignore them, and the JSON log still covers
+    the range). v2 / UUID-named checkpoint layouts remain an explicit
+    ERROR, not a silent skip — ignoring one and replaying JSON alone
+    can return a partial file set once log cleanup has removed the
     pre-checkpoint commits."""
     import re
 
-    singles, unsupported = [], []
-    for name in os.listdir(os.path.join(table, _LOG)):
-        if re.fullmatch(r"\d{20}\.checkpoint\.parquet", name):
-            singles.append(int(name.split(".")[0]))
-        elif re.fullmatch(r"\d+\.checkpoint\..+", name):
+    log_dir = os.path.join(table, _LOG)
+    out: dict[int, list[str]] = {}
+    multi: dict[tuple[int, int], dict[int, str]] = {}
+    unsupported = []
+    for name in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
+        if m:
+            out[int(m.group(1))] = [os.path.join(log_dir, name)]
+            continue
+        m = re.fullmatch(
+            r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet", name
+        )
+        if m:
+            v, part, total = (int(g) for g in m.groups())
+            multi.setdefault((v, total), {})[part] = os.path.join(
+                log_dir, name
+            )
+            continue
+        if re.fullmatch(r"\d+\.checkpoint\..+", name):
             unsupported.append(name)
     if unsupported:
         raise ValueError(
             f"unsupported checkpoint layout {sorted(unsupported)} "
-            f"(multi-part / v2 checkpoints need a feature-aware reader)"
+            f"(v2 checkpoints need a feature-aware reader)"
         )
-    return sorted(singles)
+    for (v, total), parts in multi.items():
+        if set(parts) == set(range(1, total + 1)):
+            # a single-part checkpoint at the same version is equivalent
+            # (both fully describe the snapshot); keep whichever came
+            out.setdefault(v, [parts[i] for i in range(1, total + 1)])
+    return out
+
+
+def _checkpoint_versions(table: str) -> list[int]:
+    """Versions with a complete, readable checkpoint."""
+    return sorted(_checkpoints(table))
+
+
+def _checkpoint_rows(table: str, version: int) -> list[dict]:
+    """Every action row of the checkpoint at ``version`` — all parts
+    concatenated (part order is irrelevant: a checkpoint is an unordered
+    action SET per the protocol)."""
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for path in _checkpoints(table)[version]:
+        rows.extend(pq.read_table(path).to_pylist())
+    return rows
 
 
 def _decode_path(raw: str) -> str:
@@ -130,16 +176,8 @@ def _replay(table: str, version: int | None):
             f"checkpoint at-or-before it and the JSON log does not "
             f"start at 0 (log cleanup removed early commits)"
         )
-    log_dir = os.path.join(table, _LOG)
     if ckpt_version >= 0:
-        import pyarrow.parquet as pq
-
-        ck = pq.read_table(
-            os.path.join(
-                log_dir, f"{ckpt_version:020d}.checkpoint.parquet"
-            )
-        ).to_pylist()
-        for row in ck:
+        for row in _checkpoint_rows(table, ckpt_version):
             add = row.get("add")
             if add and add.get("path"):
                 pv = add.get("partitionValues") or {}
@@ -193,6 +231,13 @@ def _replay(table: str, version: int | None):
     return schema_json, part_cols, live
 
 
+def delta_live_files(table: str, version: int | None = None) -> list[str]:
+    """Relative paths of the files LIVE at ``version`` (default latest) —
+    the replayed add-minus-remove set. The observable OPTIMIZE contracts:
+    same rows, fewer live files, old versions' sets untouched."""
+    return sorted(_replay(table, version)[2])
+
+
 def last_txn_version(table: str, app_id: str) -> int | None:
     """Highest ``txn`` (setTransaction) version committed for ``app_id``,
     or None if the application never committed. This is Delta's
@@ -214,15 +259,9 @@ def last_txn_version(table: str, app_id: str) -> int | None:
             v = int(txn["version"])
             best = v if best is None or v > best else best
 
-    log_dir = os.path.join(table, _LOG)
     ckpt_version = ckpts[-1] if ckpts else -1
     if ckpt_version >= 0:
-        import pyarrow.parquet as pq
-
-        ck_path = os.path.join(
-            log_dir, f"{ckpt_version:020d}.checkpoint.parquet"
-        )
-        for row in pq.read_table(ck_path).to_pylist():
+        for row in _checkpoint_rows(table, ckpt_version):
             _see(row.get("txn"))
     for v, path in entries:
         if v <= ckpt_version:
@@ -566,9 +605,10 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     ``txn`` per application high-water mark — so idempotent-writer state
     survives log cleanup. At 100 TB the checkpoint is KBs-to-MBs of
     metadata written driver-side; Delta itself writes multi-part /
-    v2 checkpoints beyond ~100k files, which this minimal writer leaves
-    out of scope (the reader already ERRORS on those layouts rather
-    than misreading them)."""
+    v2 checkpoints beyond ~100k files — this minimal writer emits the
+    single-part form only, while the READER also replays complete
+    multi-part sets (and still ERRORS on v2 layouts rather than
+    misreading them)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -587,10 +627,7 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     txns: dict[str, int] = {}
     ckpt_anchor = max((v for v in ckpts if v <= version), default=-1)
     if ckpt_anchor >= 0:
-        ck_path = os.path.join(
-            table, _LOG, f"{ckpt_anchor:020d}.checkpoint.parquet"
-        )
-        for row in pq.read_table(ck_path).to_pylist():
+        for row in _checkpoint_rows(table, ckpt_anchor):
             txn = row.get("txn")
             if txn and txn.get("appId") is not None:
                 txns[txn["appId"]] = int(txn["version"])
@@ -751,6 +788,160 @@ def clean_log(table: str) -> list[str]:
             os.remove(path)
             deleted.append(path)
     return deleted
+
+
+def optimize_delta(
+    spark: SparkSession, table: str, min_files: int = 2
+) -> int | None:
+    """OPTIMIZE (small-file compaction): rewrite every partition whose
+    live set holds ≥ ``min_files`` files into ONE file, committed as a
+    single log entry of ``remove`` + ``add`` actions with
+    ``dataChange: false`` — the protocol's marker that the commit
+    rearranges bytes without changing table contents, so a streaming
+    reader of the table skips it instead of re-emitting rows
+    (PROTOCOL.md Add/Remove "dataChange"). Returns the committed
+    version, or None when every partition is already compact.
+
+    This completes the table lifecycle next to write_checkpoint/
+    clean_log the way HBase region compaction completes the reference's
+    store (MarketDB.scala's put path + region maintenance; the plain
+    parquet store mirrors it in sources/store.py:96): streaming ingest
+    creates one file per micro-batch per partition, and scan cost
+    grows with file count, not data size, until compaction folds them.
+    Time travel to pre-optimize versions keeps working — old files are
+    removed from the LIVE SET, not deleted from disk.
+
+    Concurrency: the commit uses the same put-if-absent version claim
+    as write_delta. A lost race recomputes the live set and retries
+    ONLY if every file this compaction rewrote is still live (a
+    concurrent append is fine — its new files simply stay); if a
+    concurrent overwrite/optimize removed any of them, the compaction
+    is stale — its staged files are unstaged and CommitConflict raised
+    (delta-spark resolves the same way: OPTIMIZE loses to conflicting
+    transactions and reruns)."""
+    import uuid as _uuid
+
+    from urllib.parse import quote
+
+    from marketdb_spark.sources.snapshot import CommitConflict
+
+    schema_json, part_cols, live = _replay(table, None)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_part: dict[tuple, list[str]] = {}
+    for path, pvals in live.items():
+        key = tuple((pvals or {}).get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(path)
+    todo = {
+        key: sorted(paths)
+        for key, paths in by_part.items()
+        if len(paths) >= max(int(min_files), 2)
+    }
+    if not todo:
+        return None
+
+    # rewrite each loose partition into one file; the read-coalesce is
+    # per-partition-tuple, so a 1000-partition optimize is 1000
+    # independent single-partition jobs (parallelizable by the caller;
+    # at scale delta-spark bins by target file size the same way)
+    import shutil as _shutil
+
+    staged: list[tuple[str, dict]] = []
+    removes: list[str] = []
+    tmp = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    try:
+        for key, paths in sorted(
+            todo.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
+            pvals = dict(zip(part_cols, key))
+            df = spark.read.schema(data_schema).parquet(
+                *[os.path.join(table, p) for p in paths]
+            )
+            out_dir = os.path.join(tmp, _uuid.uuid4().hex)
+            df.coalesce(1).write.parquet(out_dir)
+            [one] = [
+                f for f in os.listdir(out_dir) if f.endswith(".parquet")
+            ]
+            part_dir = "/".join(
+                f"{c}={_HIVE_NULL if pvals[c] is None else quote(pvals[c], safe='')}"
+                for c in part_cols
+            )
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            rel = os.path.join(part_dir, name) if part_dir else name
+            dest = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(out_dir, one), dest)
+            staged.append((rel, pvals))
+            removes.extend(paths)
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    try:
+        for _ in range(5):
+            entries = _log_entries(table)
+            ckpts = _checkpoint_versions(table)
+            latest = max(
+                entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+            )
+            _schema2, parts2, live2 = _replay(table, None)
+            if parts2 != part_cols or any(p not in live2 for p in removes):
+                raise CommitConflict(
+                    f"optimize of {table} is stale: a concurrent commit "
+                    f"removed rewritten files or changed the partitioning"
+                )
+            version = latest + 1
+            actions = []
+            for p in removes:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": quote(p, safe="/="),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            for rel, pvals in staged:
+                full = os.path.join(table, rel)
+                actions.append(
+                    {
+                        "add": {
+                            "path": quote(rel, safe="/="),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": int(
+                                os.path.getmtime(full) * 1000
+                            ),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            log_path = os.path.join(table, _LOG, f"{version:020d}.json")
+            tmp_log = os.path.join(
+                table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
+            )
+            with open(tmp_log, "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp_log, log_path)
+            except FileExistsError:
+                continue  # lost the race — revalidate the live set, retry
+            finally:
+                os.unlink(tmp_log)
+            return version
+        raise CommitConflict(f"lost the commit race 5 times on {table}")
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        raise
 
 
 def delta_sink(table: str, app_id: str):

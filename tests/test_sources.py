@@ -1215,7 +1215,11 @@ class TestDeltaLogEdges:
         with pytest.raises(ValueError, match="reconstruct|no Delta log"):
             read_delta(spark, t)
 
-    def test_multipart_checkpoint_rejected(self, spark, tmp_path):
+    def test_incomplete_multipart_ignored_v2_rejected(self, spark, tmp_path):
+        """An INCOMPLETE multi-part checkpoint set (crashed writer —
+        part 1 of 2 only) is ignored per the protocol: the JSON log
+        still covers the range, so the table reads fine. v2/UUID
+        checkpoint layouts stay a hard error."""
         from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
@@ -1229,8 +1233,78 @@ class TestDeltaLogEdges:
             ),
             "w",
         ).close()
-        with pytest.raises(ValueError, match="multi-part"):
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1, "a")]
+        open(
+            os.path.join(
+                t, "_delta_log",
+                f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json",
+            ),
+            "w",
+        ).close()
+        with pytest.raises(ValueError, match="v2"):
             read_delta(spark, t)
+
+    def test_multipart_checkpoint_reads(self, spark, tmp_path):
+        """A COMPLETE multi-part classic checkpoint (what stock
+        delta-spark writes for large tables) replays correctly: the
+        single-part checkpoint our writer emits is split row-wise into
+        two ``n.checkpoint.o.p.parquet`` parts, the one-part file and
+        every JSON commit at-or-before it are deleted (log retention),
+        and the table must still read in full — including the txn
+        high-water mark and partitionValues riding in the parts."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            last_txn_version,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "k long, v string, p string"
+        )
+        write_delta(df, t, partition_by=["p"])
+        write_delta(
+            spark.createDataFrame(
+                [(3, "c", "x")], "k long, v string, p string"
+            ),
+            t,
+            txn_app="loader",
+            txn_version=7,
+        )
+        assert write_checkpoint(t) == 1
+        clean_log(t)
+        one = os.path.join(t, "_delta_log", f"{1:020d}.checkpoint.parquet")
+        tbl = pq.read_table(one)
+        n = tbl.num_rows
+        assert n >= 4  # protocol, metaData, ≥2 adds, txn
+        for i, part in enumerate((tbl.slice(0, 2), tbl.slice(2)), start=1):
+            pq.write_table(
+                part,
+                os.path.join(
+                    t,
+                    "_delta_log",
+                    f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet",
+                ),
+            )
+        os.remove(one)
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")]
+        assert last_txn_version(t, "loader") == 7
+        # appends land ABOVE the multi-part checkpoint version
+        assert (
+            write_delta(
+                spark.createDataFrame(
+                    [(4, "d", "y")], "k long, v string, p string"
+                ),
+                t,
+            )
+            == 2
+        )
+        assert read_delta(spark, t).count() == 4
 
     def test_writer_retries_lost_race(self, spark, tmp_path):
         """Another writer grabs the next version between the log listing
@@ -1612,3 +1686,171 @@ class TestDeltaCheckpointEdges:
         assert sorted(versions) == [1, 2]
         got = sorted(r.k for r in read_delta(spark, t).collect())
         assert got == [0, 1, 2]  # exactly-once: seed + one row per writer
+
+
+class TestDeltaOptimize:
+    """OPTIMIZE / small-file compaction (sources/deltalog.optimize_delta):
+    remove+add with dataChange:false, live set shrinks, rows and history
+    don't change."""
+
+    def _table(self, spark, tmp_path, partitioned=True):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        batches = [
+            [(1, "a", "x"), (2, "b", "y")],
+            [(3, "c", "x")],
+            [(4, "d", "x"), (5, "e", "y")],
+        ]
+        for i, rows in enumerate(batches):
+            write_delta(
+                spark.createDataFrame(rows, schema).coalesce(1),
+                t,
+                partition_by=["p"] if (partitioned and i == 0) else None,
+            )
+        return t
+
+    def test_compacts_to_one_file_per_partition(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+        )
+
+        t = self._table(spark, tmp_path)
+        before = delta_live_files(t)
+        assert len(before) == 5  # x: 3 appends, y: 2 (batch 1 skips y)
+        assert optimize_delta(spark, t) == 3
+        after = delta_live_files(t)
+        assert len(after) == 2 and not (set(after) & set(before))
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+            (4, "d", "x"), (5, "e", "y"),
+        ]
+        # history intact: the pre-optimize version still replays its
+        # own multi-file set (optimize never deletes bytes)
+        assert delta_live_files(t, version=2) == before
+        assert read_delta(spark, t, version=2).count() == 5
+
+    def test_commit_actions_carry_datachange_false(self, spark, tmp_path):
+        import json as _json
+
+        from marketdb_spark.sources.deltalog import optimize_delta
+
+        t = self._table(spark, tmp_path)
+        v = optimize_delta(spark, t)
+        with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as f:
+            actions = [_json.loads(line) for line in f if line.strip()]
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a["remove"] for a in actions if "remove" in a]
+        assert len(adds) == 2 and len(removes) == 5
+        assert all(a["dataChange"] is False for a in adds)
+        assert all(r["dataChange"] is False for r in removes)
+        assert {tuple(sorted(a["partitionValues"].items())) for a in adds} == {
+            (("p", "x"),), (("p", "y"),)
+        }
+
+    def test_noop_when_already_compact(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_versions,
+            optimize_delta,
+        )
+
+        t = self._table(spark, tmp_path)
+        assert optimize_delta(spark, t) == 3
+        # second pass: everything is one-file-per-partition → no commit
+        assert optimize_delta(spark, t) is None
+        assert delta_versions(t)[-1] == 3
+
+    def test_unpartitioned_and_min_files(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+        )
+
+        t = self._table(spark, tmp_path, partitioned=False)
+        assert len(delta_live_files(t)) == 3
+        # min_files above the file count → nothing loose enough
+        assert optimize_delta(spark, t, min_files=4) is None
+        assert optimize_delta(spark, t) == 3
+        assert len(delta_live_files(t)) == 1
+        assert read_delta(spark, t).count() == 5
+
+    def test_survives_checkpoint_and_composes_with_writes(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = self._table(spark, tmp_path)
+        assert optimize_delta(spark, t) == 3
+        assert write_checkpoint(t) == 3
+        clean_log(t)
+        # append after optimize+retention; next optimize folds the new
+        # loose file back in
+        write_delta(
+            spark.createDataFrame(
+                [(6, "f", "x")], "k long, v string, p string"
+            ).coalesce(1),
+            t,
+        )
+        assert len(delta_live_files(t)) == 3  # x: 2 files, y: 1
+        assert optimize_delta(spark, t) == 5
+        assert len(delta_live_files(t)) == 2
+        assert read_delta(spark, t).count() == 6
+
+    def test_stale_optimize_raises_not_corrupts(self, spark, tmp_path, monkeypatch):
+        """A concurrent OVERWRITE between the optimize's replay and its
+        commit removes the files it rewrote: the commit loop must detect
+        the stale live set, unstage, and raise CommitConflict — never
+        commit adds for rows that are no longer the table's contents."""
+        import marketdb_spark.sources.deltalog as dl
+        from marketdb_spark.sources.snapshot import CommitConflict
+
+        t = self._table(spark, tmp_path)
+        real_log_entries = dl._log_entries
+        calls = {"n": 0}
+
+        def hijack(table):
+            # call 1 is optimize's initial replay; call 2 is the commit
+            # loop's listing — sneak the overwrite in just before it
+            calls["n"] += 1
+            if calls["n"] == 2:
+                dl.write_delta(
+                    spark.createDataFrame(
+                        [(9, "z", "x")], "k long, v string, p string"
+                    ),
+                    t,
+                    mode="overwrite",
+                )
+            return real_log_entries(table)
+
+        monkeypatch.setattr(dl, "_log_entries", hijack)
+        with pytest.raises(CommitConflict, match="stale"):
+            dl.optimize_delta(spark, t)
+        monkeypatch.undo()
+        # table is exactly the overwrite; no orphan staged parquet
+        got = [tuple(r) for r in dl.read_delta(spark, t).collect()]
+        assert got == [(9, "z", "x")]
+        live = set(dl.delta_live_files(t))
+        on_disk = set()
+        for root, _dirs, files in os.walk(t):
+            for f in files:
+                if f.endswith(".parquet") and "_delta_log" not in root:
+                    rel = os.path.relpath(os.path.join(root, f), t)
+                    on_disk.add(rel)
+        # every non-live parquet on disk belongs to a PRIOR version
+        # (history), never to the failed optimize
+        import json as _json
+
+        historical = set()
+        for v in dl.delta_versions(t):
+            historical |= set(dl.delta_live_files(t, version=v))
+        assert on_disk == live | historical
