@@ -45,6 +45,10 @@ def main() -> None:
             .collect()
         )
         li.limit(64).mapInPandas(lambda it: it, schema=li.schema).collect()
+        # the cogrouped-applyInPandas lane spins its own Arrow worker pool
+        # distinct from mapInPandas — warm it too, or the first cogroup
+        # query pays ~2-3 s of worker startup that belongs to no query
+        REGISTRY["udf_cogrouped_funnel"].fn(spark, warm_dir).count()
         # JIT the regex/md5/higher-order-function pipeline the dedup family
         # shares — otherwise the alphabetically-first dedup query pays tens
         # of seconds of codegen+JIT that belongs to no query in particular

@@ -724,37 +724,47 @@ def _bracket_obs(rows):
     every row of a union frame with columns (user_id, ts, value, is_obs):
     t1/v1 = the latest observation at-or-before the row's ts, t2/v2 = the
     earliest at-or-after. The shared kernel of ts_resample_interp and
-    ts_asof_nearest.
+    ts_asof_nearest. Requires at most ONE observation row per
+    (user_id, ts) — both callers dedup their obs side first.
 
     Brackets are carried as (ts, value) STRUCTS from one observation row
     — bracketing ts and value with separate last/first(ignorenulls)
     calls would desynchronize them when a matched observation's value is
     NULL (ignorenulls skips past it to an OLDER observation's value
-    while the timestamp stays put). Plan shape: both windows share one
-    user_id exchange (Sort→Window→Sort→Window — the equal-ts tie orders
-    are opposite: obs-first makes the backward frame ts-inclusive,
-    grid-first the forward one)."""
+    while the timestamp stays put).
+
+    Plan shape: ONE sort. Both frames use the SAME (ts asc, is_obs asc)
+    order — grid-first at equal ts — so Catalyst fuses them into a
+    single Window node over one Exchange+Sort (r7 profiling showed the
+    previous opposite-tie-order form paying a second full Sort of the
+    union for nothing). With grid-first ties the inclusive FORWARD frame
+    (currentRow→following) is exact, while the backward frame misses an
+    observation AT the row's own ts — recovered without a second sort:
+    when the forward bracket lands exactly on ts, it IS the inclusive
+    backward bracket too (at most one obs per (user_id, ts))."""
     from pyspark.sql import Window as W
 
     obs = F.when(
         F.col("is_obs") == 1,
         F.struct(F.col("ts").alias("t"), F.col("value").alias("v")),
     )
+    order = [F.col("ts").asc(), F.col("is_obs").asc()]
     w_back = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_fwd = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_obs").asc())
+        .orderBy(*order)
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
+    hit = F.col("__f.t") == F.col("ts")  # obs exactly at this row's ts
     return (
         rows.withColumn("__b", F.last(obs, ignorenulls=True).over(w_back))
         .withColumn("__f", F.first(obs, ignorenulls=True).over(w_fwd))
-        .withColumn("t1", F.col("__b.t"))
-        .withColumn("v1", F.col("__b.v"))
+        .withColumn("t1", F.when(hit, F.col("__f.t")).otherwise(F.col("__b.t")))
+        .withColumn("v1", F.when(hit, F.col("__f.v")).otherwise(F.col("__b.v")))
         .withColumn("t2", F.col("__f.t"))
         .withColumn("v2", F.col("__f.v"))
         .drop("__b", "__f")
@@ -820,15 +830,21 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     coinciding with an observation get (v1u, 1). Shape: ONE-PASS union +
     double window — observations and grid points union, then backward
     (last obs ≤ g) and forward (first obs ≥ g) brackets come from two
-    window functions over the SAME user_id exchange with opposite
-    equal-ts tie orders (obs-first for the inclusive backward frame,
-    grid-first for the inclusive forward frame): Spark plans Exchange →
-    Sort → Window → Sort → Window — one shuffle total, vs the 3 (two
-    as-of joins + an equi-join of the enrichments) of the naive
-    composition. Points before the first observation have no backward
-    bracket and drop (inner semantics), mirroring ffill."""
+    window frames sharing ONE sort order (_bracket_obs: Exchange → Sort
+    → single Window node), vs the 3 shuffles (two as-of joins + an
+    equi-join of the enrichments) of the naive composition. The leading
+    repartition(user_id) is deliberate: hash partitioning on user_id
+    SATISFIES the clustering the (user_id, ts) dedup and the per-user
+    span agg require (subset rule), so the dedup, the span/grid
+    derivation and the window all ride the same single exchange —
+    r7 profiling showed the groupBy-planned (user_id, ts) exchange +
+    second window sort costing ~2× the whole remaining query. Points
+    before the first observation have no backward bracket and drop
+    (inner semantics), mirroring ffill."""
+    par = spark.sparkContext.defaultParallelism
     ev = (
         load(spark, sf_dir, "events")
+        .repartition(par, "user_id")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
@@ -926,11 +942,11 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     EARLIER view — a pinned convention, since 'nearest' alone is
     ambiguous at equal distance. Same one-pass shape as
     ts_resample_interp: union both event roles, bracket each purchase
-    with the inclusive backward/forward windows over ONE user_id
-    exchange (two sorts, opposite equal-ts tie orders), then pick the
-    closer bracket with exact integer microsecond distances — never a
-    float subtraction. Purchases with no view at all drop (inner);
-    one-sided purchases take their only bracket."""
+    with the inclusive backward/forward frames over ONE user_id
+    exchange and ONE sort (_bracket_obs — a single Window node), then
+    pick the closer bracket with exact integer microsecond distances —
+    never a float subtraction. Purchases with no view at all drop
+    (inner); one-sided purchases take their only bracket."""
     ev = load(spark, sf_dir, "events")
     trades = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts",

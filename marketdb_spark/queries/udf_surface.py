@@ -316,7 +316,14 @@ def udf_cogrouped_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the pandas shape for per-key MERGE logic two JVM-side windows
     can't express in one pass; group = one user's events (bounded), and
     parallelism is pinned explicitly — AQE's size-based coalescing is
-    blind to per-group Python cost (see udf_grouped_minmax_scale)."""
+    blind to per-group Python cost (see udf_grouped_minmax_scale).
+
+    SCALE NOTE: this query exists to pin the cogrouped-applyInPandas
+    SURFACE; the production shape for the same funnel is
+    `agg_funnel_conversion` (queries/core_agg.py) — one JVM-side
+    conditional aggregation over a single scan, no Python boundary, no
+    per-user pandas frames. At 100 TB run that one; reach for cogroup
+    only when the per-key merge logic genuinely needs imperative code."""
     import pandas as _pd
 
     from marketdb_spark.catalog import load as _load

@@ -61,8 +61,10 @@ HEADLINERS = {
     "ts_zscore_outliers": "per-key moments in one partial-agg exchange; "
     "stats broadcast back; the detection pass is map-only over the scan",
     "ts_resample_interp": "one-pass interpolation: backward + forward "
-    "brackets from two window functions sharing a single user_id "
-    "exchange (Sort→Window→Sort→Window) — not two as-of joins + a join",
+    "brackets from two window frames sharing ONE user_id sort "
+    "(Sort→Window→Window, 2 exchanges total — the explicit user_id "
+    "repartition feeds the dedup, span agg and windows via the subset "
+    "rule) — not two as-of joins + a join",
     "corpus_shard_assign": "map-side md5 shard hash; ONE 16-key aggregation "
     "exchange (partial agg reduces each task to ≤16 rows)",
     "graph_pagerank_dedup": "3 fixed-point rounds, each one edges⋈ranks "

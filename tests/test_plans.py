@@ -375,3 +375,22 @@ def test_cusum_windows_share_one_user_exchange(spark):
     re-shuffle would quadruple the data motion at 100 TB."""
     df = REGISTRY["ts_changepoint_cusum"].fn(spark, SF_SMALL)
     assert count_shuffles(df) == 2
+
+
+def test_resample_brackets_one_sort_two_exchanges(spark):
+    """ts_resample_interp's backward+forward brackets must come from ONE
+    sort (both frames share the grid-first order — _bracket_obs), and
+    the whole query from two exchanges: the explicit
+    user_id repartition (which the (user,ts) dedup and the span agg
+    both ride via the subset rule) and the post-union window exchange.
+    The r7 shape — opposite tie orders → Sort→Window→Sort→Window and a
+    groupBy-planned (user_id, ts) exchange — cost ~2× the whole query."""
+    from marketdb_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["ts_resample_interp"].fn(spark, SF_SMALL)
+    assert count_shuffles(df) == 2
+    plan = formatted_plan(df)
+    # two Window nodes (distinct frames aren't fused) but they share
+    # the ONE sort — no Sort between them
+    assert plan.count(") Window") == 2
+    assert plan.count(") Sort") == 1
