@@ -674,6 +674,100 @@ def store_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_vacuum",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_acctbal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    WHERE c_mktsegment <> 'MACHINERY'
+    GROUP BY c_nationkey
+    """,
+)
+def store_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VACUUM under the hash gate (sources/deltalog.vacuum_delta —
+    physical byte reclamation, the irreversible third step of the
+    lifecycle after OPTIMIZE's live-set rewrite and clean_log's log
+    retention; ≙ the reference store's compact-and-retention pass,
+    sources/store.py:96, where HBase likewise deletes compacted HFiles):
+    two appends land the MACHINERY rows alongside the rest, an
+    OVERWRITE drops them (their files leave the live set but stay on
+    disk), and vacuum with a zero age gate deletes exactly those
+    unreferenced files — asserted three ways inline: dry_run names
+    them, the on-disk parquet set shrinks to precisely the live set,
+    and time travel to the pre-overwrite version now fails AT SCAN
+    (the replay still resolves; the bytes are gone — delta-spark
+    semantics). A second vacuum is a no-op. The returned snapshot must
+    aggregate hash-equal to the filtered raw table — a vacuum that
+    touched any LIVE file would fail the scan or the hash. Scale: the
+    walk is metadata-only over the table prefix; the age gate
+    (default 1h, like delta's deletedFileRetentionDuration) keeps
+    in-flight writers' staged-but-uncommitted files safe, so vacuum
+    runs concurrently with ingest."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    keep = cust.filter(F.col("c_mktsegment") != "MACHINERY")
+    work = tempfile.mkdtemp(prefix="delta_vac_store_")
+    t = f"{work}/cust_tbl"
+    try:
+        v0 = write_delta(cust.filter(F.col("c_custkey") % 2 == 0), t)
+        v1 = write_delta(cust.filter(F.col("c_custkey") % 2 == 1), t)
+        assert (v0, v1) == (0, 1), (v0, v1)
+        doomed = set(delta_live_files(t))
+        v2 = write_delta(keep, t, mode="overwrite")
+        assert v2 == 2, v2
+        live = set(delta_live_files(t))
+        # age gate first: everything is younger than the default 1h, so
+        # a retention-respecting vacuum removes nothing
+        assert vacuum_delta(t) == []
+        named = vacuum_delta(t, min_file_age_seconds=0, dry_run=True)
+        assert set(named) == doomed, (named, doomed)
+        gone = vacuum_delta(t, min_file_age_seconds=0)
+        assert set(gone) == doomed and vacuum_delta(t, 0) == []
+        on_disk = {
+            _os.path.relpath(_os.path.join(r, f), t)
+            for r, _d, fs in _os.walk(t)
+            for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in r
+        }
+        assert on_disk == live, (on_disk, live)
+        # pre-overwrite version: replay resolves, the SCAN fails (bytes
+        # reclaimed) — count() must raise, not return partial rows
+        try:
+            read_delta(spark, t, version=1).count()
+            raise AssertionError("vacuumed version 1 still scanned")
+        except Exception as exc:
+            assert "vacuumed version 1" not in str(exc)
+        out = (
+            read_delta(spark, t)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_customers"),
+                dsum("c_acctbal", scale=6).alias("sum_acctbal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+        )
+        # detach from the temp files so the caller can evaluate lazily
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_partitioned",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,

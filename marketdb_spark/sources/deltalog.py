@@ -944,6 +944,59 @@ def optimize_delta(
         raise
 
 
+def vacuum_delta(
+    table: str,
+    min_file_age_seconds: float = 3600.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: physically delete data files no longer in the CURRENT
+    snapshot's live set — the irreversible step that reclaims the bytes
+    OPTIMIZE and overwrites left behind (delta-spark's VACUUM, and the
+    Delta analog of sources/snapshot.vacuum). Returns the deleted
+    relative paths (or would-delete, with ``dry_run``).
+
+    Time travel to any version that referenced a vacuumed file is GONE
+    (its replay still resolves, but the scan fails at read time —
+    exactly delta-spark's behavior). The log itself is untouched:
+    retention of log entries is clean_log's job, bytes are vacuum's.
+
+    Unreferenced files YOUNGER than ``min_file_age_seconds`` are kept —
+    the same retention guard as snapshot.vacuum and Delta's
+    ``delta.deletedFileRetentionDuration``: write_delta/optimize_delta
+    move staged files into the table BEFORE their commit lands, so
+    without the age gate a concurrent vacuum could delete files whose
+    commit then succeeds (a committed version pointing at vanished
+    data). Pass 0 only when writers are quiesced."""
+    import time as _time
+
+    _schema, _parts, live = _replay(table, None)
+    live_set = set(live)
+    cutoff = _time.time() - min_file_age_seconds
+    deleted: list[str] = []
+    for root, _dirs, files in os.walk(table):
+        rel_root = os.path.relpath(root, table)
+        if rel_root.split(os.sep)[0].startswith(("_delta_log", "_staging_")):
+            continue
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel = f if rel_root == "." else os.path.join(rel_root, f)
+            full = os.path.join(table, rel)
+            if rel in live_set or os.path.getmtime(full) > cutoff:
+                continue
+            deleted.append(rel)
+            if not dry_run:
+                os.unlink(full)
+                d = os.path.dirname(rel)
+                while d:  # drop partition dirs the delete emptied
+                    try:
+                        os.rmdir(os.path.join(table, d))
+                    except OSError:
+                        break
+                    d = os.path.dirname(d)
+    return deleted
+
+
 def delta_sink(table: str, app_id: str):
     """foreachBatch callable: ``stream.writeStream.foreachBatch(
     delta_sink(path, "my-query-id"))`` — exactly-once streaming ingest

@@ -1854,3 +1854,76 @@ class TestDeltaOptimize:
         for v in dl.delta_versions(t):
             historical |= set(dl.delta_live_files(t, version=v))
         assert on_disk == live | historical
+
+
+class TestDeltaVacuum:
+    """vacuum_delta (sources/deltalog.py): physical reclamation of
+    files outside the current live set, behind the retention age gate."""
+
+    def test_age_gate_protects_young_files(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        write_delta(df, t)
+        doomed = set(delta_live_files(t))
+        write_delta(df, t, mode="overwrite")  # v0's files are now dead
+        assert vacuum_delta(t) == []  # younger than the 1h default
+        assert set(vacuum_delta(t, min_file_age_seconds=0, dry_run=True)) == doomed
+
+    def test_vacuum_never_touches_live_files_and_cleans_dirs(self, spark, tmp_path):
+        import os as _os
+
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+        )
+        # overwrite drops partition y entirely: its file AND dir must go
+        write_delta(
+            spark.createDataFrame([(1, "a", "x")], schema), t, mode="overwrite"
+        )
+        gone = vacuum_delta(t, min_file_age_seconds=0)
+        assert gone and all(g.startswith(("p=x", "p=y")) for g in gone)
+        assert not _os.path.isdir(_os.path.join(t, "p=y"))
+        assert vacuum_delta(t, min_file_age_seconds=0) == []  # idempotent
+        live = delta_live_files(t)
+        assert all(_os.path.exists(_os.path.join(t, p)) for p in live)
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [
+            (1, "a", "x")
+        ]
+
+    def test_time_travel_to_vacuumed_version_fails_at_scan(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from marketdb_spark.sources.deltalog import (
+            read_delta,
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        write_delta(df, t)
+        write_delta(
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            t,
+            mode="overwrite",
+        )
+        vacuum_delta(t, min_file_age_seconds=0)
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [(2, "b")]
+        with _pytest.raises(Exception):  # replay resolves, scan fails
+            read_delta(spark, t, version=0).collect()
