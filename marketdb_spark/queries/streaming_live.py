@@ -1064,3 +1064,97 @@ def stream_queue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_queue_capped",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_queue_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION CONTROL under the hash gate: the whole events table is
+    journaled as ONE giant spool segment, then consumed through
+    `format("spoolqueue_dist")` with ``maxLinesPerTrigger`` set to a
+    quarter of the journal — the reference consumer's buffered(1000)
+    bound (MarketLoader.scala:49,55) / Kafka's maxOffsetsPerTrigger.
+    The engine must drain it as ≥4 bounded micro-batches (committed
+    batch count asserted inline) whose UNION is bit-identical to the
+    batch aggregate of the raw table — a cap that dropped, duplicated
+    or reordered lines across the batch boundaries fails the hash.
+    Uses a continuous trigger + processAllAvailable rather than
+    availableNow: availableNow snapshots latestOffset ONCE, which
+    under a cap is the first batch only — the cap moves the drain
+    loop into the engine's trigger cadence, exactly like Kafka.
+    Scale: this is the knob that keeps one hot day's backlog from
+    becoming a single unbounded micro-batch after downtime."""
+    import os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.streaming.queuesource import register_queue_source
+
+    register_queue_source(spark)
+    work = tempfile.mkdtemp(prefix="stream_queue_cap_")
+    spool = f"{work}/spool"
+    os.makedirs(spool)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n_lines = ev.count()
+    cap = max(n_lines // 4, 1)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stage = f"{work}/stage"
+        (
+            ev.select(
+                F.to_json(F.struct("event_id", "event_type", "value"))
+            )
+            .coalesce(1)
+            .write.mode("error")
+            .text(stage)
+        )
+        [part] = [f for f in os.listdir(stage) if f.endswith(".txt")]
+        os.replace(
+            os.path.join(stage, part), os.path.join(spool, "0001.ndjson")
+        )
+        parsed = (
+            spark.readStream.format("spoolqueue_dist")
+            .option("maxLinesPerTrigger", cap)
+            .load(spool)
+            .select(
+                F.from_json(
+                    "value", "event_id long, event_type string, value double"
+                ).alias("e")
+            )
+            .select("e.event_id", "e.event_type", "e.value")
+        )
+        agg = parsed.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        name = f"stream_queue_cap_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        assert n_batches >= 4, f"cap did not split the drain: {n_batches}"
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
