@@ -663,6 +663,102 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS ts FROM documents
+    ),
+    uni AS (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok, LATERAL UNNEST(ts) AS u(t) GROUP BY t
+    ),
+    bg AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM tok, LATERAL UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n_tok FROM uni),
+    btot AS (SELECT CAST(SUM(cab) AS HUGEINT) AS n_bg FROM bg)
+    SELECT b.w1, b.w2, b.cab, ua.c AS ca, ub.c AS cb,
+           CAST(CAST(b.cab AS HUGEINT) * n_tok * n_tok AS DOUBLE)
+             / CAST(CAST(ua.c AS HUGEINT) * ub.c * n_bg AS DOUBLE)
+             AS pmi_ratio
+    FROM bg b
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2, tot, btot
+    WHERE b.cab >= 5
+    ORDER BY pmi_ratio DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction — the corpus's top bigrams by pointwise
+    mutual information, the classic statistic behind phrase mining /
+    tokenizer-merge candidates / boilerplate detection (words that
+    co-occur far more than independence predicts). PMI's log is
+    monotone, so ranking by the RAW INDEPENDENCE RATIO
+    P(w1,w2)/(P(w1)·P(w2)) = cab·N²/(ca·cb·Nb) avoids the one
+    transcendental both engines could round differently: numerator and
+    denominator are EXACT integer products (decimal(38,0) / HUGEINT)
+    and the score is a single double division of identical exact ints —
+    bit-identical cross-engine, so the top-20 SET (ties broken by the
+    bigram itself) survives the hash gate. Shape: one corpus scan feeds
+    both count tables (map-side explode + two-phase counts); the corpus
+    totals come from empty-frame windows over the ALREADY-AGGREGATED
+    vocab/bigram tables (vocabulary-sized single-partition passes, not
+    corpus re-scans); the two unigram attachments broadcast the
+    vocab-bounded count table; top-20 is a TakeOrderedAndProject. The
+    min-count floor (cab ≥ 5) is the standard PMI low-frequency guard
+    — and the reason the broadcast stays small at any corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cab"))
+    )
+    everything = W.partitionBy()  # over the aggregated frames only
+    uni = uni.withColumn(
+        "n_tok", F.sum("c").over(everything).cast("decimal(38,0)")
+    )
+    bg = bg.withColumn(
+        "n_bg", F.sum("cab").over(everything).cast("decimal(38,0)")
+    )
+    ua = uni.select(
+        F.col("w").alias("w1"), F.col("c").alias("ca"), "n_tok"
+    )
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("cab") * F.col("n_tok") * F.col("n_tok")).cast("double")
+    den = (dec("ca") * dec("cb") * F.col("n_bg")).cast("double")
+    return (
+        bg.filter(F.col("cab") >= 5)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1", "w2", "cab", "ca", "cb", (num / den).alias("pmi_ratio")
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
     "corpus_mixture_weights",
     oracle=f"""
     WITH s AS (

@@ -82,6 +82,10 @@ HEADLINERS = {
     "corpus_mixture_weights": "single corpus scan: two-phase strata "
     "aggregation, then totals from an empty-partition window over the "
     "|strata|-row frame — no scalar-subquery re-scans",
+    "text_pmi_collocations": "one corpus scan feeds both count tables; "
+    "corpus totals via empty-frame windows over the AGGREGATED "
+    "vocab/bigram frames (never a corpus re-scan); vocab-bounded "
+    "broadcast attachments; TakeOrderedAndProject top-20",
 }
 
 

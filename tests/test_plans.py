@@ -394,3 +394,13 @@ def test_resample_brackets_one_sort_two_exchanges(spark):
     # the ONE sort — no Sort between them
     assert plan.count(") Window") == 2
     assert plan.count(") Sort") == 1
+
+
+def test_pmi_collocations_plan(spark):
+    """text_pmi_collocations: the two unigram attachments must broadcast
+    (the vocab-bounded count table, never a shuffle of the bigram side
+    per join) and the global top-20 must be TakeOrderedAndProject, not a
+    full sort."""
+    df = REGISTRY["text_pmi_collocations"].fn(spark, SF_SMALL)
+    assert count_broadcast_joins(df) >= 2
+    assert uses_take_ordered(df)
