@@ -29,6 +29,16 @@ Scale note: this façade is a control-plane convenience (the reference's
 own deployment shape — one service fronting the store). Bulk analytics
 should go through the DataFrame API directly; the server never collects
 more than the batch a client asked for.
+
+BULK DATA LANE (op "fetch_arrow"): row-per-JSON-line is a control-plane
+format, not a data plane — for bulk pulls the server streams the same
+scan as ARROW IPC instead: one JSON header line, then u32-BE-framed
+independent Arrow IPC streams (one per record batch of ``batch_rows``
+rows, schema repeated per frame so each frame is self-describing), then
+a zero-length frame as terminator. Memory stays bounded to one batch on
+both ends (the server still pulls from toLocalIterator), and the client
+gets typed columnar batches it can hand to pandas/duckdb zero-parse —
+the shape the reference's finagle byte-batches wanted to be.
 """
 
 from __future__ import annotations
@@ -48,6 +58,22 @@ def _json_default(v: Any) -> str:
     return str(v)  # timestamps/decimals → ISO-ish strings
 
 
+def _arrow_schema(df: DataFrame):
+    """The scan's Arrow schema, timestamps as naive microseconds — Row
+    values from toLocalIterator carry session-local naive datetimes, so
+    a tz-stamped arrow field would reinterpret them."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fields = []
+    for f in to_arrow_schema(df.schema):
+        if pa.types.is_timestamp(f.type):
+            f = f.with_type(pa.timestamp(f.type.unit))
+        fields.append(f)
+    return pa.schema(fields)
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
         server: MarketDbServer = self.server  # type: ignore[assignment]
@@ -58,12 +84,20 @@ class _Handler(socketserver.StreamRequestHandler):
             try:
                 req = json.loads(line)
                 for out in server.dispatch(req):
-                    self._send(out)
+                    if isinstance(out, tuple) and out[0] == "frame":
+                        self._send_frame(out[1])
+                    else:
+                        self._send(out)
             except Exception as exc:  # malformed request must not kill the server
                 self._send({"error": f"{type(exc).__name__}: {exc}"})
 
     def _send(self, obj: dict) -> None:
         self.wfile.write(json.dumps(obj, default=_json_default).encode() + b"\n")
+        self.wfile.flush()
+
+    def _send_frame(self, payload: bytes) -> None:
+        # u32-BE length prefix; zero length = end of frame sequence
+        self.wfile.write(len(payload).to_bytes(4, "big") + payload)
         self.wfile.flush()
 
 
@@ -157,11 +191,73 @@ class MarketDbServer:
             for row in rows:
                 yield row.asDict(recursive=True)
             yield {"batch_end": len(rows), "exhausted": exhausted}
+        elif op == "fetch_arrow":
+            yield from self._fetch_arrow(req)
         elif op == "close":
             self._scans.pop(req.get("scan_id"), None)
             yield {"closed": True}
         else:
             yield {"error": f"unknown op {op!r}"}
+
+    def _fetch_arrow(self, req: dict):
+        """Bulk lane: the scan as u32-framed Arrow IPC streams (one per
+        record batch, self-describing), zero-length frame terminates.
+        Pulls from toLocalIterator, so server memory is one batch."""
+        import io
+
+        import pyarrow as pa
+
+        df = self._series(req)
+        schema = _arrow_schema(df)
+        batch_rows = max(int(req.get("batch_rows", 4096)), 1)
+        yield {
+            "arrow_frames": True,
+            "framing": "u32be",
+            "schema": str(schema),
+        }
+        buf: list[dict] = []
+
+        def frame(rows: list[dict]) -> tuple:
+            batch = pa.RecordBatch.from_pylist(rows, schema=schema)
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, schema) as w:
+                w.write_batch(batch)
+            return ("frame", sink.getvalue())
+
+        for row in df.toLocalIterator():
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_rows:
+                yield frame(buf)
+                buf = []
+        if buf:
+            yield frame(buf)
+        yield ("frame", b"")
+
+
+def fetch_arrow(host: str, port: int, req: dict, timeout: float = 60.0):
+    """Bulk-lane client: send one fetch_arrow request, return the result
+    as a pyarrow Table (concatenation of the framed record batches)."""
+    import pyarrow as pa
+
+    req = {**req, "op": "fetch_arrow"}
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(json.dumps(req).encode() + b"\n")
+        rfile = sock.makefile("rb")
+        header = json.loads(rfile.readline())
+        if "error" in header:
+            raise RuntimeError(header["error"])
+        assert header.get("framing") == "u32be", header
+        batches = []
+        while True:
+            n = int.from_bytes(rfile.read(4), "big")
+            if n == 0:
+                break
+            payload = rfile.read(n)
+            with pa.ipc.open_stream(payload) as r:
+                batches.extend(r)
+        if not batches:
+            return pa.table({})
+        return pa.Table.from_batches(batches)
 
 
 def request(host: str, port: int, req: dict, timeout: float = 60.0) -> list[dict]:

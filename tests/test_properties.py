@@ -355,3 +355,78 @@ class TestSpoolQueueOffsetAlgebra:
         for a, b in zip(offsets, offsets[1:]):
             replayed.extend(reader.readBetweenOffsets(a, b))
         assert replayed == seen
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(1, 6)),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(1, 5),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_capped_drain_equals_uncapped(self, tmp_path_factory, ops, cap):
+        """ADMISSION CONTROL invariant (maxLinesPerTrigger): for any
+        append pattern and any cap, (a) no simple-reader batch exceeds
+        the cap, (b) the capped batch chain concatenates to exactly the
+        uncapped journal, (c) the partitioned reader's capped
+        latestOffset chain advances ≤ cap per trigger and converges to
+        the same tail, with each planned range reading back the same
+        lines. Pure-driver test — no Spark session needed."""
+        import json as _json
+
+        from marketdb_spark.streaming.queuesource import (
+            SpoolQueuePartitionedStreamReader,
+            SpoolQueueStreamReader,
+            append_segment,
+        )
+
+        spool = str(tmp_path_factory.mktemp("spool"))
+        written = 0
+        for seg_i, n_lines in ops:
+            append_segment(
+                spool,
+                f"{seg_i:04d}.ndjson",
+                [{"v": written + j} for j in range(n_lines)],
+            )
+            written += n_lines
+
+        # (a)+(b): simple reader, capped chain == uncapped journal
+        capped = SpoolQueueStreamReader(
+            {"path": spool, "maxLinesPerTrigger": str(cap)}
+        )
+        uncapped = SpoolQueueStreamReader({"path": spool})
+        all_rows, _ = uncapped.read(uncapped.initialOffset())
+        all_rows = list(all_rows)
+        chain, pos = [], capped.initialOffset()
+        for _ in range(written + 1):
+            rows, pos = capped.read(pos)
+            rows = list(rows)
+            if not rows:
+                break
+            assert len(rows) <= cap
+            chain.extend(rows)
+        assert chain == all_rows
+        values = sorted(_json.loads(v)["v"] for _, _, v in chain)
+        assert values == list(range(written))
+
+        # (c): partitioned reader's capped planning converges to the tail
+        r = SpoolQueuePartitionedStreamReader(
+            {"path": spool, "maxLinesPerTrigger": str(cap)}
+        )
+        offsets = [r.initialOffset()]
+        for _ in range(written + 1):
+            nxt = r.latestOffset()
+            if nxt == offsets[-1]:
+                break
+            advanced = sum(nxt["pos"].values()) - sum(
+                offsets[-1]["pos"].values()
+            )
+            assert 0 < advanced <= cap
+            offsets.append(nxt)
+        assert sum(offsets[-1]["pos"].values()) == written
+        ranged = []
+        for a, b in zip(offsets, offsets[1:]):
+            for part in r.partitions(a, b):
+                ranged.extend(r.read(part))
+        assert ranged == all_rows

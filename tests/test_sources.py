@@ -538,6 +538,38 @@ class TestQueryServer:
         assert sorted(got) == sorted(self._IDS_13)
         assert not errs
 
+    def test_fetch_arrow_matches_row_lane(self, server):
+        """The Arrow bulk lane (op fetch_arrow: u32-framed per-batch IPC
+        streams) must deliver the same rows, same order, as the ndjson
+        row lane — typed: trade ids come back as int64, prices as
+        decimal, times as microsecond timestamps."""
+        import pyarrow as pa
+
+        from marketdb_spark.server import fetch_arrow, request
+
+        req = {
+            "kind": "trades", "market": "RTS", "security": "RTS-3.13",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+            "batch_rows": 5,  # 12 rows -> 3 frames: framing exercised
+        }
+        tbl = fetch_arrow(server.host, server.port, req)
+        assert tbl.column("trade_id").to_pylist() == self._IDS_13
+        assert pa.types.is_int64(tbl.schema.field("trade_id").type)
+        assert pa.types.is_decimal(tbl.schema.field("price").type)
+        assert pa.types.is_timestamp(tbl.schema.field("time").type)
+        rows = request(server.host, server.port, {**req, "op": "trades"})[:-1]
+        assert len(rows) == tbl.num_rows
+        assert [r["trade_id"] for r in rows] == tbl.column("trade_id").to_pylist()
+
+    def test_fetch_arrow_empty_scan(self, server):
+        from marketdb_spark.server import fetch_arrow
+
+        tbl = fetch_arrow(server.host, server.port, {
+            "kind": "trades", "market": "RTS", "security": "NO-SUCH",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        })
+        assert tbl.num_rows == 0
+
     def test_concurrent_clients(self, server):
         """Two cursors pulled from interleaved connections must not leak
         rows between handles (threaded server, per-handle iterators)."""
