@@ -734,10 +734,11 @@ def _bracket_obs(rows):
     while the timestamp stays put).
 
     Plan shape: ONE sort. Both frames use the SAME (ts asc, is_obs asc)
-    order — grid-first at equal ts — so Catalyst fuses them into a
-    single Window node over one Exchange+Sort (r7 profiling showed the
-    previous opposite-tie-order form paying a second full Sort of the
-    union for nothing). With grid-first ties the inclusive FORWARD frame
+    order — grid-first at equal ts — so Spark plans Exchange → Sort →
+    Window → Window: the two frame specs stay separate Window nodes but
+    SHARE the single sort, which is the actual win (r7 profiling showed
+    the previous opposite-tie-order form paying a second full Sort of
+    the union for nothing; the plan gate pins exactly this shape). With grid-first ties the inclusive FORWARD frame
     (currentRow→following) is exact, while the backward frame misses an
     observation AT the row's own ts — recovered without a second sort:
     when the forward bracket lands exactly on ts, it IS the inclusive
@@ -943,7 +944,7 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguous at equal distance. Same one-pass shape as
     ts_resample_interp: union both event roles, bracket each purchase
     with the inclusive backward/forward frames over ONE user_id
-    exchange and ONE sort (_bracket_obs — a single Window node), then
+    exchange and ONE shared sort (_bracket_obs), then
     pick the closer bracket with exact integer microsecond distances —
     never a float subtraction. Purchases with no view at all drop
     (inner); one-sided purchases take their only bracket."""

@@ -59,19 +59,33 @@ def _json_default(v: Any) -> str:
 
 
 def _arrow_schema(df: DataFrame):
-    """The scan's Arrow schema, timestamps as naive microseconds — Row
-    values from toLocalIterator carry session-local naive datetimes, so
-    a tz-stamped arrow field would reinterpret them."""
+    """The scan's Arrow schema with every timestamp — including ones
+    nested in struct/list/map columns — as naive microseconds: Row
+    values from toLocalIterator carry session-local naive datetimes at
+    any nesting depth, so a tz-stamped arrow field would reinterpret
+    them."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    fields = []
-    for f in to_arrow_schema(df.schema):
-        if pa.types.is_timestamp(f.type):
-            f = f.with_type(pa.timestamp(f.type.unit))
-        fields.append(f)
-    return pa.schema(fields)
+    def strip_tz(t: "pa.DataType") -> "pa.DataType":
+        if pa.types.is_timestamp(t):
+            return pa.timestamp(t.unit)
+        if pa.types.is_struct(t):
+            return pa.struct(
+                [f.with_type(strip_tz(f.type)) for f in t]
+            )
+        if pa.types.is_list(t):
+            return pa.list_(strip_tz(t.value_type))
+        if pa.types.is_large_list(t):
+            return pa.large_list(strip_tz(t.value_type))
+        if pa.types.is_map(t):
+            return pa.map_(strip_tz(t.key_type), strip_tz(t.item_type))
+        return t
+
+    return pa.schema(
+        [f.with_type(strip_tz(f.type)) for f in to_arrow_schema(df.schema)]
+    )
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -201,8 +215,16 @@ class MarketDbServer:
 
     def _fetch_arrow(self, req: dict):
         """Bulk lane: the scan as u32-framed Arrow IPC streams (one per
-        record batch, self-describing), zero-length frame terminates.
-        Pulls from toLocalIterator, so server memory is one batch."""
+        record batch, self-describing), zero-length frame terminates,
+        then ONE JSON status line ({"frames_done": k} | {"error": ...}).
+        Pulls from toLocalIterator, so server memory is one batch.
+
+        Errors after the header must stay IN-BAND: a raw JSON error line
+        where the client expects a length prefix would be read as a
+        bogus u32 and hang the connection — so a mid-stream failure
+        still sends the zero terminator and reports through the status
+        line (the client re-raises it instead of returning a silently
+        truncated table)."""
         import io
 
         import pyarrow as pa
@@ -215,29 +237,53 @@ class MarketDbServer:
             "framing": "u32be",
             "schema": str(schema),
         }
-        buf: list[dict] = []
+        done = 0
+        try:
+            buf: list[dict] = []
 
-        def frame(rows: list[dict]) -> tuple:
-            batch = pa.RecordBatch.from_pylist(rows, schema=schema)
-            sink = io.BytesIO()
-            with pa.ipc.new_stream(sink, schema) as w:
-                w.write_batch(batch)
-            return ("frame", sink.getvalue())
+            def frame(rows: list[dict]) -> tuple:
+                batch = pa.RecordBatch.from_pylist(rows, schema=schema)
+                sink = io.BytesIO()
+                with pa.ipc.new_stream(sink, schema) as w:
+                    w.write_batch(batch)
+                return ("frame", sink.getvalue())
 
-        for row in df.toLocalIterator():
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= batch_rows:
+            for row in df.toLocalIterator():
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_rows:
+                    yield frame(buf)
+                    done += 1
+                    buf = []
+            if buf:
                 yield frame(buf)
-                buf = []
-        if buf:
-            yield frame(buf)
+                done += 1
+        except Exception as exc:
+            yield ("frame", b"")
+            yield {"error": f"{type(exc).__name__}: {exc}"}
+            return
         yield ("frame", b"")
+        yield {"frames_done": done}
 
 
 def fetch_arrow(host: str, port: int, req: dict, timeout: float = 60.0):
     """Bulk-lane client: send one fetch_arrow request, return the result
-    as a pyarrow Table (concatenation of the framed record batches)."""
+    as a pyarrow Table (concatenation of the framed record batches).
+    Short reads raise ConnectionError (a dropped server must never look
+    like a clean terminator → silently truncated table), and the
+    trailing status line re-raises mid-stream server failures."""
     import pyarrow as pa
+
+    def read_exact(rfile, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = rfile.read(n - len(buf))
+            if not chunk:
+                raise ConnectionError(
+                    f"fetch_arrow stream truncated: expected {n} bytes, "
+                    f"got {len(buf)} before EOF"
+                )
+            buf += chunk
+        return buf
 
     req = {**req, "op": "fetch_arrow"}
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -249,12 +295,20 @@ def fetch_arrow(host: str, port: int, req: dict, timeout: float = 60.0):
         assert header.get("framing") == "u32be", header
         batches = []
         while True:
-            n = int.from_bytes(rfile.read(4), "big")
+            n = int.from_bytes(read_exact(rfile, 4), "big")
             if n == 0:
                 break
-            payload = rfile.read(n)
-            with pa.ipc.open_stream(payload) as r:
+            with pa.ipc.open_stream(read_exact(rfile, n)) as r:
                 batches.extend(r)
+        status_line = rfile.readline()
+        if not status_line:
+            raise ConnectionError(
+                "fetch_arrow stream truncated: no status line after the "
+                "terminator"
+            )
+        status = json.loads(status_line)
+        if "error" in status:
+            raise RuntimeError(status["error"])
         if not batches:
             return pa.table({})
         return pa.Table.from_batches(batches)

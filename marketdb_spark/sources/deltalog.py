@@ -116,14 +116,17 @@ def _checkpoint_versions(table: str) -> list[int]:
     return sorted(_checkpoints(table))
 
 
-def _checkpoint_rows(table: str, version: int) -> list[dict]:
+def _checkpoint_rows(
+    table: str, version: int, ckpts: dict[int, list[str]] | None = None
+) -> list[dict]:
     """Every action row of the checkpoint at ``version`` — all parts
     concatenated (part order is irrelevant: a checkpoint is an unordered
-    action SET per the protocol)."""
+    action SET per the protocol). Pass the already-computed
+    ``_checkpoints`` map to skip a redundant log-directory listing."""
     import pyarrow.parquet as pq
 
     rows: list[dict] = []
-    for path in _checkpoints(table)[version]:
+    for path in (ckpts if ckpts is not None else _checkpoints(table))[version]:
         rows.extend(pq.read_table(path).to_pylist())
     return rows
 
@@ -147,7 +150,8 @@ def _replay(table: str, version: int | None):
     """Replay the log up to ``version`` (default: latest). Returns
     (schema_json, partition_cols, {path: partitionValues})."""
     entries = _log_entries(table)
-    ckpts = _checkpoint_versions(table)
+    ckpt_map = _checkpoints(table)
+    ckpts = sorted(ckpt_map)
     if not entries and not ckpts:
         raise ValueError(f"no Delta log at {table}/{_LOG}")
     latest = max(
@@ -177,7 +181,7 @@ def _replay(table: str, version: int | None):
             f"start at 0 (log cleanup removed early commits)"
         )
     if ckpt_version >= 0:
-        for row in _checkpoint_rows(table, ckpt_version):
+        for row in _checkpoint_rows(table, ckpt_version, ckpt_map):
             add = row.get("add")
             if add and add.get("path"):
                 pv = add.get("partitionValues") or {}
@@ -248,7 +252,8 @@ def last_txn_version(table: str, app_id: str) -> int | None:
     if not os.path.isdir(os.path.join(table, _LOG)):
         return None  # table doesn't exist yet: no app ever committed
     entries = _log_entries(table)
-    ckpts = _checkpoint_versions(table)
+    ckpt_map = _checkpoints(table)
+    ckpts = sorted(ckpt_map)
     if not entries and not ckpts:
         return None
     best: int | None = None
@@ -261,7 +266,7 @@ def last_txn_version(table: str, app_id: str) -> int | None:
 
     ckpt_version = ckpts[-1] if ckpts else -1
     if ckpt_version >= 0:
-        for row in _checkpoint_rows(table, ckpt_version):
+        for row in _checkpoint_rows(table, ckpt_version, ckpt_map):
             _see(row.get("txn"))
     for v, path in entries:
         if v <= ckpt_version:
@@ -387,23 +392,56 @@ def _stage_files(
     return staged
 
 
+def _remove_data_file(table: str, rel: str) -> bool:
+    """Delete one data file and any partition dirs the delete emptied.
+    Returns False when the file was already gone (best-effort paths)."""
+    try:
+        os.unlink(os.path.join(table, rel))
+    except OSError:
+        return False
+    d = os.path.dirname(rel)
+    while d:
+        try:
+            os.rmdir(os.path.join(table, d))
+        except OSError:
+            break
+        d = os.path.dirname(d)
+    return True
+
+
 def _unstage(table: str, rels: list[str]) -> None:
     """Best-effort removal of staged-but-never-committed data files (and
     any partition dirs they emptied) — nothing references them, so
     leaving them behind only wastes space and confuses direct-parquet
     listings."""
     for rel in rels:
-        try:
-            os.unlink(os.path.join(table, rel))
-        except OSError:
-            continue
-        d = os.path.dirname(rel)
-        while d:
-            try:
-                os.rmdir(os.path.join(table, d))
-            except OSError:
-                break
-            d = os.path.dirname(d)
+        _remove_data_file(table, rel)
+
+
+def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
+    """Atomic commit publish shared by every Delta writer here: the full
+    commit body goes to a temp name (fsynced), then ``os.link`` claims
+    the version file — put-if-absent AND all-or-nothing, so a concurrent
+    replayer can never observe a half-written commit (the version name
+    only appears with complete content). Returns False when another
+    writer already owns the version (lost the race — recompute and
+    retry)."""
+    import uuid as _uuid
+
+    log_path = os.path.join(table, _LOG, f"{version:020d}.json")
+    tmp_log = os.path.join(table, _LOG, f".tmp_{_uuid.uuid4().hex}.json")
+    with open(tmp_log, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp_log, log_path)
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp_log)
+    return True
 
 
 def write_delta(
@@ -565,26 +603,8 @@ def write_delta(
                         }
                     }
                 )
-            # Atomic publish: write the full commit body to a temp name,
-            # then claim the version via os.link — put-if-absent AND
-            # all-or-nothing, so a concurrent replayer can never observe
-            # a half-written commit file (the version name only appears
-            # with complete content).
-            log_path = os.path.join(table, _LOG, f"{version:020d}.json")
-            tmp_log = os.path.join(
-                table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
-            )
-            with open(tmp_log, "w") as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp_log, log_path)
-            except FileExistsError:
+            if not _publish_commit(table, version, actions):
                 continue  # lost the race — recompute the live set, retry
-            finally:
-                os.unlink(tmp_log)
             return version
         raise CommitConflict(f"lost the commit race 5 times on {table}")
     except BaseException:
@@ -613,7 +633,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     import pyarrow.parquet as pq
 
     entries = _log_entries(table)
-    ckpts = _checkpoint_versions(table)
+    ckpt_map = _checkpoints(table)
+    ckpts = sorted(ckpt_map)
     latest = max(
         entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
     )
@@ -627,7 +648,7 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     txns: dict[str, int] = {}
     ckpt_anchor = max((v for v in ckpts if v <= version), default=-1)
     if ckpt_anchor >= 0:
-        for row in _checkpoint_rows(table, ckpt_anchor):
+        for row in _checkpoint_rows(table, ckpt_anchor, ckpt_map):
             txn = row.get("txn")
             if txn and txn.get("appId") is not None:
                 txns[txn["appId"]] = int(txn["version"])
@@ -922,21 +943,8 @@ def optimize_delta(
                         }
                     }
                 )
-            log_path = os.path.join(table, _LOG, f"{version:020d}.json")
-            tmp_log = os.path.join(
-                table, _LOG, f".tmp_{_uuid.uuid4().hex}.json"
-            )
-            with open(tmp_log, "w") as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp_log, log_path)
-            except FileExistsError:
+            if not _publish_commit(table, version, actions):
                 continue  # lost the race — revalidate the live set, retry
-            finally:
-                os.unlink(tmp_log)
             return version
         raise CommitConflict(f"lost the commit race 5 times on {table}")
     except BaseException:
@@ -986,14 +994,7 @@ def vacuum_delta(
                 continue
             deleted.append(rel)
             if not dry_run:
-                os.unlink(full)
-                d = os.path.dirname(rel)
-                while d:  # drop partition dirs the delete emptied
-                    try:
-                        os.rmdir(os.path.join(table, d))
-                    except OSError:
-                        break
-                    d = os.path.dirname(d)
+                _remove_data_file(table, rel)
     return deleted
 
 

@@ -200,12 +200,20 @@ def read_trade_stream_kafka(
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     try:
         records = reader.load()
-    except Exception as exc:  # jar-gated: absent in this environment
-        raise RuntimeError(
-            "Kafka source unavailable: the spark-sql-kafka-0-10 package "
-            "must be on the classpath (spark.jars.packages="
-            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
-        ) from exc
+    except Exception as exc:
+        # rebrand ONLY the missing-package failure; anything else (bad
+        # option, broker config, analysis error with the jar present)
+        # must surface as itself, not as a misleading classpath hint
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or (
+            "ailed to find" in msg and "kafka" in msg.lower()
+        ):
+            raise RuntimeError(
+                "Kafka source unavailable: the spark-sql-kafka-0-10 "
+                "package must be on the classpath (spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+            ) from exc
+        raise
     return decode_kafka_records(records, kind, watermark, dedup_within_watermark)
 
 

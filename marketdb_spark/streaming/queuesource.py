@@ -326,8 +326,31 @@ class SpoolQueuePartitionedStreamReader(DataSourceStreamReader):
         # a replayed batch (restart recovery) teaches the admission
         # reference where the checkpoint already reached
         self._observe(start.get("pos", {}))
-        self._observe(end.get("pos", {}))
         spos = start.get("pos", {})
+        # REGRESSION GUARD (capped mode only): an end below the
+        # checkpointed start means a capped latestOffset planned from a
+        # stale reference (an engine path that didn't route the restored
+        # offset through partitions/commit first — not observed on this
+        # engine, but the failure mode is SILENT duplicate delivery on
+        # the NEXT batch once the regressed end is in the offset log, so
+        # fail loudly instead). Replays of legitimately-capped historical
+        # batches always have end ≥ start per segment, and the capped
+        # planner carries every known segment forward, so this never
+        # fires on recovery. Uncapped mode keeps the legacy tolerances
+        # (producer retention deleting consumed segments, truncation
+        # rescans) where an offset drop is an accepted contract response.
+        if self.max_lines is not None:
+            epos = end.get("pos", {})
+            for seg in set(spos) | set(epos):
+                if int(epos.get(seg, 0)) < int(spos.get(seg, 0)):
+                    raise RuntimeError(
+                        f"spool-queue offset regression on {seg!r}: "
+                        f"planned end {epos.get(seg, 0)} < checkpointed "
+                        f"start {spos.get(seg)} — refusing to plan a "
+                        "batch whose offset would re-deliver consumed "
+                        "lines"
+                    )
+        self._observe(end.get("pos", {}))
         parts = []
         for seg, e in sorted(end.get("pos", {}).items()):
             s = int(spos.get(seg, 0))

@@ -118,8 +118,15 @@ def main() -> None:
     if not os.path.exists(f"{scaled}/embeddings.parquet"):
         build_scaled(spark, base, scaled)
 
-    # warm shared codepaths so neither side pays one-time JIT
-    REGISTRY["dedup_verified_pairs"].fn(spark, "/root/testdata/sf0.001").count()
+    # warm shared codepaths so neither side pays one-time JIT; warm-up
+    # must never fail the probe (same discipline as bench.py — the tiny
+    # fixture may not exist on every host)
+    try:
+        REGISTRY["dedup_verified_pairs"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).count()
+    except Exception:
+        pass
 
     rows = []
     for name in QUERIES:

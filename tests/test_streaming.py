@@ -1286,6 +1286,49 @@ class TestSpoolQueueSource:
         assert len(commits) >= 3  # 25 lines / 10 per trigger
 
 
+    def test_capped_restart_no_duplicates(self, spark, tmp_path):
+        """Restart a CAPPED query from a fully-committed checkpoint, then
+        append more: the union across both runs must be exactly-once and
+        the post-restart drain still bounded. Pins the engine behavior
+        the capped planner leans on (the restored offset reaches the
+        reader via partitions()/commit() before the first new
+        latestOffset); if an engine change ever breaks that, the
+        partitions() regression guard fails the query loudly instead of
+        re-delivering — either way this test catches it."""
+        from marketdb_spark.streaming.queuesource import (
+            append_segment,
+            register_queue_source,
+        )
+
+        spool = str(tmp_path / "spool")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        register_queue_source(spark)
+
+        def drain():
+            q = (
+                spark.readStream.format("spoolqueue_dist")
+                .option("maxLinesPerTrigger", "5")
+                .load(spool)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        append_segment(spool, "0001.ndjson", [{"id": i} for i in range(12)])
+        drain()
+        append_segment(spool, "0001.ndjson", [{"id": 12}, {"id": 13}])
+        append_segment(spool, "0002.ndjson", [{"id": 14}])
+        drain()
+        got = spark.read.parquet(out)
+        ids = sorted(json.loads(r.value)["id"] for r in got.collect())
+        assert ids == list(range(15))  # exactly once across the restart
+
+
 class TestKafkaAdapter:
     """Broker transport (streaming/ingest.read_trade_stream_kafka) — the
     format("kafka") production analog of the reference's Kestrel consumer
