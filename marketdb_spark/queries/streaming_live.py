@@ -1158,3 +1158,81 @@ def stream_queue_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_source",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_acctbal,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA TABLE AS A STREAMING SOURCE under the hash gate
+    (streaming/deltasource.py — the read side of the exactly-once loop
+    delta_sink writes, no delta jars): customers land in the table
+    across two appends, a first availableNow drain consumes the INITIAL
+    SNAPSHOT, then a third append + an OPTIMIZE + a fourth append land
+    and a second drain (same checkpoint) must tail exactly the two new
+    commits — the compaction commit's dataChange:false adds are rewrites
+    of already-consumed rows and MUST be skipped, or the union
+    double-counts and the hash fails. Result = the aggregate of both
+    drains' outputs, hash-equal to the raw customer table iff snapshot +
+    tail delivered every row exactly once across checkpointed restarts
+    and a compaction. Scale: each micro-batch fans one InputPartition
+    per new file (executors read parquet via Arrow batches, zero
+    row-at-a-time Python); the snapshot is checkpoint-anchored replay so
+    log retention below the stream's start is safe."""
+    import os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import optimize_delta, write_delta
+    from marketdb_spark.streaming.deltasource import read_delta_stream
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="stream_delta_src_")
+    t, out, ckpt = f"{work}/tbl", f"{work}/out", f"{work}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        quarter = F.col("c_custkey") % 4
+        write_delta(cust.filter(quarter == 0).coalesce(1), t)
+        write_delta(cust.filter(quarter == 1).coalesce(1), t)
+
+        def drain():
+            q = (
+                read_delta_stream(spark, t)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()  # initial snapshot (versions 0-1)
+        n_snap = spark.read.parquet(out).count()
+        write_delta(cust.filter(quarter == 2).coalesce(1), t)
+        assert optimize_delta(spark, t) is not None  # compaction commit
+        write_delta(cust.filter(quarter == 3).coalesce(1), t)
+        drain()  # tail: two appends, compaction skipped
+        got = spark.read.parquet(out)
+        assert got.count() > n_snap
+        agg = got.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", scale=6).alias("sum_acctbal"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        return agg.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

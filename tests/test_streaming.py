@@ -1378,3 +1378,120 @@ class TestKafkaAdapter:
             assert "spark-sql-kafka-0-10" in str(exc)
         else:  # pragma: no cover - jar present in some environments
             assert "value" in df.schema.fieldNames() or df.isStreaming
+
+
+class TestDeltaStreamSource:
+    """Delta table as a streaming source (streaming/deltasource.py):
+    snapshot + append tail over the public protocol, compaction-aware,
+    exactly-once through Spark's offset checkpoint."""
+
+    def _drain(self, spark, t, out, ckpt):
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    def test_snapshot_then_tail_skips_compaction(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            optimize_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+        )
+        write_delta(spark.createDataFrame([(3, "c", "x")], schema), t)
+        assert self._drain(spark, t, out, ckpt) == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+        ]
+        write_delta(spark.createDataFrame([(4, "d", "y")], schema), t)
+        assert optimize_delta(spark, t) is not None
+        write_delta(spark.createDataFrame([(5, "e", "x")], schema), t)
+        # tail must deliver 4 and 5 exactly once: the compaction commit's
+        # dataChange:false adds rewrite rows 1-4 and must be skipped
+        assert self._drain(spark, t, out, ckpt) == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+            (4, "d", "y"), (5, "e", "x"),
+        ]
+
+    def test_snapshot_survives_log_retention(self, spark, tmp_path):
+        """The initial snapshot anchors on the checkpoint, so a table
+        whose JSON prefix was clean_log'd away still streams in full."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        write_checkpoint(t)
+        clean_log(t)
+        write_delta(spark.createDataFrame([(3, "c")], schema), t)
+        got = self._drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_overwrite_mid_stream_raises(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        assert self._drain(spark, t, out, ckpt) == [(1, "a")]
+        write_delta(
+            spark.createDataFrame([(9, "z")], schema), t, mode="overwrite"
+        )
+        from pyspark.sql.streaming import StreamingQueryException
+
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="append-only|removes data"):
+            q.awaitTermination(120)
+            raise AssertionError("overwrite tailed silently")
+
+    def test_retention_above_stream_start_raises(self, spark, tmp_path):
+        """clean_log'ing tail commits out from under a running stream
+        must fail loudly at the next plan, never drop data."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            write_checkpoint,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)     # v0
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)     # v1
+        write_delta(spark.createDataFrame([(3, "c")], schema), t)     # v2
+        write_checkpoint(t)
+        clean_log(t)  # v0-v2 JSON gone (checkpoint covers them)
+        r = DeltaStreamReader({"path": t, "partcols": "[]"}, None)
+        with pytest.raises(ValueError, match="log retention"):
+            r.partitions({"v": 0}, {"v": 2})  # tail through cleaned range
