@@ -1236,3 +1236,76 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_capped",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def stream_delta_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION CONTROL on the Delta streaming source under the hash
+    gate (streaming/deltasource.py `maxFilesPerTrigger` — delta-spark's
+    option, ≙ the reference consumer's buffered(1000) bound,
+    MarketLoader.scala:49,55): the whole orders table lands in a Delta
+    table as ONE commit staged across 8 data files, then streams out
+    with maxFilesPerTrigger=2 — the engine must drain the INITIAL
+    SNAPSHOT as ≥4 bounded micro-batches (committed batch count asserted
+    inline) whose union is bit-identical to the batch aggregate of the
+    raw table: a cap that dropped, duplicated or reordered files across
+    the capped snapshot slices fails the hash. Uses processAllAvailable
+    rather than availableNow: availableNow snapshots latestOffset ONCE,
+    which under a cap is the first slice only — the cap moves the drain
+    loop into the engine's trigger cadence, exactly like Kafka's
+    maxOffsetsPerTrigger. Scale: this is the knob that keeps a fresh
+    start against a 100 TB table (or a burst of commits after downtime)
+    from becoming one unbounded micro-batch."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import write_delta
+    from marketdb_spark.streaming.deltasource import read_delta_stream
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="stream_delta_cap_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders.repartition(8), t)
+        agg = (
+            read_delta_stream(spark, t, maxFilesPerTrigger=2)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        name = f"stream_delta_cap_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        assert n_batches >= 4, f"cap did not split the drain: {n_batches}"
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -254,7 +254,11 @@ class MarketDbServer:
                     yield frame(buf)
                     done += 1
                     buf = []
-            if buf:
+            # an EMPTY scan still emits one zero-row frame: the IPC
+            # stream is the schema's authoritative wire form, so the
+            # client materializes a typed-empty table instead of a
+            # column-less pa.table({})
+            if buf or done == 0:
                 yield frame(buf)
                 done += 1
         except Exception as exc:
@@ -292,13 +296,19 @@ def fetch_arrow(host: str, port: int, req: dict, timeout: float = 60.0):
         header = json.loads(rfile.readline())
         if "error" in header:
             raise RuntimeError(header["error"])
-        assert header.get("framing") == "u32be", header
+        if header.get("framing") != "u32be":
+            # explicit raise, not assert: `python -O` strips asserts and
+            # a mismatched server would then surface as a confusing
+            # downstream framing error
+            raise RuntimeError(f"unexpected fetch_arrow framing: {header}")
         batches = []
+        schema = None
         while True:
             n = int.from_bytes(read_exact(rfile, 4), "big")
             if n == 0:
                 break
             with pa.ipc.open_stream(read_exact(rfile, n)) as r:
+                schema = schema or r.schema
                 batches.extend(r)
         status_line = rfile.readline()
         if not status_line:
@@ -310,8 +320,11 @@ def fetch_arrow(host: str, port: int, req: dict, timeout: float = 60.0):
         if "error" in status:
             raise RuntimeError(status["error"])
         if not batches:
-            return pa.table({})
-        return pa.Table.from_batches(batches)
+            # pre-typed-empty servers only (current ones always frame the
+            # schema); fall back to a schema-bearing empty table if any
+            # frame announced one
+            return pa.table({}) if schema is None else schema.empty_table()
+        return pa.Table.from_batches(batches, schema=schema)
 
 
 def request(host: str, port: int, req: dict, timeout: float = 60.0) -> list[dict]:

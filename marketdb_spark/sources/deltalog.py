@@ -46,6 +46,12 @@ from pyspark.sql import types as T
 
 _LOG = "_delta_log"
 
+# Actions per checkpoint part before write_checkpoint splits into a
+# classic multi-part set — the analog of delta-spark's
+# spark.databricks.delta.checkpoint.partSize. 100k actions ≈ a 100 TB
+# table of 1 GB files; below it a single parquet stays the cheapest.
+DEFAULT_CHECKPOINT_PART_SIZE = 100_000
+
 
 def _log_entries(table: str) -> list[tuple[int, str]]:
     """(version, path) for every JSON commit, sorted by version."""
@@ -277,6 +283,81 @@ def last_txn_version(table: str, app_id: str) -> int | None:
                 if line:
                     _see(json.loads(line).get("txn"))
     return best
+
+
+def delta_features(table: str) -> dict:
+    """Introspect the table's protocol + table-feature surface WITHOUT
+    the reader gates, so a user learns what this engine cannot consume
+    BEFORE opening a batch read or a stream (the gates themselves raise
+    at first scan/plan — correct, but late). Returns::
+
+        {"protocol": {...last protocol action...},
+         "configuration": {...last metaData configuration...},
+         "unsupported": ["minReaderVersion=3", "readerFeature:...", ...],
+         "streamable": bool}
+
+    ``unsupported`` names every feature outside this reader's documented
+    scope (module docstring): a minReaderVersion above 1, any declared
+    readerFeatures (deletion vectors, column mapping, v2 checkpoints,
+    timestampNtz...), a column-mapping mode or deletion-vector flag in
+    the table configuration, and unreadable (v2/UUID) checkpoint
+    layouts. Empty list ⇒ the batch reader and deltastream source can
+    consume the table."""
+    proto: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
+    conf: dict = {}
+    unsupported: list[str] = []
+
+    def _see_protocol(p: dict | None) -> None:
+        nonlocal proto
+        if p and p.get("minReaderVersion") is not None:
+            proto = {k: v for k, v in p.items() if v is not None}
+
+    def _see_meta(m: dict | None) -> None:
+        nonlocal conf
+        if m is not None and m.get("configuration") is not None:
+            c = m["configuration"]
+            # checkpoint map columns come back as (key, value) tuples
+            conf = dict(c) if not isinstance(c, dict) else c
+
+    try:
+        ckpt_map = _checkpoints(table)
+    except ValueError as exc:  # v2/UUID layout: report, don't raise
+        ckpt_map = {}
+        unsupported.append(f"checkpointLayout:{exc}")
+    ckpts = sorted(ckpt_map)
+    if ckpts:
+        for row in _checkpoint_rows(table, ckpts[-1], ckpt_map):
+            _see_protocol(row.get("protocol"))
+            _see_meta(row.get("metaData"))
+    anchor = ckpts[-1] if ckpts else -1
+    for v, path in _log_entries(table):
+        if v <= anchor:
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                _see_protocol(action.get("protocol"))
+                _see_meta(action.get("metaData"))
+
+    if (proto.get("minReaderVersion") or 1) > 1:
+        unsupported.append(f"minReaderVersion={proto['minReaderVersion']}")
+    for feat in proto.get("readerFeatures") or []:
+        unsupported.append(f"readerFeature:{feat}")
+    cmode = conf.get("delta.columnMapping.mode", "none")
+    if cmode not in (None, "", "none"):
+        unsupported.append(f"columnMapping:{cmode}")
+    if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
+        unsupported.append("deletionVectors")
+    unsupported = sorted(set(unsupported))
+    return {
+        "protocol": proto,
+        "configuration": conf,
+        "unsupported": unsupported,
+        "streamable": not unsupported,
+    }
 
 
 def read_delta(
@@ -614,21 +695,33 @@ def write_delta(
         raise
 
 
-def write_checkpoint(table: str, version: int | None = None) -> int:
-    """Write a classic single-part parquet checkpoint at ``version``
-    (default: latest) plus the ``_last_checkpoint`` pointer — the log
-    compaction step that makes log retention safe: after this, JSON
-    commits at-or-before the checkpoint are redundant (clean_log removes
-    them) and a reader replays checkpoint + newer commits only. One row
-    per action: protocol, metaData, one ``add`` per live file
+def write_checkpoint(
+    table: str,
+    version: int | None = None,
+    *,
+    part_size: int | None = DEFAULT_CHECKPOINT_PART_SIZE,
+) -> int:
+    """Write a classic parquet checkpoint at ``version`` (default:
+    latest) plus the ``_last_checkpoint`` pointer — the log compaction
+    step that makes log retention safe: after this, JSON commits
+    at-or-before the checkpoint are redundant (clean_log removes them)
+    and a reader replays checkpoint + newer commits only. One row per
+    action: protocol, metaData, one ``add`` per live file
     (partitionValues as map<string,string>, per the protocol), one
     ``txn`` per application high-water mark — so idempotent-writer state
     survives log cleanup. At 100 TB the checkpoint is KBs-to-MBs of
-    metadata written driver-side; Delta itself writes multi-part /
-    v2 checkpoints beyond ~100k files — this minimal writer emits the
-    single-part form only, while the READER also replays complete
-    multi-part sets (and still ERRORS on v2 layouts rather than
-    misreading them)."""
+    metadata written driver-side.
+
+    Above ``part_size`` actions the writer emits a MULTI-PART classic
+    set (``n.checkpoint.o.p.parquet``, part o of p — what stock
+    delta-spark writes past spark.databricks.delta.checkpoint.partSize),
+    matching what the reader already replays; the pointer then carries
+    the protocol's ``parts`` field. Crash-safe by construction: parts
+    land before the pointer moves, and an incomplete set (writer died
+    mid-way) is ignored by readers per the protocol while the previous
+    checkpoint + JSON log still cover the range. ``part_size=None``
+    forces single-part. v2 / UUID checkpoint layouts remain a read-side
+    ERROR, never written."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -769,8 +862,30 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
                 "txn": {"appId": app, "version": v},
             }
         )
-    ck_path = os.path.join(table, _LOG, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema), ck_path)
+    n_parts = (
+        1
+        if part_size is None or len(rows) <= part_size
+        else -(-len(rows) // part_size)
+    )
+    if n_parts == 1:
+        ck_path = os.path.join(
+            table, _LOG, f"{version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema), ck_path)
+    else:
+        # a checkpoint is an unordered action SET, so any row partition
+        # is a valid part split; parts land before the pointer moves, so
+        # a crash mid-set leaves an incomplete set readers skip
+        for p in range(n_parts):
+            chunk = rows[p * part_size : (p + 1) * part_size]
+            name = (
+                f"{version:020d}.checkpoint."
+                f"{p + 1:010d}.{n_parts:010d}.parquet"
+            )
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=ck_schema),
+                os.path.join(table, _LOG, name),
+            )
     # _last_checkpoint must stay MONOTONE: an explicit older `version`
     # (re-materializing a historical checkpoint) must not move the
     # pointer backwards — after clean_log anchors retention to the
@@ -786,8 +901,11 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
             recorded = -1  # unreadable pointer: rewrite it
     newest_ckpt = max(_checkpoint_versions(table), default=-1)
     if version >= max(recorded, newest_ckpt):
+        record = {"version": version, "size": len(rows)}
+        if n_parts > 1:
+            record["parts"] = n_parts  # protocol's multi-part marker
         with open(pointer, "w") as f:
-            json.dump({"version": version, "size": len(rows)}, f)
+            json.dump(record, f)
     return version
 
 

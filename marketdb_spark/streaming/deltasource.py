@@ -7,10 +7,28 @@ streaming source, re-expressed over the public protocol): a fresh query
 first emits the table's CURRENT SNAPSHOT (the live file set at the
 latest version — checkpoint-anchored replay, so log retention is fine),
 then tails the transaction log version by version, emitting each new
-commit's ``add`` actions. Offsets are ``{"v": N}`` = "all commits ≤ N
-consumed" (with ``{"v": -1, "snap": N}`` marking the pending initial
-snapshot), so Spark's checkpoint gives bit-identical replay of any
-committed range.
+commit's ``add`` actions.
+
+Offsets are FILE-GRANULAR: ``{"v": U, "i": I, "snap": S}`` means "all
+units before U fully consumed, plus the first I files of unit U", where
+a *unit* is either the pinned initial snapshot (unit number = the
+snapshot version S, files = the sorted live set at S) or one tail
+commit (files = its adds in commit order). Two legacy spellings are
+still parsed for checkpoint compatibility: ``{"v": -1, "snap": S}``
+(nothing consumed, snapshot pinned at S) and ``{"v": N}`` (units ≤ N
+fully consumed). Unit file lists are deterministic functions of the
+immutable log, so Spark's offset checkpoint replays any committed range
+bit-identically — including ranges that stop mid-snapshot.
+
+ADMISSION CONTROL (delta-spark's ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger``, ≙ the reference consumer's buffered(1000) bound,
+MarketLoader.scala:49,55): with a cap set, ``latestOffset`` advances at
+most N files (or a soft byte budget — at least one file always admits,
+so an oversized file cannot stall the stream) past the planning
+reference per trigger, so a fresh start against a large table or a
+burst of commits drains as bounded micro-batches instead of one
+unbounded one — the initial snapshot itself drains in capped slices.
+Uncapped (the default) keeps the legacy whole-version offsets.
 
 ``dataChange`` is honored the way the protocol intends: a commit whose
 adds all carry ``dataChange: false`` (OPTIMIZE/compaction — our
@@ -18,8 +36,26 @@ optimize_delta, or delta-spark's OPTIMIZE) rearranges bytes without
 changing contents, so the tail SKIPS it instead of re-emitting rewritten
 rows — exactly-once survives compaction. A ``remove`` with
 ``dataChange: true`` (overwrite/delete) after the stream started is NOT
-an append and RAISES (delta-spark's source does the same without
-ignoreChanges); appends and compactions are the supported lifecycle.
+an append and RAISES by default; the delta-spark-parity opt-ins relax
+it:
+
+- ``ignoreDeletes``   — a commit that only deletes (dataChange removes,
+  no dataChange adds) is skipped; delete+rewrite commits still raise.
+- ``ignoreChanges``   — a commit's dataChange adds are emitted even when
+  it also removes (rewritten files re-deliver their surviving rows:
+  AT-LEAST-ONCE for updated data, exactly delta-spark's semantics).
+  Implies ignoreDeletes.
+- ``skipChangeCommits`` — any commit carrying a dataChange remove is
+  skipped entirely (its adds too): exactly-once for untouched rows,
+  rewrites silently dropped.
+
+Tail commits are also GATED against mid-stream table upgrades (same
+policy as the batch reader's _replay, deltalog.py): a ``protocol``
+action raising minReaderVersion above 1 (deletion vectors / column
+mapping) raises instead of tailing DV-carrying adds as full files, and
+a ``metaData`` action whose schema or partitionColumns differ from the
+stream's pinned schema raises instead of misreading new files with the
+old schema.
 
 Tail replay needs the JSON commits ABOVE the initial snapshot to still
 exist — clean_log'ing them out from under a running stream raises at
@@ -94,10 +130,57 @@ def _latest_version(table: str) -> int:
     )
 
 
-def _tail_adds(table: str, version: int) -> list[tuple[str, dict]]:
-    """The (path, partitionValues) adds of ONE tail commit, honoring
-    dataChange: a pure-compaction commit returns [] (skip), a
-    dataChange:true remove raises (not an append-only change)."""
+def _parse_cap(options: dict, camel: str) -> int | None:
+    """A positive-int admission option — Spark lower-cases DataSource
+    option keys; direct construction in tests uses camelCase."""
+    raw = options.get(camel.lower(), options.get(camel))
+    if raw is None:
+        return None
+    cap = int(raw)
+    if cap <= 0:
+        raise ValueError(f"{camel} must be positive, got {raw}")
+    return cap
+
+
+def _parse_flag(options: dict, camel: str) -> bool:
+    raw = options.get(camel.lower(), options.get(camel))
+    if raw is None:
+        return False
+    if str(raw).lower() in ("true", "1"):
+        return True
+    if str(raw).lower() in ("false", "0"):
+        return False
+    raise ValueError(f"{camel} must be true|false, got {raw!r}")
+
+
+def _parse_mode(options: dict) -> str:
+    """Change-commit policy, precedence per delta-spark: skipChangeCommits
+    wins, ignoreChanges implies ignoreDeletes."""
+    if _parse_flag(options, "skipChangeCommits"):
+        return "skipChangeCommits"
+    if _parse_flag(options, "ignoreChanges"):
+        return "ignoreChanges"
+    if _parse_flag(options, "ignoreDeletes"):
+        return "ignoreDeletes"
+    return "strict"
+
+
+def _tail_adds(
+    table: str,
+    version: int,
+    *,
+    mode: str = "strict",
+    pinned_schema_json: str | None = None,
+    pinned_parts: list[str] | None = None,
+) -> list[tuple[str, dict, int]]:
+    """The (path, partitionValues, size) adds of ONE tail commit,
+    honoring dataChange under ``mode`` (module docstring), and gating on
+    mid-stream table upgrades: a protocol bump past minReaderVersion 1
+    or a metaData action that changes the pinned schema/partitioning
+    raises — same policy as the batch reader (deltalog._replay), so an
+    external writer enabling deletion vectors or remapping columns
+    mid-tail fails loudly instead of emitting deleted rows or misread
+    files."""
     path = _commit_path(table, version)
     if not os.path.exists(path):
         raise ValueError(
@@ -106,7 +189,8 @@ def _tail_adds(table: str, version: int) -> list[tuple[str, dict]]:
             f"stream was tailing (clean_log the prefix below the "
             f"stream's start only)"
         )
-    adds: list[tuple[str, dict]] = []
+    adds: list[tuple[str, dict, int]] = []
+    has_change_remove = False
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -117,16 +201,64 @@ def _tail_adds(table: str, version: int) -> list[tuple[str, dict]]:
                 a = action["add"]
                 if a.get("dataChange") is not False:
                     adds.append(
-                        (_decode_path(a["path"]), a.get("partitionValues") or {})
+                        (
+                            _decode_path(a["path"]),
+                            a.get("partitionValues") or {},
+                            int(a.get("size") or 0),
+                        )
                     )
             elif "remove" in action:
                 if action["remove"].get("dataChange") is not False:
+                    has_change_remove = True
+            elif "protocol" in action:
+                if (action["protocol"].get("minReaderVersion") or 1) > 1:
                     raise ValueError(
                         f"deltastream: version {version} of {table} "
-                        f"removes data (overwrite/delete) — not an "
-                        f"append-only change; restart the stream from a "
-                        f"fresh checkpoint to re-snapshot"
+                        f"raises minReaderVersion to "
+                        f"{action['protocol']['minReaderVersion']} "
+                        f"(deletion vectors / column mapping) mid-stream "
+                        f"— a feature-blind tail would emit deleted rows"
                     )
+            elif "metaData" in action:
+                meta = action["metaData"]
+                if pinned_schema_json is None:
+                    raise ValueError(
+                        f"deltastream: version {version} of {table} "
+                        f"carries a metaData action and the stream has "
+                        f"no pinned schema to verify it against — "
+                        f"restart the stream to adopt the new schema"
+                    )
+                same_schema = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ) == T.StructType.fromJson(json.loads(pinned_schema_json))
+                same_parts = list(meta.get("partitionColumns") or []) == list(
+                    pinned_parts or []
+                )
+                if not (same_schema and same_parts):
+                    raise ValueError(
+                        f"deltastream: version {version} of {table} "
+                        f"changes the table schema or partitioning "
+                        f"mid-stream — restart the stream from a fresh "
+                        f"checkpoint to adopt it"
+                    )
+    if has_change_remove:
+        if mode == "skipChangeCommits":
+            return []
+        if mode == "ignoreChanges":
+            return adds  # re-emit rewrites: at-least-once, delta-spark parity
+        if mode == "ignoreDeletes" and not adds:
+            return []  # delete-only commit: nothing to re-deliver
+        hint = (
+            "ignoreChanges/skipChangeCommits"
+            if adds
+            else "ignoreDeletes (or ignoreChanges/skipChangeCommits)"
+        )
+        raise ValueError(
+            f"deltastream: version {version} of {table} removes data "
+            f"(overwrite/delete) — not an append-only change; restart "
+            f"the stream from a fresh checkpoint to re-snapshot, or opt "
+            f"in with {hint}"
+        )
     return adds
 
 
@@ -137,31 +269,162 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.part_cols = list(
             json.loads(options.get("partcols") or "[]")
         )
+        # the schemaString pinned at stream open (None only under direct
+        # test construction) — tail metaData actions verify against it
+        self.pinned_schema_json = options.get("schemajson")
+        self.mode = _parse_mode(options)
+        self.max_files = _parse_cap(options, "maxFilesPerTrigger")
+        self.max_bytes = _parse_cap(options, "maxBytesPerTrigger")
+        # Driver-side caches/state (the reader instance lives for the
+        # query; all best-effort — recomputed deterministically from the
+        # immutable log after a restart):
+        #   _units[u]  = the unit's file list [(rel, pvals, size)]
+        #   _snap      = the pinned snapshot version (learned from any
+        #                offset carrying "snap", or pinned fresh)
+        #   _planned   = (unit, idx) admission reference: the furthest
+        #                position this reader planned or saw planned/
+        #                committed. Call-order facts (traced against the
+        #                engine, same as queuesource.py): fresh query →
+        #                latestOffset first, initialOffset after; restart
+        #                → the engine reconstructs the last batch via
+        #                partitions(start, end) BEFORE the first
+        #                latestOffset, so the reference is re-learned
+        #                from the offset log and a capped plan can never
+        #                regress below the checkpoint.
+        self._units: dict[int, list[tuple[str, dict, int]]] = {}
+        self._snap: int | None = None
+        self._planned: tuple[int, int] | None = None
+
+    # -- offset plumbing ------------------------------------------------
+
+    def _norm(self, off: dict) -> tuple[int, int]:
+        """Normalize any offset spelling to (unit, files_consumed_of_unit),
+        learning the snapshot pin from offsets that carry it."""
+        if off.get("snap") is not None and self._snap is None:
+            self._snap = int(off["snap"])
+        if "i" in off:
+            return int(off["v"]), int(off["i"])
+        v = int(off["v"])
+        if v < 0:
+            return int(off["snap"]), 0
+        return v + 1, 0
+
+    def _observe(self, unit: int, idx: int) -> None:
+        if self._planned is None or (unit, idx) > self._planned:
+            self._planned = (unit, idx)
+
+    def _unit_files(self, unit: int) -> list[tuple[str, dict, int]]:
+        """The unit's immutable file list: the sorted live set for the
+        snapshot unit, the commit's adds for a tail unit. Snapshot file
+        sizes are stat'd only when a byte cap needs them."""
+        fl = self._units.get(unit)
+        if fl is None:
+            if self._snap is not None and unit == self._snap:
+                _schema, _parts, live = _replay(self.table, unit)
+                fl = [
+                    (
+                        rel,
+                        pvals,
+                        os.path.getsize(os.path.join(self.table, rel))
+                        if self.max_bytes is not None
+                        else 0,
+                    )
+                    for rel, pvals in sorted(live.items())
+                ]
+            else:
+                fl = _tail_adds(
+                    self.table,
+                    unit,
+                    mode=self.mode,
+                    pinned_schema_json=self.pinned_schema_json,
+                    pinned_parts=self.part_cols,
+                )
+            self._units[unit] = fl
+        return fl
+
+    # -- engine surface -------------------------------------------------
 
     def initialOffset(self) -> dict:
         # snapshot boundary pinned at stream start: everything live at
-        # `snap` arrives as batch 0, the tail starts above it
-        return {"v": -1, "snap": _latest_version(self.table)}
+        # `snap` arrives as batch 0 (or capped slices of it), the tail
+        # starts above it
+        if self._snap is None:
+            self._snap = _latest_version(self.table)
+        if self._planned is None:
+            self._planned = (self._snap, 0)
+        return {"v": -1, "snap": self._snap}
 
     def latestOffset(self) -> dict:
-        return {"v": _latest_version(self.table)}
+        latest = _latest_version(self.table)
+        if self.max_files is None and self.max_bytes is None:
+            return {"v": latest}
+        if self._planned is None:
+            # genuinely fresh capped query (a restart would have taught
+            # _planned via partitions()/commit() first): pin the
+            # snapshot here — the engine calls latestOffset before
+            # initialOffset on a fresh query. NEVER pin when a plan
+            # reference exists: a restart from legacy whole-version
+            # offsets has _snap unknown (the snapshot is long consumed),
+            # and pinning `latest` then would make _unit_files misread a
+            # future tail commit numbered `latest` as a full snapshot —
+            # re-emitting the live set.
+            if self._snap is None:
+                self._snap = latest
+            self._planned = (self._snap, 0)
+        unit, idx = self._planned
+        files_left = self.max_files if self.max_files is not None else float("inf")
+        bytes_left = self.max_bytes if self.max_bytes is not None else float("inf")
+        while unit <= latest:
+            fl = self._unit_files(unit)
+            # soft byte budget: admit while any budget remains, so a
+            # single file larger than maxBytesPerTrigger still advances
+            while idx < len(fl) and files_left > 0 and bytes_left > 0:
+                files_left -= 1
+                bytes_left -= fl[idx][2]
+                idx += 1
+            if idx < len(fl) or unit >= latest:
+                break  # budget exhausted mid-unit, or fully caught up
+            if files_left <= 0 or bytes_left <= 0:
+                break  # budget exhausted exactly at a unit boundary
+            unit, idx = unit + 1, 0  # roll into the next commit
+        self._planned = (unit, idx)
+        return {"v": unit, "i": idx, "snap": self._snap}
 
     def partitions(self, start: dict, end: dict):
-        sv, ev = int(start["v"]), int(end["v"])
-        files: list[tuple[str, dict]] = []
-        if sv < 0:
-            # initial snapshot: the live set at the pinned version —
-            # checkpoint-anchored replay, so log retention below it is
-            # fine and a restarted batch-0 replays bit-identically
-            snap = int(start.get("snap", ev))
-            _schema, _parts, live = _replay(self.table, snap)
-            files.extend(sorted(live.items()))
-            sv = snap
-        for v in range(sv + 1, ev + 1):
-            files.extend(_tail_adds(self.table, v))
+        su, si = self._norm(start)
+        eu, ei = self._norm(end)
+        # a replayed batch (restart recovery) teaches the admission
+        # reference where the checkpoint already reached
+        self._observe(su, si)
+        # REGRESSION GUARD (capped mode only, same rationale as
+        # queuesource.py): an end below the checkpointed start means a
+        # capped plan from a stale reference — the failure mode is
+        # SILENT duplicate delivery once the regressed end lands in the
+        # offset log, so fail loudly instead.
+        if (self.max_files is not None or self.max_bytes is not None) and (
+            eu,
+            ei,
+        ) < (su, si):
+            raise RuntimeError(
+                f"deltastream offset regression: planned end "
+                f"({eu},{ei}) < checkpointed start ({su},{si}) — "
+                f"refusing to plan a batch whose offset would "
+                f"re-deliver consumed files"
+            )
+        files: list[tuple[str, dict, int]] = []
+        for unit in range(su, eu + 1):
+            lo = si if unit == su else 0
+            if unit == eu and ei == 0:
+                break  # end-boundary unit contributes nothing (it may
+                #        not even exist yet under the legacy spelling)
+            fl = self._unit_files(unit)
+            hi = ei if unit == eu else len(fl)
+            if hi > lo:
+                files.extend(fl[lo:hi])
+        self._observe(eu, ei)
         return [
             DeltaFilePartition(self.table, rel, pvals)
-            for rel, pvals in files
+            for rel, pvals, _size in files
         ] or [DeltaFilePartition(self.table, "", {})]
 
     def read(self, partition: DeltaFilePartition):
@@ -189,7 +452,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # log retention belongs to the table owner
+        # log retention belongs to the table owner; the committed offset
+        # still feeds the admission reference (restart path)
+        self._observe(*self._norm(end))
 
 
 class DeltaStreamDataSource(DataSource):
@@ -208,8 +473,9 @@ class DeltaStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> DeltaStreamReader:
         opts = dict(self.options)
-        _schema_json, parts, _live = _replay(self.options["path"], None)
+        schema_json, parts, _live = _replay(self.options["path"], None)
         opts["partcols"] = json.dumps(parts)
+        opts["schemajson"] = schema_json
         return DeltaStreamReader(opts, schema)
 
 
@@ -218,7 +484,12 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(DeltaStreamDataSource)
 
 
-def read_delta_stream(spark: SparkSession, table: str):
-    """Convenience: register + open the stream on ``table``."""
+def read_delta_stream(spark: SparkSession, table: str, **options):
+    """Convenience: register + open the stream on ``table``. Keyword
+    options pass through (maxFilesPerTrigger, maxBytesPerTrigger,
+    ignoreDeletes, ignoreChanges, skipChangeCommits)."""
     register_delta_stream_source(spark)
-    return spark.readStream.format("deltastream").load(table)
+    reader = spark.readStream.format("deltastream")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(table)

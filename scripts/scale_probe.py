@@ -37,6 +37,19 @@ QUERIES = [
     "doc_tfidf_topterms",
 ]
 
+# Streaming + storage headliners (VERDICT r8 item #6): self-fixturing
+# queries whose cost claim is "per-batch / per-commit constants plus a
+# ~linear data term" — probed against 3× events/customer/orders so a
+# super-linear term (unbounded micro-batch, compaction rewriting
+# everything, retention scanning data) would show as ≥9×.
+STREAM_QUERIES = [
+    "stream_queue_capped",
+    "stream_delta_source",
+    "stream_delta_capped",
+    "store_compact_retention",
+    "store_delta_optimize",
+]
+
 REPLICAS = 3
 
 
@@ -87,11 +100,27 @@ def build_scaled(spark, src: str, dst: str) -> None:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
-    # the TPC-H-ish tables ride along unscaled (none of the probed
-    # queries read them, but the loaders expect the files to exist)
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-    ).split():
+    # the streaming/storage probes consume events/customer/orders:
+    # replicate those with disjoint key ranges so queue lines, snapshot
+    # rows and store partition contents really are 3× (event times /
+    # order dates keep their distribution — partition counts stay
+    # realistic, per-partition volume grows)
+    for t, key in (("events", "event_id"), ("customer", "c_custkey"),
+                   ("orders", "o_orderkey")):
+        base_df = spark.read.parquet(f"{src}/{t}.parquet")
+        n = base_df.count()
+        parts = [
+            base_df.withColumn(key, F.col(key) + F.lit(r * n))
+            for r in range(REPLICAS)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+    # the remaining TPC-H-ish tables ride along unscaled (none of the
+    # probed queries read them, but the loaders expect the files)
+    for t in "region nation supplier part lineitem".split():
         spark.read.parquet(f"{src}/{t}.parquet").limit(1).write.mode(
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
@@ -113,6 +142,12 @@ def main() -> None:
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scaled = os.environ.get("SCALE_PROBE_DIR", "/tmp/scale_probe_sf03")
+    group = sys.argv[1] if len(sys.argv) > 1 else "dedup"
+    queries = {
+        "dedup": QUERIES,
+        "streaming": STREAM_QUERIES,
+        "all": QUERIES + STREAM_QUERIES,
+    }[group]
     spark = get_session(app_name="scale_probe")
 
     if not os.path.exists(f"{scaled}/embeddings.parquet"):
@@ -129,7 +164,7 @@ def main() -> None:
         pass
 
     rows = []
-    for name in QUERIES:
+    for name in queries:
         fn = REGISTRY[name].fn
         t1 = time_query(fn, spark, base)
         t3 = time_query(fn, spark, scaled)

@@ -562,6 +562,11 @@ class TestQueryServer:
         assert [r["trade_id"] for r in rows] == tbl.column("trade_id").to_pylist()
 
     def test_fetch_arrow_empty_scan(self, server):
+        """An empty scan returns a TYPED zero-row table (the server
+        always frames the schema in one zero-row IPC stream), so callers
+        handing results to pandas/duckdb keep the column types."""
+        import pyarrow as pa
+
         from marketdb_spark.server import fetch_arrow
 
         tbl = fetch_arrow(server.host, server.port, {
@@ -569,6 +574,9 @@ class TestQueryServer:
             "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
         })
         assert tbl.num_rows == 0
+        assert "trade_id" in tbl.schema.names
+        assert pa.types.is_int64(tbl.schema.field("trade_id").type)
+        assert pa.types.is_decimal(tbl.schema.field("price").type)
 
     def test_concurrent_clients(self, server):
         """Two cursors pulled from interleaved connections must not leak
@@ -1337,6 +1345,154 @@ class TestDeltaLogEdges:
             == 2
         )
         assert read_delta(spark, t).count() == 4
+
+    def test_multipart_checkpoint_write_roundtrip(self, spark, tmp_path):
+        """write_checkpoint above part_size emits a complete classic
+        multi-part set (``n.checkpoint.o.p.parquet`` + ``parts`` in the
+        pointer) that the reader replays — including across clean_log
+        retention — and a crash-sim partial set of a NEWER attempt is
+        ignored in favor of the complete older checkpoint."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            _checkpoints,
+            clean_log,
+            last_txn_version,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+            "k long, v string, p string",
+        )
+        write_delta(df, t, partition_by=["p"])
+        write_delta(
+            spark.createDataFrame(
+                [(4, "d", "y")], "k long, v string, p string"
+            ),
+            t,
+            txn_app="loader",
+            txn_version=9,
+        )
+        # rows = protocol + metaData + ≥4 adds + txn ≥ 7 → 4 parts at 2
+        assert write_checkpoint(t, part_size=2) == 1
+        parts = _checkpoints(t)[1]
+        assert len(parts) >= 3
+        assert all(".checkpoint.00000000" in p for p in parts)
+        with open(os.path.join(t, "_delta_log", "_last_checkpoint")) as f:
+            pointer = json.load(f)
+        assert pointer["parts"] == len(parts)
+        assert pointer["size"] == sum(
+            pq.read_table(p).num_rows for p in parts
+        )
+        clean_log(t)  # JSON ≤ 1 gone: the multi-part set must carry all
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "y"),
+        ]
+        assert last_txn_version(t, "loader") == 9
+        # crash-sim: a NEWER checkpoint attempt that died mid-set (part 1
+        # of 3 only, pointer never moved) is ignored; v1 still anchors
+        write_delta(
+            spark.createDataFrame(
+                [(5, "e", "x")], "k long, v string, p string"
+            ),
+            t,
+        )
+        src = parts[0]
+        pq.write_table(
+            pq.read_table(src),
+            os.path.join(
+                t,
+                "_delta_log",
+                f"{2:020d}.checkpoint.{1:010d}.{3:010d}.parquet",
+            ),
+        )
+        assert sorted(_checkpoints(t)) == [1]  # incomplete set skipped
+        assert read_delta(spark, t).count() == 5
+
+    def test_default_part_size_keeps_small_tables_single_part(
+        self, spark, tmp_path
+    ):
+        from marketdb_spark.sources.deltalog import (
+            _checkpoints,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        write_checkpoint(t)
+        [only] = _checkpoints(t)[0]
+        assert only.endswith(f"{0:020d}.checkpoint.parquet")
+
+    def test_delta_features_introspection(self, spark, tmp_path):
+        """delta_features reports the unsupported-feature list WITHOUT
+        raising, so users learn a table is unconsumable before starting
+        a stream: a hand-crafted log with deletion vectors + column
+        mapping lists both; our own tables come back streamable."""
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            write_delta,
+        )
+
+        t = str(tmp_path / "ours")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        feats = delta_features(t)
+        assert feats["streamable"] and feats["unsupported"] == []
+        assert feats["protocol"]["minReaderVersion"] == 1
+
+        alien = str(tmp_path / "alien")
+        log = os.path.join(alien, "_delta_log")
+        os.makedirs(log)
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.createDataFrame(
+                        [(1,)], "k long"
+                    ).schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.enableDeletionVectors": "true",
+                    },
+                }
+            },
+        ]
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        feats = delta_features(alien)
+        assert not feats["streamable"]
+        assert "minReaderVersion=3" in feats["unsupported"]
+        assert "readerFeature:deletionVectors" in feats["unsupported"]
+        assert "readerFeature:columnMapping" in feats["unsupported"]
+        assert "columnMapping:name" in feats["unsupported"]
+        assert "deletionVectors" in feats["unsupported"]
+        # v2/UUID checkpoint layout: reported, not raised
+        open(
+            os.path.join(
+                log,
+                f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json",
+            ),
+            "w",
+        ).close()
+        feats = delta_features(alien)
+        assert any(
+            u.startswith("checkpointLayout:") for u in feats["unsupported"]
+        )
 
     def test_writer_retries_lost_race(self, spark, tmp_path):
         """Another writer grabs the next version between the log listing

@@ -1495,3 +1495,394 @@ class TestDeltaStreamSource:
         r = DeltaStreamReader({"path": t, "partcols": "[]"}, None)
         with pytest.raises(ValueError, match="log retention"):
             r.partitions({"v": 0}, {"v": 2})  # tail through cleaned range
+
+
+class TestDeltaStreamAdmission:
+    """maxFilesPerTrigger / maxBytesPerTrigger admission control on the
+    deltastream source (delta-spark parity; ≙ the reference consumer's
+    buffered(1000) bound, MarketLoader.scala:49,55) plus the
+    change-commit opt-ins and mid-stream upgrade gates. Same test shape
+    as TestSpoolQueueSource's maxLinesPerTrigger coverage: direct-drive
+    planner tests for determinism, then real engine runs."""
+
+    def _mk_table(self, spark, t, n_commits=3, files_per_commit=2):
+        """A table of `n_commits` appends, each staged as
+        `files_per_commit` data files; rows carry (k, commit)."""
+        from marketdb_spark.sources.deltalog import write_delta
+
+        for c in range(n_commits):
+            df = spark.createDataFrame(
+                [(c * 10 + i, c) for i in range(files_per_commit * 2)],
+                "k long, commit long",
+            ).repartition(files_per_commit)
+            write_delta(df, t)
+
+    @staticmethod
+    def _drive(reader, rounds=50):
+        """Drive the planner loop by hand (no engine): returns the list
+        of per-trigger (offset, files) advances until caught up."""
+        init = None
+        batches = []
+        prev = None
+        for _ in range(rounds):
+            end = reader.latestOffset()
+            if init is None:
+                init = reader.initialOffset()
+                prev = init
+            if end == prev:
+                break
+            parts = reader.partitions(prev, end)
+            rels = [p.rel for p in parts if p.rel]
+            batches.append((end, rels))
+            reader.commit(end)
+            prev = end
+        return init, batches
+
+    def test_capped_slices_concatenate_to_uncapped(self, spark, tmp_path):
+        """The chain of capped batches (snapshot drained in slices, then
+        the tail) is exactly the uncapped file sequence: no loss, no
+        dup, no reorder, every batch ≤ the cap."""
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=2)
+        uncapped = DeltaStreamReader({"path": t, "partcols": "[]"}, None)
+        u_init = uncapped.initialOffset()
+        u_end = uncapped.latestOffset()
+        u_rels = [p.rel for p in uncapped.partitions(u_init, u_end) if p.rel]
+        assert len(u_rels) == 6  # the full live set as one batch
+
+        capped = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "2"}, None
+        )
+        _init, batches = self._drive(capped)
+        assert [len(rels) for _off, rels in batches] == [2, 2, 2]
+        assert [r for _off, rels in batches for r in rels] == u_rels
+        # caught up: latestOffset is stable (engine plans no empty batch)
+        assert capped.latestOffset() == batches[-1][0]
+
+    def test_capped_snapshot_then_capped_tail(self, spark, tmp_path):
+        """New commits after the capped snapshot drain keep draining
+        under the same cap, rolling across commit boundaries."""
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=2, files_per_commit=2)
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "3"}, None
+        )
+        _init, batches = self._drive(r)
+        assert [len(rels) for _off, rels in batches] == [3, 1]
+        # two more appends land: the tail drains capped too
+        self._mk_table(spark, t, n_commits=2, files_per_commit=2)
+        more = []
+        prev = batches[-1][0]
+        for _ in range(10):
+            end = r.latestOffset()
+            if end == prev:
+                break
+            rels = [p.rel for p in r.partitions(prev, end) if p.rel]
+            more.append(rels)
+            prev = end
+        assert [len(rels) for rels in more] == [3, 1]
+        # union across all batches = the live set, exactly once
+        from marketdb_spark.sources.deltalog import delta_live_files
+
+        seen = [r2 for _o, rels in batches for r2 in rels] + [
+            r2 for rels in more for r2 in rels
+        ]
+        assert sorted(seen) == delta_live_files(t)
+        assert len(seen) == len(set(seen))
+
+    def test_restart_mid_snapshot_no_dup_no_loss(self, spark, tmp_path):
+        """A fresh reader that replays a mid-snapshot checkpointed batch
+        (the engine's restart path: partitions(start, end) before the
+        first latestOffset) resumes from the checkpoint, stays capped,
+        and the union across both readers is exactly-once."""
+        from marketdb_spark.sources.deltalog import delta_live_files
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=2)
+        r1 = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "2"}, None
+        )
+        o1 = r1.latestOffset()
+        init = r1.initialOffset()
+        first = [p.rel for p in r1.partitions(init, o1) if p.rel]
+        assert len(first) == 2 and o1["i"] == 2  # mid-snapshot offset
+
+        r2 = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "2"}, None
+        )
+        replay = [p.rel for p in r2.partitions(init, o1) if p.rel]
+        assert replay == first  # bit-identical replay of the capped batch
+        rest = []
+        prev = o1
+        for _ in range(10):
+            end = r2.latestOffset()
+            if end == prev:
+                break
+            rels = [p.rel for p in r2.partitions(prev, end) if p.rel]
+            assert len(rels) <= 2
+            rest.append(rels)
+            prev = end
+        seen = first + [r3 for rels in rest for r3 in rels]
+        assert sorted(seen) == delta_live_files(t)
+        assert len(seen) == len(set(seen))
+
+    def test_capped_restart_from_legacy_offsets_no_reemit(
+        self, spark, tmp_path
+    ):
+        """A stream that ran UNCAPPED (legacy whole-version offsets in
+        its checkpoint) restarted WITH a cap must treat everything after
+        the checkpoint as tail commits — a bug that re-pinned the
+        snapshot at the current latest version would re-emit the entire
+        live set as 'batch 0' duplicates."""
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=1)
+        # uncapped run consumed snapshot(v2 live set) — checkpoint {"v": 2}
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "2"}, None
+        )
+        # engine restart path: replay the last batch first — a TAIL
+        # batch, so neither offset carries the snapshot pin
+        replay = r.partitions({"v": 1}, {"v": 2})
+        assert len([p for p in replay if p.rel]) == 1
+        # two new commits land (versions 3, 4) — the LAST one shares its
+        # number with _latest_version, the exact collision the fix guards
+        self._mk_table(spark, t, n_commits=2, files_per_commit=1)
+        end = r.latestOffset()
+        rels = [p.rel for p in r.partitions({"v": 2}, end) if p.rel]
+        assert len(rels) == 2  # the two new adds ONLY, never a re-snapshot
+
+    def test_offset_regression_guard(self, spark, tmp_path):
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=1, files_per_commit=2)
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxFilesPerTrigger": "1"}, None
+        )
+        with pytest.raises(RuntimeError, match="regression"):
+            r.partitions({"v": 0, "i": 2, "snap": 0}, {"v": 0, "i": 1, "snap": 0})
+
+    def test_byte_cap_soft_and_never_stalls(self, spark, tmp_path):
+        """maxBytesPerTrigger is a soft budget: batches stop once the
+        running total crosses the cap, and a cap smaller than any single
+        file still admits one file per trigger (no stall)."""
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=2, files_per_commit=2)
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "maxBytesPerTrigger": "1"}, None
+        )
+        _init, batches = self._drive(r)
+        # 1-byte budget < any parquet file → exactly one file per trigger
+        assert [len(rels) for _off, rels in batches] == [1, 1, 1, 1]
+
+    def test_capped_end_to_end_bit_identical(self, spark, tmp_path):
+        """Through a real streaming query: a capped drain commits ≥3
+        bounded micro-batches whose union equals the batch read."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=2)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_stream(spark, t, maxFilesPerTrigger=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == want
+        import os
+
+        commits = [
+            f
+            for f in os.listdir(os.path.join(ckpt, "commits"))
+            if not f.startswith(".")
+        ]
+        assert len(commits) >= 3  # 6 files / 2 per trigger
+
+    def test_ignore_deletes_skips_delete_only_commits(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            _commit_path,
+            _tail_adds,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            t,
+            partition_by=["v"],
+        )
+        victim = delta_live_files(t)[0]
+        with open(_commit_path(t, 1), "w") as f:  # delete-only commit
+            f.write(
+                json.dumps(
+                    {"remove": {"path": victim, "dataChange": True}}
+                )
+                + "\n"
+            )
+        with pytest.raises(ValueError, match="ignoreDeletes"):
+            _tail_adds(t, 1)
+        assert _tail_adds(t, 1, mode="ignoreDeletes") == []
+        assert _tail_adds(t, 1, mode="skipChangeCommits") == []
+
+    def test_ignore_changes_reemits_rewrites(self, spark, tmp_path):
+        """An overwrite mid-stream raises by default, drains with
+        ignoreChanges (re-emitting the rewritten files: at-least-once),
+        and is skipped entirely with skipChangeCommits."""
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import _tail_adds
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        write_delta(
+            spark.createDataFrame([(9, "z")], schema), t, mode="overwrite"
+        )
+        with pytest.raises(ValueError, match="ignoreChanges"):
+            _tail_adds(t, 1)
+        readd = _tail_adds(t, 1, mode="ignoreChanges")
+        assert readd and all(r[0].endswith(".parquet") for r in readd)
+        assert _tail_adds(t, 1, mode="skipChangeCommits") == []
+        # ignoreDeletes is NOT enough for a rewrite commit
+        with pytest.raises(ValueError, match="ignoreChanges"):
+            _tail_adds(t, 1, mode="ignoreDeletes")
+
+    def test_ignore_changes_end_to_end(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+
+        def drain():
+            q = (
+                read_delta_stream(spark, t, ignoreChanges=True)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        write_delta(
+            spark.createDataFrame([(9, "z")], schema), t, mode="overwrite"
+        )
+        drain()  # does not raise; re-emits the overwrite's file
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == [(1, "a"), (9, "z")]
+
+    def test_mid_stream_protocol_upgrade_raises(self, spark, tmp_path):
+        """An external writer bumping minReaderVersion (deletion vectors
+        / column mapping) mid-tail must raise, not emit deleted rows."""
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import (
+            _commit_path,
+            _tail_adds,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        with open(_commit_path(t, 1), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["deletionVectors"],
+                        }
+                    }
+                )
+                + "\n"
+            )
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": "x.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with pytest.raises(ValueError, match="minReaderVersion"):
+            _tail_adds(t, 1)
+
+    def test_mid_stream_schema_change_raises(self, spark, tmp_path):
+        """A metaData action with a different schema (or partitioning)
+        mid-tail raises against the pinned schema; an identical
+        re-emitted metaData passes."""
+        from pyspark.sql import types as T
+
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import (
+            _commit_path,
+            _tail_adds,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        write_delta(df, t)
+        pinned = df.schema.json()
+        changed = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("w", T.StringType())]
+        ).json()
+
+        def _write_meta(version, schema_json, parts):
+            with open(_commit_path(t, version), "w") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "metaData": {
+                                "id": "m",
+                                "format": {"provider": "parquet", "options": {}},
+                                "schemaString": schema_json,
+                                "partitionColumns": parts,
+                                "configuration": {},
+                            }
+                        }
+                    )
+                    + "\n"
+                )
+
+        _write_meta(1, changed, [])
+        with pytest.raises(ValueError, match="schema or partitioning"):
+            _tail_adds(t, 1, pinned_schema_json=pinned, pinned_parts=[])
+        # no pin (direct construction) → conservative raise
+        with pytest.raises(ValueError, match="pinned schema"):
+            _tail_adds(t, 1)
+        # identical re-emission is benign
+        _write_meta(2, pinned, [])
+        assert _tail_adds(t, 2, pinned_schema_json=pinned, pinned_parts=[]) == []
+        # partitioning change alone also raises
+        _write_meta(3, pinned, ["v"])
+        with pytest.raises(ValueError, match="schema or partitioning"):
+            _tail_adds(t, 3, pinned_schema_json=pinned, pinned_parts=[])
