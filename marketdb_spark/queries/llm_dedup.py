@@ -601,17 +601,24 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_edit_distance",
     oracle="""
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id,
              lower(substring(text, 1, 64)) AS p,
-             substring(text, 1, 8) AS blk_pre,
+             substring(text, 1, 8) AS pre8,
+             substring(text, 1, 32) AS pre32,
              len(text) // 64 AS blk_len
       FROM documents
+    ),
+    t AS (
+      SELECT doc_id, p, blk_len,
+             CASE WHEN COUNT(*) OVER (PARTITION BY pre8, blk_len) <= 256
+                  THEN '8|' || pre8 ELSE '32|' || pre32 END AS blk
+      FROM t0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
     FROM t a JOIN t b
-      ON a.blk_pre = b.blk_pre AND a.blk_len = b.blk_len
+      ON a.blk = b.blk AND a.blk_len = b.blk_len
      AND a.doc_id < b.doc_id
     WHERE levenshtein(a.p, b.p) <= 8
     """,
@@ -619,31 +626,57 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection — the dedup modality for
     short-text/title corpora where token shingles are too coarse:
-    documents BLOCKED by (8-char prefix, length band), then exact
-    levenshtein over the 64-char normalized prefix verified ONLY within
-    blocks — the same candidates-then-verify shape as the LSH pipeline
-    (never all-pairs; the equi-join on the block key is the manufactured
-    hash key). Integer distances — engine-exact. At 100 TB: block sizes
-    are content-bounded; a skewed block (common boilerplate prefix)
-    degrades to the LSH path, which stays the general near-dup
-    mechanism."""
+    documents BLOCKED by (prefix, length band), then exact levenshtein
+    over the 64-char normalized prefix verified ONLY within blocks —
+    the same candidates-then-verify shape as the LSH pipeline (never
+    all-pairs; the equi-join on the block key is the manufactured hash
+    key). Integer distances — engine-exact.
+
+    The block key is FREQUENCY-REFINED (standard record-linkage
+    blocking): blocks over 256 docs on the 8-char key — shared
+    boilerplate prefixes, e.g. an HTML doctype or a copied header — are
+    re-keyed by the 32-char prefix, so a boilerplate family spreads
+    across fine blocks instead of degenerating to all-pairs within one.
+    The round-9 sf0.3 sweep caught exactly this: a corpus where every
+    replica shared an 8-char prefix ran 19.6× at 3× data (block² blowup,
+    max block 701); refined, the max block is 4 and the query is back to
+    ~linear. The refinement never fires on the base corpora (max block
+    29 at sf0.1), so results there are unchanged; the trade is the
+    standard blocking-recall one, now also applied between chars 9-32
+    for oversized blocks only. Deeper boilerplate (shared 32+ chars)
+    stays documented scope: those corpora belong to the shingle/LSH
+    path, which is content-position-insensitive."""
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.lower(F.substring("text", 1, 64)).alias("p"),
-        F.substring("text", 1, 8).alias("blk_pre"),
-        (F.length("text") / F.lit(64)).cast("long").alias("blk_len"),
+    w = W.partitionBy("pre8", "blk_len")
+    t = (
+        docs.select(
+            "doc_id",
+            F.lower(F.substring("text", 1, 64)).alias("p"),
+            F.substring("text", 1, 8).alias("pre8"),
+            F.substring("text", 1, 32).alias("pre32"),
+            (F.length("text") / F.lit(64)).cast("long").alias("blk_len"),
+        )
+        .withColumn(
+            "blk",
+            F.when(
+                F.count("*").over(w) <= 256,
+                F.concat(F.lit("8|"), F.col("pre8")),
+            ).otherwise(F.concat(F.lit("32|"), F.col("pre32"))),
+        )
+        .select("doc_id", "p", "blk", "blk_len")
     )
     a = t.select(
         F.col("doc_id").alias("id_a"),
         F.col("p").alias("p_a"),
-        "blk_pre",
+        "blk",
         "blk_len",
     )
     b = t.select(
         F.col("doc_id").alias("id_b"),
         F.col("p").alias("p_b"),
-        F.col("blk_pre").alias("blk_pre_b"),
+        F.col("blk").alias("blk_b"),
         F.col("blk_len").alias("blk_len_b"),
     )
     # BOUNDED levenshtein: with the threshold, Spark computes only the
@@ -655,7 +688,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("blk_pre") == F.col("blk_pre_b"))
+            (F.col("blk") == F.col("blk_b"))
             & (F.col("blk_len") == F.col("blk_len_b"))
             & (F.col("id_a") < F.col("id_b")),
         )

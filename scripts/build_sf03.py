@@ -44,6 +44,21 @@ def main() -> None:
     n_ord = count("orders")
     n_ev = count("events")
 
+    def write_flat(df, t: str) -> None:
+        """Write as ONE flat file `<dst>/<t>.parquet`, matching the
+        testdata layout — queries using pathGlobFilter-style file
+        streaming (e.g. _events_stream) expect a leaf FILE named
+        `<t>.parquet`, not a directory table."""
+        import shutil
+
+        stage = f"{dst}/_stage_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = [
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
+        os.replace(os.path.join(stage, part), f"{dst}/{t}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+
     def replicate(t: str, shifts: dict[str, int], perturb=None) -> None:
         base = spark.read.parquet(f"{src}/{t}.parquet")
         parts = []
@@ -57,13 +72,11 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        write_flat(out, t)
         print(f"# {t}: x{REPLICAS}", file=sys.stderr)
 
     for t in ("region", "nation"):
-        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
-            "overwrite"
-        ).parquet(f"{dst}/{t}.parquet")
+        write_flat(spark.read.parquet(f"{src}/{t}.parquet"), t)
 
     replicate("customer", {"c_custkey": n_cust})
     replicate("supplier", {"s_suppkey": n_supp})
