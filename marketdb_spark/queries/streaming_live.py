@@ -1309,3 +1309,94 @@ def stream_delta_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_changes",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def stream_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE lifecycle through the Delta streaming source with
+    ``ignoreChanges`` (delta-spark parity, streaming/deltasource.py),
+    under the hash gate: half the orders land as the base table
+    (updated_at=1), a first drain consumes the snapshot, then the table
+    is OVERWRITTEN with the full corrected state (updated_at=2) — by
+    default the mid-stream rewrite RAISES (exactly-once cannot survive
+    an overwrite); with ignoreChanges the second drain re-emits the
+    rewritten files, delivering the new state AT-LEAST-ONCE exactly as
+    delta-spark documents. The downstream is therefore written the way
+    every real ignoreChanges consumer must be: LAST-WRITE-WINS dedup per
+    key on the data's own version column before aggregating. Result is
+    hash-equal to the plain orders aggregate iff (a) the re-emission
+    actually happened (duplicate pre-dedup rows for carried-over keys,
+    asserted inline) and (b) the dedup resolved every key to the newest
+    state. Scale: the dedup is one window over (key) — the standard
+    at-least-once-to-exactly-once downstream contract, same shape at
+    any volume."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import write_delta
+    from marketdb_spark.streaming.deltasource import read_delta_stream
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="stream_delta_chg_")
+    t, out, ckpt = f"{work}/tbl", f"{work}/out", f"{work}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        base = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "updated_at", F.lit(1).cast("long")
+        )
+        write_delta(base.coalesce(1), t)
+
+        def drain():
+            q = (
+                read_delta_stream(spark, t, ignoreChanges=True)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()  # initial snapshot: the base half
+        n_snap = spark.read.parquet(out).count()
+        corrected = orders.withColumn("updated_at", F.lit(2).cast("long"))
+        write_delta(corrected.coalesce(1), t, mode="overwrite")
+        drain()  # re-emits the overwrite's files (at-least-once)
+        got = spark.read.parquet(out)
+        assert got.count() > n_snap  # the rewrite really re-emitted
+        # carried-over keys arrived twice (old + new state): that's the
+        # at-least-once contract the downstream dedup exists to resolve
+        dup_keys = (
+            got.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        )
+        assert dup_keys.limit(1).count() == 1
+        rn = F.row_number().over(
+            W.partitionBy("o_orderkey").orderBy(F.col("updated_at").desc())
+        )
+        latest = got.withColumn("rn", rn).filter(F.col("rn") == 1)
+        agg = latest.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", scale=6).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return agg.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
