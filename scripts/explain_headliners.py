@@ -51,8 +51,9 @@ HEADLINERS = {
     "two-phase count (O(1) state per corpus size); probes join the "
     "broadcast cell table",
     "dedup_edit_distance": "levenshtein verify restricted to "
-    "(prefix, length-band) blocks — equi-join on the block key, never "
-    "all-pairs",
+    "(prefix, length-band) blocks — equi-join on the frequency-refined "
+    "block key (oversized boilerplate blocks re-key by the longer "
+    "prefix via one window count), never all-pairs",
     "dedup_incremental_exact": "batch fingerprints anti-join the store on "
     "the uniform md5 key — O(batch) increment, no corpus rescan",
     "store_zorder_scan": "scan of the z-order clustered store: filters on "
