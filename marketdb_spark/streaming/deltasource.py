@@ -454,7 +454,13 @@ class DeltaStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # log retention belongs to the table owner; the committed offset
         # still feeds the admission reference (restart path)
-        self._observe(*self._norm(end))
+        eu, ei = self._norm(end)
+        self._observe(eu, ei)
+        # drop file-list cache entries for fully-committed units — a
+        # long-running tail otherwise accumulates one entry per commit
+        # ever consumed (recomputable from the log if a replay needs one)
+        for u in [u for u in self._units if u < eu]:
+            del self._units[u]
 
 
 class DeltaStreamDataSource(DataSource):
