@@ -839,3 +839,165 @@ def store_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_replacewhere",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_replacewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDEMPOTENT-BACKFILL pattern under the hash gate
+    (write_delta's ``replace_where`` — delta-spark's replaceWhere in its
+    partition-predicate form): orders land in a priority-partitioned
+    Delta table with ONE partition's prices corrupted (+1000), then a
+    replaceWhere overwrite rewrites exactly that partition with the
+    correct rows — the other partitions' data files are asserted
+    UNTOUCHED (same file names before and after, the property that makes
+    daily backfills affordable on a 100 TB table), and the read-back
+    aggregate is hash-equal to the plain orders oracle iff the scoped
+    overwrite removed all the bad rows and nothing else. Time travel to
+    the corrupted version keeps working (asserted inline)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bad_priority = "1-URGENT"
+    work = tempfile.mkdtemp(prefix="store_rw_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        corrupted = orders.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == bad_priority,
+                F.col("o_totalprice") + 1000,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        write_delta(corrupted, t, partition_by=["o_orderpriority"])
+        untouched_before = [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith(f"o_orderpriority={bad_priority}")
+        ]
+        write_delta(
+            orders.filter(F.col("o_orderpriority") == bad_priority),
+            t,
+            mode="overwrite",
+            replace_where={"o_orderpriority": [bad_priority]},
+        )
+        untouched_after = [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith(f"o_orderpriority={bad_priority}")
+        ]
+        assert untouched_before == untouched_after  # backfill scope held
+        assert read_delta(spark, t, version=0).count() == orders.count()
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_convert",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA under the hash gate (deltalog.convert_to_delta —
+    delta-spark's in-place migration): orders are written as a PLAIN
+    Hive-partitioned parquet directory (no log), converted in place —
+    commit 0 claims the existing files as adds, ZERO data movement
+    (file set identity asserted inline) — then read through the Delta
+    reader and aggregated, hash-equal to the raw orders iff the claimed
+    live set is exactly the original data. The converted table keeps
+    living: an append lands as version 1 and time travel back to the
+    conversion still reads the original rows (asserted inline). This is
+    the migration path for a multi-TB historical store: transactional
+    management without a rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        convert_to_delta,
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_convert_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders.write.partitionBy("o_orderpriority").parquet(t)
+        plain_files = sorted(
+            os.path.join(d, f)
+            for d, _dirs, fs in os.walk(t)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert convert_to_delta(
+            spark, t, partition_by=["o_orderpriority"]
+        ) == 0
+        claimed = sorted(os.path.join(t, rel) for rel in delta_live_files(t))
+        assert claimed == plain_files  # zero data movement
+        n0 = orders.count()
+        # partition discovery orders the converted schema data-cols-first,
+        # partition-cols-last; appenders adopt the TABLE's column order
+        tbl_cols = read_delta(spark, t).columns
+        write_delta(
+            orders.limit(0).select(*tbl_cols),
+            t,  # empty append: proves the table is live
+        )
+        assert read_delta(spark, t, version=0).count() == n0
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -532,6 +532,7 @@ def write_delta(
     txn_app: str | None = None,
     txn_version: int | None = None,
     partition_by: list[str] | None = None,
+    replace_where: dict[str, list] | None = None,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -558,7 +559,18 @@ def write_delta(
     micro-batch redelivered after a restart — is skipped and returns
     None instead of double-committing. This is exactly how delta-spark's
     streaming sink achieves exactly-once on top of at-least-once
-    micro-batch replay."""
+    micro-batch replay.
+
+    ``replace_where`` (delta-spark's ``replaceWhere`` option, in its
+    original partition-predicate form): with ``mode="overwrite"``, a
+    ``{partition_col: [values...]}`` predicate scopes the overwrite to
+    MATCHING PARTITIONS ONLY — the idempotent-backfill pattern (rewrite
+    one day/market, leave the rest of a 100 TB table untouched). The
+    removes are exactly the live files whose partitionValues match
+    every predicate column, and delta's data constraint is enforced:
+    a staged file whose partitionValues fall OUTSIDE the predicate
+    raises (and unstages) instead of silently widening the overwrite.
+    A replace_where overwrite can never change the schema."""
     import uuid as _uuid
 
     from urllib.parse import quote
@@ -569,6 +581,18 @@ def write_delta(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be set together")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
+    # normalize predicate values to the protocol's string form (None = a
+    # null partition value)
+    rw = (
+        {
+            c: {None if v is None else str(v) for v in vs}
+            for c, vs in replace_where.items()
+        }
+        if replace_where is not None
+        else None
+    )
     if txn_app is not None:
         seen = last_txn_version(table, txn_app)
         if seen is not None and seen >= txn_version:
@@ -585,11 +609,34 @@ def write_delta(
         if existing_parts is not None
         else list(partition_by or [])
     )
+    if rw is not None:
+        bad = [c for c in rw if c not in part_cols]
+        if bad:
+            raise ValueError(
+                f"replace_where columns {bad} are not partition columns "
+                f"of {table} (partitioned by {part_cols})"
+            )
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     staged = _stage_files(df, table, part_cols)
     names = [rel for rel, _ in staged]
 
     try:
+        if rw is not None:
+            # delta's replaceWhere data constraint: every staged file
+            # must fall INSIDE the predicate, or the "overwrite" would
+            # silently touch partitions the caller did not scope
+            for rel, pvals in staged:
+                off = {
+                    c: pvals.get(c)
+                    for c in rw
+                    if pvals.get(c) not in rw[c]
+                }
+                if off:
+                    raise ValueError(
+                        f"replace_where violation: staged file carries "
+                        f"partition values {off} outside the predicate "
+                        f"{replace_where}"
+                    )
         for _ in range(5):
             entries = _log_entries(table)
             # Checkpoints count as table state too: a checkpoint-only
@@ -620,7 +667,18 @@ def write_delta(
                 # string compare would reject every schema-identical
                 # append to a foreign table.
                 table_schema = T.StructType.fromJson(json.loads(schema_json))
-                if mode == "overwrite":
+                if mode == "overwrite" and rw is not None:
+                    if table_schema != df.schema:
+                        raise ValueError(
+                            f"replace_where overwrite cannot change the "
+                            f"schema of {table}"
+                        )
+                    removes = sorted(
+                        p
+                        for p, pv in live.items()
+                        if all(pv.get(c) in vals for c, vals in rw.items())
+                    )
+                elif mode == "overwrite":
                     removes = sorted(live)
                     need_meta = table_schema != df.schema
                 elif table_schema != df.schema:
@@ -693,6 +751,106 @@ def write_delta(
         # commit: the staged files were never referenced — remove them
         _unstage(table, names)
         raise
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT TO DELTA (delta-spark's ``CONVERT TO DELTA parquet.`...```):
+    build a transaction log over an EXISTING plain-parquet directory IN
+    PLACE — no data movement, commit 0 simply claims every parquet file
+    already there as an ``add``. This is the migration path a real user
+    takes to put a multi-TB historical store under transactional
+    management without rewriting it: after conversion the directory
+    reads via read_delta (time travel from v0 on), appends via
+    write_delta, streams via deltastream, checkpoints and vacuums like
+    any other table.
+
+    ``partition_by`` names the Hive-style layout columns
+    (``col=value`` directories); partitionValues are decoded from the
+    directory components per file (percent-decoding,
+    ``__HIVE_DEFAULT_PARTITION__`` → null) and become authoritative per
+    the protocol. The schema is Spark's own inference over the
+    directory (partition-column types included). Converting a directory
+    that is already a Delta table raises; a layout that does not carry
+    the declared partition columns raises before any commit."""
+    from urllib.parse import quote, unquote
+
+    import uuid as _uuid
+
+    from marketdb_spark.sources.snapshot import CommitConflict
+
+    if os.path.isdir(os.path.join(table, _LOG)) and (
+        _log_entries(table) or _checkpoint_versions(table)
+    ):
+        raise ValueError(f"{table} is already a Delta table")
+    part_cols = list(partition_by or [])
+    df = spark.read.parquet(table)
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not present in the inferred "
+            f"schema of {table} ({df.columns})"
+        )
+    adds: list[tuple[str, dict]] = []
+    for root, dirs, files in sorted(os.walk(table)):
+        dirs[:] = sorted(
+            d for d in dirs if d != _LOG and not d.startswith("_staging_")
+        )
+        rel_dir = os.path.relpath(root, table)
+        pvals: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for comp in rel_dir.split(os.sep):
+                col, sep, raw = comp.partition("=")
+                if not sep:
+                    continue
+                pvals[col] = None if raw == _HIVE_NULL else unquote(raw)
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            if set(pvals) != set(part_cols):
+                raise ValueError(
+                    f"layout {rel_dir!r} does not carry the partition "
+                    f"columns {part_cols} — pass the directory's actual "
+                    f"partitioning"
+                )
+            rel = f if rel_dir == "." else os.path.join(rel_dir, f)
+            adds.append((rel, {c: pvals[c] for c in part_cols}))
+    if not adds:
+        raise ValueError(f"no parquet files under {table} to convert")
+    os.makedirs(os.path.join(table, _LOG), exist_ok=True)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": _uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+            }
+        },
+    ]
+    for rel, pvals in adds:
+        full = os.path.join(table, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel, safe="/="),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    if not _publish_commit(table, 0, actions):
+        raise CommitConflict(
+            f"another writer created {table}'s version 0 during conversion"
+        )
+    return 0
 
 
 def write_checkpoint(

@@ -1346,6 +1346,146 @@ class TestDeltaLogEdges:
         )
         assert read_delta(spark, t).count() == 4
 
+    def test_replace_where_partition_overwrite(self, spark, tmp_path):
+        """replaceWhere (partition-predicate form): the overwrite removes
+        ONLY matching partitions' files, the staged data must fall inside
+        the predicate, other partitions' files survive byte-identical,
+        and pre-overwrite versions still time-travel."""
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], schema
+            ),
+            t,
+            partition_by=["p"],
+        )
+        survivors = [
+            f for f in delta_live_files(t) if f.startswith("p=y")
+        ]
+        # backfill partition x only
+        write_delta(
+            spark.createDataFrame([(9, "z", "x"), (8, "w", "x")], schema),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(2, "b", "y"), (8, "w", "x"), (9, "z", "x")]
+        # partition y's files were never touched
+        assert [
+            f for f in delta_live_files(t) if f.startswith("p=y")
+        ] == survivors
+        # time travel to v0 still shows the original x rows
+        v0 = sorted(tuple(r) for r in read_delta(spark, t, version=0).collect())
+        assert v0 == [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")]
+
+    def test_replace_where_guards(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+        )
+        n_files = len(delta_live_files(t))
+        # data outside the predicate: raises, nothing committed, staged
+        # files unstaged (live set unchanged)
+        with pytest.raises(ValueError, match="replace_where violation"):
+            write_delta(
+                spark.createDataFrame([(9, "z", "y")], schema),
+                t,
+                mode="overwrite",
+                replace_where={"p": ["x"]},
+            )
+        assert len(delta_live_files(t)) == n_files
+        with pytest.raises(ValueError, match="requires mode"):
+            write_delta(
+                spark.createDataFrame([(9, "z", "x")], schema),
+                t,
+                replace_where={"p": ["x"]},
+            )
+        with pytest.raises(ValueError, match="not partition columns"):
+            write_delta(
+                spark.createDataFrame([(9, "z", "x")], schema),
+                t,
+                mode="overwrite",
+                replace_where={"v": ["z"]},
+            )
+        # schema change under replace_where: refused
+        with pytest.raises(ValueError, match="cannot change the schema"):
+            write_delta(
+                spark.createDataFrame(
+                    [(9, "z", "zz", "x")], "k long, v string, w string, p string"
+                ),
+                t,
+                mode="overwrite",
+                replace_where={"p": ["x"]},
+            )
+
+    def test_convert_to_delta_in_place(self, spark, tmp_path):
+        """CONVERT TO DELTA over an existing Hive-partitioned parquet
+        directory: no data movement (same files become the v0 adds),
+        read_delta equals the original read, the converted table accepts
+        appends/optimize like any other, and converting twice raises."""
+        from marketdb_spark.sources.deltalog import (
+            convert_to_delta,
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "plain")
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+            "k long, v string, p string",
+        )
+        df.write.partitionBy("p").parquet(t)
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(t).collect()
+        )
+        assert convert_to_delta(spark, t, partition_by=["p"]) == 0
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == before
+        # the adds are the pre-existing files, not rewrites
+        assert all("part-" in f for f in delta_live_files(t))
+        with pytest.raises(ValueError, match="already a Delta table"):
+            convert_to_delta(spark, t, partition_by=["p"])
+        # table life continues: append + read back
+        write_delta(
+            spark.createDataFrame([(4, "d", "y")], "k long, v string, p string"),
+            t,
+        )
+        assert read_delta(spark, t).count() == 4
+
+    def test_convert_to_delta_unpartitioned_and_guards(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            convert_to_delta,
+            read_delta,
+        )
+
+        t = str(tmp_path / "plain")
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")\
+            .write.parquet(t)
+        convert_to_delta(spark, t)
+        assert read_delta(spark, t).count() == 2
+        # declared partitioning that the layout doesn't carry: refused
+        t2 = str(tmp_path / "plain2")
+        spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(t2)
+        with pytest.raises(ValueError, match="not present|does not carry"):
+            convert_to_delta(spark, t2, partition_by=["p"])
+
     def test_multipart_checkpoint_write_roundtrip(self, spark, tmp_path):
         """write_checkpoint above part_size emits a complete classic
         multi-part set (``n.checkpoint.o.p.parquet`` + ``parts`` in the
