@@ -1685,6 +1685,38 @@ class TestDeltaStreamAdmission:
         # 1-byte budget < any parquet file → exactly one file per trigger
         assert [len(rels) for _off, rels in batches] == [1, 1, 1, 1]
 
+    def test_combined_caps_tighter_one_binds(self, spark, tmp_path):
+        """maxFilesPerTrigger and maxBytesPerTrigger compose: whichever
+        budget exhausts first bounds the batch."""
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=2, files_per_commit=2)
+        # byte budget of 1 binds before the 10-file budget
+        r = DeltaStreamReader(
+            {
+                "path": t,
+                "partcols": "[]",
+                "maxFilesPerTrigger": "10",
+                "maxBytesPerTrigger": "1",
+            },
+            None,
+        )
+        _init, batches = self._drive(r)
+        assert [len(rels) for _off, rels in batches] == [1, 1, 1, 1]
+        # file budget of 1 binds before a huge byte budget
+        r2 = DeltaStreamReader(
+            {
+                "path": t,
+                "partcols": "[]",
+                "maxFilesPerTrigger": "1",
+                "maxBytesPerTrigger": str(10**9),
+            },
+            None,
+        )
+        _init2, batches2 = self._drive(r2)
+        assert [len(rels) for _off, rels in batches2] == [1, 1, 1, 1]
+
     def test_capped_end_to_end_bit_identical(self, spark, tmp_path):
         """Through a real streaming query: a capped drain commits ≥3
         bounded micro-batches whose union equals the batch read."""
