@@ -430,3 +430,190 @@ class TestSpoolQueueOffsetAlgebra:
             for part in r.partitions(a, b):
                 ranged.extend(r.read(part))
         assert ranged == all_rows
+
+
+# ---------------------------------------------------------------------------
+# Deltastream admission planner (streaming/deltasource.py): pure-Python
+# property sweep — the log is virtualized (no disk, no Spark), so hypothesis
+# can hammer layouts the fixture tests can't: empty commits at every
+# position, caps landing exactly on unit boundaries, restarts at arbitrary
+# batch boundaries, growth after catch-up. The virtual table models an
+# append-only log of commits 0..n-1: the snapshot unit's file list is the
+# LIVE SET at the pinned version (union of commits ≤ snap, sorted by path,
+# exactly what _replay returns), tail units are their commit's adds.
+# ---------------------------------------------------------------------------
+
+from unittest.mock import patch  # noqa: E402
+
+from marketdb_spark.streaming import deltasource as _ds  # noqa: E402
+
+FAST = settings(max_examples=60, deadline=None)
+
+
+def _fake_reader(commits, caps):
+    """A DeltaStreamReader over a virtual append-only log. `commits` is
+    {version: [(rel, pvals, size)...]} — the adds of each commit."""
+    opts = {"path": "<fake>", "partcols": "[]"}
+    opts.update(caps)
+    r = _ds.DeltaStreamReader(opts, None)
+
+    def files(unit):
+        if r._snap is not None and unit == r._snap:
+            return sorted(
+                f for u in commits if u <= unit for f in commits[u]
+            )
+        return commits[unit]
+
+    r._unit_files = files  # type: ignore[method-assign]
+    return r
+
+
+def _drive(r, latest, prev=None, rounds=200):
+    """Run the trigger loop until the offset stabilizes; returns
+    (initial_offset_if_fresh, [(end_offset, [rels...]), ...])."""
+    init = None
+    batches = []
+    with patch.object(_ds, "_latest_version", lambda table: latest):
+        for _ in range(rounds):
+            end = r.latestOffset()
+            if prev is None:
+                init = r.initialOffset()
+                prev = init
+            if end == prev:
+                break
+            rels = [p.rel for p in r.partitions(prev, end) if p.rel]
+            batches.append((end, rels))
+            r.commit(end)
+            prev = end
+        else:  # pragma: no cover - planner failed to converge
+            raise AssertionError("planner did not stabilize")
+    return init, batches
+
+
+@st.composite
+def _layouts(draw):
+    sizes = draw(st.lists(st.integers(0, 4), min_size=1, max_size=8))
+    commits = {
+        u: [
+            (f"u{u}f{i}", {}, draw(st.integers(1, 20)))
+            for i in range(n)
+        ]
+        for u, n in enumerate(sizes)
+    }
+    # the stream starts while the table is at `snap`; commits above it
+    # land afterwards and are consumed as the tail
+    snap = draw(st.integers(0, len(sizes) - 1))
+    caps = draw(
+        st.one_of(
+            st.fixed_dictionaries({"maxFilesPerTrigger": st.integers(1, 7).map(str)}),
+            st.fixed_dictionaries({"maxBytesPerTrigger": st.integers(1, 50).map(str)}),
+            st.fixed_dictionaries(
+                {
+                    "maxFilesPerTrigger": st.integers(1, 7).map(str),
+                    "maxBytesPerTrigger": st.integers(1, 50).map(str),
+                }
+            ),
+        )
+    )
+    return commits, snap, caps
+
+
+def _expected(commits, snap):
+    snapshot = sorted(
+        rel for u in commits if u <= snap for rel, _p, _s in commits[u]
+    )
+    tail = [
+        rel
+        for u in sorted(commits)
+        if u > snap
+        for rel, _p, _s in commits[u]
+    ]
+    return snapshot + tail
+
+
+def _full_drive(commits, snap, caps):
+    """Fresh query pinned while the table is at `snap`, then the rest of
+    the log lands: returns (reader, init, batches) across both phases."""
+    r = _fake_reader(commits, caps)
+    init, batches = _drive(r, snap)  # snapshot (+ nothing above it yet)
+    latest = max(commits)
+    if latest > snap:
+        prev = batches[-1][0] if batches else init
+        _i, more = _drive(r, latest, prev=prev)
+        batches = batches + more
+    return r, init, batches
+
+
+@FAST
+@given(layout=_layouts())
+def test_capped_planner_no_loss_no_dup_bounded(layout):
+    """For ANY log layout, snapshot boundary and cap combination: the
+    capped batch chain is exactly snapshot-live-set + tail adds (no
+    loss, no dup, no reorder), every batch respects the binding budget
+    (bytes are a soft cap: all but the last admitted file fit), offsets
+    are monotone, and the drained planner is stable."""
+    commits, snap, caps = layout
+    sizes = {rel: s for u in commits.values() for rel, _p, s in u}
+    r, init, batches = _full_drive(commits, snap, caps)
+    got = [rel for _off, rels in batches for rel in rels]
+    assert got == _expected(commits, snap)
+    assert len(got) == len(set(got))
+    max_files = int(caps.get("maxFilesPerTrigger", 0)) or None
+    max_bytes = int(caps.get("maxBytesPerTrigger", 0)) or None
+    offs = [r._norm(off) for off, _rels in batches]
+    assert offs == sorted(offs)
+    for _off, rels in batches:
+        if max_files is not None:
+            assert len(rels) <= max_files
+        if max_bytes is not None and rels:
+            assert sum(sizes[x] for x in rels[:-1]) < max_bytes
+    # caught up: the next latestOffset is bit-identical (no empty batches)
+    with patch.object(_ds, "_latest_version", lambda table: max(commits)):
+        assert not batches or r.latestOffset() == batches[-1][0]
+
+
+@FAST
+@given(layout=_layouts(), data=st.data())
+def test_capped_planner_restart_and_growth(layout, data):
+    """Restart at ANY batch boundary: a fresh planner that replays the
+    checkpointed batch resumes exactly (no re-snapshot, no skipped
+    files), and commits landing after catch-up drain as capped tail
+    batches."""
+    commits, snap, caps = layout
+    latest = max(commits)
+    r, init, batches = _full_drive(commits, snap, caps)
+    if batches:
+        k = data.draw(st.integers(0, len(batches) - 1), label="restart_at")
+        start = init if k == 0 else batches[k - 1][0]
+        r2 = _fake_reader(commits, caps)
+        with patch.object(_ds, "_latest_version", lambda table: latest):
+            replay = [
+                p.rel for p in r2.partitions(start, batches[k][0]) if p.rel
+            ]
+        assert replay == batches[k][1]  # bit-identical replay
+        _i2, rest = _drive(r2, latest, prev=batches[k][0])
+        tail_expect = [rel for _o, rels in batches[k + 1 :] for rel in rels]
+        assert [rel for _o, rels in rest for rel in rels] == tail_expect
+    # growth: new commits above latest drain capped, nothing re-emitted
+    grown = dict(commits)
+    for j in range(data.draw(st.integers(1, 3), label="new_units")):
+        u = max(grown) + 1
+        grown[u] = [
+            (f"u{u}f{i}", {}, 5)
+            for i in range(data.draw(st.integers(0, 3), label=f"sz{j}"))
+        ]
+    def grown_files(unit, _c=grown):
+        if r._snap is not None and unit == r._snap:
+            return sorted(f for u in _c if u <= unit for f in _c[u])
+        return _c[unit]
+
+    r._unit_files = grown_files  # type: ignore[method-assign]
+    prev = batches[-1][0] if batches else init
+    _i3, more = _drive(r, max(grown), prev=prev)
+    new_expect = [
+        rel
+        for u in sorted(grown)
+        if u > latest
+        for rel, _p, _s in grown[u]
+    ]
+    assert [rel for _o, rels in more for rel in rels] == new_expect
