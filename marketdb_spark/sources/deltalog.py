@@ -499,6 +499,70 @@ def _unstage(table: str, rels: list[str]) -> None:
         _remove_data_file(table, rel)
 
 
+def _commit_info(operation: str, params: dict | None = None) -> dict:
+    """A ``commitInfo`` action (PROTOCOL.md: free-form provenance, first
+    line of the commit by convention). Readers must ignore it — ours do —
+    but it is what DESCRIBE HISTORY surfaces, so the writer records the
+    operation name and its parameters the way delta-spark does."""
+    import time as _time
+
+    return {
+        "commitInfo": {
+            "timestamp": int(_time.time() * 1000),
+            "operation": operation,
+            "operationParameters": {
+                k: json.dumps(v) if not isinstance(v, str) else v
+                for k, v in (params or {}).items()
+            },
+            "engineInfo": "marketdb-spark",
+        }
+    }
+
+
+def delta_history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one row per RETAINED JSON commit, newest
+    first — ``{"version", "timestamp", "operation",
+    "operationParameters", "n_adds", "n_removes", "data_change"}``.
+    Operation comes from the commit's ``commitInfo`` when present (our
+    writer and delta-spark both record one); foreign commits without it
+    report operation None with the action counts still filled. Commits
+    expired by clean_log are gone here too — same retention caveat as
+    delta-spark's own DESCRIBE HISTORY."""
+    out: list[dict] = []
+    for v, path in _log_entries(table):
+        info: dict = {}
+        n_adds = n_removes = 0
+        data_change = False
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                elif "add" in action:
+                    n_adds += 1
+                    data_change |= action["add"].get("dataChange") is not False
+                elif "remove" in action:
+                    n_removes += 1
+                    data_change |= (
+                        action["remove"].get("dataChange") is not False
+                    )
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+                "operationParameters": info.get("operationParameters") or {},
+                "n_adds": n_adds,
+                "n_removes": n_removes,
+                "data_change": data_change,
+            }
+        )
+    return out[::-1]
+
+
 def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
     """Atomic commit publish shared by every Delta writer here: the full
     commit body goes to a temp name (fsynced), then ``os.link`` claims
@@ -694,7 +758,17 @@ def write_delta(
                     _unstage(table, names)  # staged files are orphans now
                     return None
             version = latest + 1
-            actions = []
+            op = (
+                "WRITE"
+                if mode == "append"
+                else ("REPLACE WHERE" if rw is not None else "OVERWRITE")
+            )
+            actions = [
+                _commit_info(
+                    op,
+                    {"mode": mode, **({"predicate": replace_where} if rw is not None else {})},
+                )
+            ]
             if txn_app is not None:
                 actions.append(
                     {"txn": {"appId": txn_app, "version": int(txn_version)}}
@@ -822,6 +896,7 @@ def convert_to_delta(
         raise ValueError(f"no parquet files under {table} to convert")
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     actions: list[dict] = [
+        _commit_info("CONVERT", {"partitionBy": part_cols}),
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {
             "metaData": {
@@ -1194,7 +1269,7 @@ def optimize_delta(
                     f"removed rewritten files or changed the partitioning"
                 )
             version = latest + 1
-            actions = []
+            actions = [_commit_info("OPTIMIZE", {"auto": False})]
             for p in removes:
                 actions.append(
                     {

@@ -1469,6 +1469,64 @@ class TestDeltaLogEdges:
         )
         assert read_delta(spark, t).count() == 4
 
+    def test_delta_history_operations(self, spark, tmp_path):
+        """DESCRIBE HISTORY analog: every writer commit records its
+        operation via commitInfo (WRITE/OVERWRITE/REPLACE WHERE/OPTIMIZE/
+        CONVERT), newest first with action counts; foreign commits
+        without commitInfo still report counts with operation None."""
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            optimize_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+        )
+        write_delta(spark.createDataFrame([(3, "c", "x")], schema), t)
+        assert optimize_delta(spark, t) is not None
+        write_delta(
+            spark.createDataFrame([(9, "z", "x")], schema),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        h = delta_history(t)
+        assert [r["version"] for r in h] == [3, 2, 1, 0]
+        assert [r["operation"] for r in h] == [
+            "REPLACE WHERE", "OPTIMIZE", "WRITE", "WRITE",
+        ]
+        assert h[1]["data_change"] is False  # compaction rearranges only
+        assert h[0]["n_removes"] >= 1 and h[0]["n_adds"] >= 1
+        assert all(isinstance(r["timestamp"], int) for r in h)
+        # a foreign commit without commitInfo: counts only
+        import json as _json
+
+        with open(
+            os.path.join(t, "_delta_log", f"{4:020d}.json"), "w"
+        ) as f:
+            f.write(_json.dumps({"add": {"path": "x.parquet",
+                                         "partitionValues": {"p": "x"},
+                                         "dataChange": True}}) + "\n")
+        h = delta_history(t)
+        assert h[0]["operation"] is None and h[0]["n_adds"] == 1
+
+    def test_convert_records_convert_operation(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            convert_to_delta,
+            delta_history,
+        )
+
+        t = str(tmp_path / "plain")
+        spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(t)
+        convert_to_delta(spark, t)
+        [row] = delta_history(t)
+        assert row["operation"] == "CONVERT" and row["version"] == 0
+
     def test_convert_to_delta_unpartitioned_and_guards(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
             convert_to_delta,
