@@ -360,16 +360,67 @@ def delta_features(table: str) -> dict:
     }
 
 
+def delta_version_at(table: str, timestamp_ms: int) -> int:
+    """``timestampAsOf`` resolution (delta-spark semantics): the greatest
+    RETAINED version whose commit timestamp is ≤ ``timestamp_ms``. A
+    commit's timestamp is its commitInfo.timestamp when recorded (our
+    writer and delta-spark both record one), else the commit file's
+    mtime. A timestamp before the earliest retained commit raises —
+    clean_log'd history cannot be time-traveled to, exactly as in
+    delta-spark; a timestamp past the newest commit resolves to it."""
+    stamps: list[tuple[int, int]] = []
+    for v, path in _log_entries(table):
+        ts = None
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                info = json.loads(line).get("commitInfo")
+                if info is not None and info.get("timestamp") is not None:
+                    ts = int(info["timestamp"])
+                break  # commitInfo is the first line by convention
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        stamps.append((v, ts))
+    if not stamps:
+        raise ValueError(f"no retained JSON commits in {table}/{_LOG}")
+    # timestamps are made monotone the way delta-spark does (a later
+    # commit with an earlier clock reading inherits its predecessor's)
+    mono: list[tuple[int, int]] = []
+    for v, ts in stamps:
+        if mono and ts < mono[-1][1]:
+            ts = mono[-1][1]
+        mono.append((v, ts))
+    eligible = [v for v, ts in mono if ts <= timestamp_ms]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates the earliest retained "
+            f"commit of {table} (version {mono[0][0]} at {mono[0][1]})"
+        )
+    return eligible[-1]
+
+
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table as of ``version`` (default: latest) — time
-    travel included, no delta-spark jar. Partitioned tables get their
+    travel included, no delta-spark jar. ``timestamp_ms`` is the
+    ``timestampAsOf`` form (exclusive with ``version``): the snapshot at
+    the greatest version committed at-or-before that wall-clock instant
+    (delta_version_at). Partitioned tables get their
     partition columns re-attached from each add-action's
     partitionValues (authoritative per the protocol), cast to the
     table-schema type; file groups sharing partitionValues are read
     together so the plan stays one parquet scan per distinct partition
     tuple."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = delta_version_at(table, timestamp_ms)
     schema_json, part_cols, live = _replay(table, version)
     schema = T.StructType.fromJson(json.loads(schema_json))
     if not live:

@@ -1515,6 +1515,52 @@ class TestDeltaLogEdges:
         h = delta_history(t)
         assert h[0]["operation"] is None and h[0]["n_adds"] == 1
 
+    def test_time_travel_by_timestamp(self, spark, tmp_path):
+        """timestampAsOf: reads resolve to the greatest version committed
+        at-or-before the instant; before-history raises, after-latest
+        reads latest; clock regressions are made monotone."""
+        import time
+
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_version_at,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        time.sleep(0.05)
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        time.sleep(0.05)
+        write_delta(spark.createDataFrame([(3, "c")], schema), t)
+        h = {r["version"]: r["timestamp"] for r in delta_history(t)}
+        assert delta_version_at(t, h[0]) == 0
+        assert delta_version_at(t, h[1] - 1) == 0
+        assert delta_version_at(t, h[2] + 10_000) == 2
+        got = sorted(
+            tuple(r)
+            for r in read_delta(spark, t, timestamp_ms=h[1]).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+        with pytest.raises(ValueError, match="predates"):
+            delta_version_at(t, h[0] - 10_000)
+        with pytest.raises(ValueError, match="not both"):
+            read_delta(spark, t, version=1, timestamp_ms=h[1])
+        # a foreign commit whose clock ran backwards: monotone repair
+        import json as _json
+
+        p3 = os.path.join(t, "_delta_log", f"{3:020d}.json")
+        with open(p3, "w") as f:
+            f.write(
+                _json.dumps(
+                    {"commitInfo": {"timestamp": h[0] - 999, "operation": "X"}}
+                )
+                + "\n"
+            )
+        assert delta_version_at(t, h[2]) == 3  # v3 inherits v2's stamp
+
     def test_convert_records_convert_operation(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
             convert_to_delta,
