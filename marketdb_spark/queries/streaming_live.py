@@ -1400,3 +1400,65 @@ def stream_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_starting",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def stream_delta_starting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-STYLE CONSUMPTION under the hash gate: the Delta streaming
+    source's ``startingVersion`` (streaming/deltasource.py, delta-spark
+    parity) skips the initial snapshot and tails the log FROM a version.
+    Orders land as two appends — the even keys at version 0, the odd
+    keys at version 1 — and a stream opened with startingVersion=1 must
+    deliver EXACTLY the second commit's rows: hash-equal to the odd-key
+    oracle iff version 0 was never snapshotted in and version 1 arrived
+    exactly once. Scale: this is how a downstream keeps consuming a
+    100 TB table from 'now' (or from a known watermark version) without
+    paying the historical snapshot."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import write_delta
+    from marketdb_spark.streaming.deltasource import read_delta_stream
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="stream_delta_start_")
+    t, out, ckpt = f"{work}/tbl", f"{work}/out", f"{work}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1), t)
+        write_delta(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1), t)
+        q = (
+            read_delta_stream(spark, t, startingVersion=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        agg = got.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", scale=6).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return agg.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

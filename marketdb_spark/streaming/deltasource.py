@@ -57,6 +57,13 @@ a ``metaData`` action whose schema or partitionColumns differ from the
 stream's pinned schema raises instead of misreading new files with the
 old schema.
 
+``startingVersion`` / ``startingTimestamp`` (delta-spark parity) skip
+the initial snapshot entirely and tail the log FROM that version — the
+CDC-style entry point; startingTimestamp resolves to the FIRST commit
+at-or-after the instant (the opposite bound from batch read_delta's
+timestampAsOf), and a startingVersion past the table's next version is
+rejected at open.
+
 Tail replay needs the JSON commits ABOVE the initial snapshot to still
 exist — clean_log'ing them out from under a running stream raises at
 the next plan rather than dropping data (documented scope; the initial
@@ -151,6 +158,37 @@ def _parse_flag(options: dict, camel: str) -> bool:
     if str(raw).lower() in ("false", "0"):
         return False
     raise ValueError(f"{camel} must be true|false, got {raw!r}")
+
+
+def _first_version_at_or_after(table: str, timestamp_ms: int) -> int:
+    """startingTimestamp resolution (delta-spark semantics): the SMALLEST
+    retained version whose (monotone-repaired) commit timestamp is
+    ≥ ``timestamp_ms``; past the newest commit raises, exactly as
+    delta-spark does."""
+    from marketdb_spark.sources.deltalog import delta_history
+
+    rows = delta_history(table)[::-1]  # oldest first
+    if not rows:
+        raise ValueError(f"no retained JSON commits in {table}/{_LOG}")
+    mono = []
+    last = None
+    for r in rows:
+        ts = r["timestamp"]
+        if ts is None:
+            ts = int(
+                os.path.getmtime(_commit_path(table, r["version"])) * 1000
+            )
+        if last is not None and ts < last:
+            ts = last
+        last = ts
+        mono.append((r["version"], ts))
+    for v, ts in mono:
+        if ts >= timestamp_ms:
+            return v
+    raise ValueError(
+        f"startingTimestamp {timestamp_ms} is after the newest commit of "
+        f"{table} (version {mono[-1][0]} at {mono[-1][1]})"
+    )
 
 
 def _parse_mode(options: dict) -> str:
@@ -275,6 +313,37 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.mode = _parse_mode(options)
         self.max_files = _parse_cap(options, "maxFilesPerTrigger")
         self.max_bytes = _parse_cap(options, "maxBytesPerTrigger")
+        # startingVersion / startingTimestamp (delta-spark parity): tail
+        # the log FROM a version, no initial snapshot — the CDC-style
+        # entry point. startingTimestamp resolves to the FIRST commit
+        # at-or-after the instant (delta-spark's semantics — note this
+        # is the opposite bound from batch timestampAsOf).
+        sv = options.get("startingversion", options.get("startingVersion"))
+        st_ = options.get(
+            "startingtimestamp", options.get("startingTimestamp")
+        )
+        if sv is not None and st_ is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if st_ is not None:
+            sv = _first_version_at_or_after(self.table, int(st_))
+        self._start_version = int(sv) if sv is not None else None
+        if self._start_version is not None:
+            if self._start_version < 0:
+                raise ValueError(
+                    f"startingVersion must be >= 0, got "
+                    f"{self._start_version}"
+                )
+            nxt = _latest_version(self.table) + 1
+            if self._start_version > nxt:
+                # same validation as delta-spark: anything past the NEXT
+                # version would silently re-emit earlier commits once the
+                # log catches up through an offset regression
+                raise ValueError(
+                    f"startingVersion {self._start_version} is beyond the "
+                    f"table's next version {nxt}"
+                )
         # Driver-side caches/state (the reader instance lives for the
         # query; all best-effort — recomputed deterministically from the
         # immutable log after a restart):
@@ -345,6 +414,13 @@ class DeltaStreamReader(DataSourceStreamReader):
     # -- engine surface -------------------------------------------------
 
     def initialOffset(self) -> dict:
+        if self._start_version is not None:
+            # startingVersion: no snapshot — the stream is the tail of
+            # commits ≥ start, spelled in the extended offset form
+            # ("units before start fully consumed, zero files of it")
+            if self._planned is None:
+                self._planned = (self._start_version, 0)
+            return {"v": self._start_version, "i": 0}
         # snapshot boundary pinned at stream start: everything live at
         # `snap` arrives as batch 0 (or capped slices of it), the tail
         # starts above it
@@ -368,9 +444,12 @@ class DeltaStreamReader(DataSourceStreamReader):
             # and pinning `latest` then would make _unit_files misread a
             # future tail commit numbered `latest` as a full snapshot —
             # re-emitting the live set.
-            if self._snap is None:
-                self._snap = latest
-            self._planned = (self._snap, 0)
+            if self._start_version is not None:
+                self._planned = (self._start_version, 0)  # no snapshot
+            else:
+                if self._snap is None:
+                    self._snap = latest
+                self._planned = (self._snap, 0)
         unit, idx = self._planned
         files_left = self.max_files if self.max_files is not None else float("inf")
         bytes_left = self.max_bytes if self.max_bytes is not None else float("inf")
@@ -388,7 +467,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 break  # budget exhausted exactly at a unit boundary
             unit, idx = unit + 1, 0  # roll into the next commit
         self._planned = (unit, idx)
-        return {"v": unit, "i": idx, "snap": self._snap}
+        off = {"v": unit, "i": idx}
+        if self._snap is not None:
+            off["snap"] = self._snap
+        return off
 
     def partitions(self, start: dict, end: dict):
         su, si = self._norm(start)

@@ -1685,6 +1685,92 @@ class TestDeltaStreamAdmission:
         # 1-byte budget < any parquet file → exactly one file per trigger
         assert [len(rels) for _off, rels in batches] == [1, 1, 1, 1]
 
+    def test_starting_version_tails_without_snapshot(self, spark, tmp_path):
+        """startingVersion=N skips the snapshot and tails commits ≥ N —
+        CDC-style consumption; works uncapped and capped, and
+        startingVersion = next version gives an empty stream until the
+        next commit lands."""
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=2)  # v0-2
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "startingVersion": "1"}, None
+        )
+        init = r.initialOffset()
+        end = r.latestOffset()
+        rels = [p.rel for p in r.partitions(init, end) if p.rel]
+        assert len(rels) == 4  # commits 1 and 2 only, never v0's files
+        capped = DeltaStreamReader(
+            {
+                "path": t,
+                "partcols": "[]",
+                "startingVersion": "1",
+                "maxFilesPerTrigger": "3",
+            },
+            None,
+        )
+        _i, batches = self._drive(capped)
+        assert [len(x) for _o, x in batches] == [3, 1]
+        assert [x for _o, xs in batches for x in xs] == rels
+        # next-version start: empty until a commit lands
+        nxt = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "startingVersion": "3"}, None
+        )
+        assert [
+            p.rel for p in nxt.partitions(nxt.initialOffset(), {"v": 2}) if p.rel
+        ] == []
+        self._mk_table(spark, t, n_commits=1, files_per_commit=1)  # v3
+        got = [p.rel for p in nxt.partitions({"v": 2}, {"v": 3}) if p.rel]
+        assert len(got) == 1
+        # beyond next version: rejected at open
+        with pytest.raises(ValueError, match="beyond"):
+            DeltaStreamReader(
+                {"path": t, "partcols": "[]", "startingVersion": "9"}, None
+            )
+        with pytest.raises(ValueError, match="not both"):
+            DeltaStreamReader(
+                {
+                    "path": t,
+                    "partcols": "[]",
+                    "startingVersion": "1",
+                    "startingTimestamp": "1",
+                },
+                None,
+            )
+
+    def test_starting_timestamp_resolves_first_at_or_after(
+        self, spark, tmp_path
+    ):
+        import time
+
+        from marketdb_spark.sources.deltalog import delta_history, write_delta
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        time.sleep(0.05)
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        h = {r["version"]: r["timestamp"] for r in delta_history(t)}
+        r = DeltaStreamReader(
+            {"path": t, "partcols": "[]", "startingTimestamp": str(h[1])},
+            None,
+        )
+        assert r._start_version == 1
+        r0 = DeltaStreamReader(
+            {"path": t, "partcols": "[]",
+             "startingTimestamp": str(h[0] - 10_000)},
+            None,
+        )
+        assert r0._start_version == 0
+        with pytest.raises(ValueError, match="after the newest"):
+            DeltaStreamReader(
+                {"path": t, "partcols": "[]",
+                 "startingTimestamp": str(h[1] + 10_000)},
+                None,
+            )
+
     def test_combined_caps_tighter_one_binds(self, spark, tmp_path):
         """maxFilesPerTrigger and maxBytesPerTrigger compose: whichever
         budget exhausts first bounds the batch."""
