@@ -189,9 +189,7 @@ _DRIVER_CHECKED_R07 = frozenset({
 
 # Round-8 window (CORRECTNESS_r08.json): all 50 green — including all five
 # queries added in round 8 (stream_queue_capped, stream_delta_source,
-# text_pmi_collocations, store_delta_optimize, store_delta_vacuum). With
-# this batch rotated to the back, queries added in round 9 sort alone at
-# the front of the driver's check window.
+# text_pmi_collocations, store_delta_optimize, store_delta_vacuum).
 _DRIVER_CHECKED_R08 = frozenset({
     "agg_approx_distinct", "agg_approx_quantiles", "agg_bitmap_distinct",
     "agg_collect_ordered", "agg_countmin_freq", "agg_cube_flags",
@@ -215,10 +213,37 @@ _DRIVER_CHECKED_R08 = frozenset({
     "text_pmi_collocations", "unpivot_lineitem_metrics",
 })
 
+# Round-9 window (CORRECTNESS_r09.json): all 50 green — including all five
+# queries added in round 9 (stream_delta_capped, stream_delta_changes,
+# stream_delta_starting, store_delta_replacewhere, store_delta_convert).
+# With this batch rotated to the back, queries added in round 10 sort alone
+# at the front of the driver's check window, followed by the oldest
+# never-rechecked names.
+_DRIVER_CHECKED_R09 = frozenset({
+    "agg_approx_distinct", "agg_approx_quantiles", "agg_bitmap_distinct",
+    "agg_collect_ordered", "agg_countmin_freq", "agg_cube_flags",
+    "agg_distinct_counts", "agg_funnel_conversion", "agg_grouping_sets",
+    "agg_heavy_hitters", "agg_minmax_by", "agg_mode_deterministic",
+    "agg_quantiles", "agg_rollup_priority", "agg_salted_two_phase",
+    "agg_sketch_merge", "join_anti_inactive_customers", "join_correlated_avg",
+    "join_dim_enrich", "join_full_outer_nation_profile",
+    "join_interval_overlap", "join_nonequi_balance_pairs",
+    "join_outer_nation_customers", "join_point_in_interval", "join_range_cells",
+    "join_range_price_band", "join_runtime_filter", "join_salted_hotkey",
+    "join_semi_active_customers", "q01_pricing_summary", "q02_best_supplier",
+    "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q07_volume_shipping", "q08_market_share",
+    "q09_product_profit", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_customer_distribution", "q18_large_orders",
+    "sample_reservoir_det", "sample_stratified_det", "store_delta_convert",
+    "store_delta_replacewhere", "stream_delta_capped", "stream_delta_changes",
+    "stream_delta_starting", "unpivot_lineitem_metrics",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
-    | _DRIVER_CHECKED_R08
+    | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
