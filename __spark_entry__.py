@@ -266,13 +266,33 @@ def _rank(name: str) -> int:
     return len(_PRIORITY_PREFIXES)
 
 
+# Per-round windows in check order, oldest first: a proven query's freshness
+# is the LAST round that re-checked it. Ordering proven names by that round
+# (ascending) makes the driver's 50-entry window re-attest the stalest rows
+# each round instead of re-checking the registry prefix forever.
+_ROUND_WINDOWS = (
+    _DRIVER_CHECKED_R01_R02, _DRIVER_CHECKED_R03, _DRIVER_CHECKED_R04,
+    _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
+    _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09,
+)
+
+
+def _last_checked(name: str) -> int:
+    for i in range(len(_ROUND_WINDOWS) - 1, -1, -1):
+        if name in _ROUND_WINDOWS[i]:
+            return i
+    return -1
+
+
 def _ordered_names() -> list[str]:
     """Never-driver-checked queries first (priority prefixes, then registry
-    order), proven ones last."""
+    order), then proven ones stalest-first (oldest last-checked round)."""
     names = list(REGISTRY)
     unchecked = [n for n in names if n not in _DRIVER_CHECKED]
     unchecked.sort(key=lambda n: (_rank(n), names.index(n)))
-    return unchecked + [n for n in names if n in _DRIVER_CHECKED]
+    checked = [n for n in names if n in _DRIVER_CHECKED]
+    checked.sort(key=lambda n: (_last_checked(n), names.index(n)))
+    return unchecked + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
