@@ -367,7 +367,13 @@ def delta_version_at(table: str, timestamp_ms: int) -> int:
     writer and delta-spark both record one), else the commit file's
     mtime. A timestamp before the earliest retained commit raises —
     clean_log'd history cannot be time-traveled to, exactly as in
-    delta-spark; a timestamp past the newest commit resolves to it."""
+    delta-spark; a timestamp past the newest commit resolves to it.
+
+    The WHOLE commit is scanned for commitInfo, not just the first line:
+    commitInfo-first is only a convention, and a foreign writer that
+    puts it elsewhere must resolve to the same per-version timestamp
+    here as in delta_history and the streaming startingTimestamp path
+    (which both scan all lines)."""
     stamps: list[tuple[int, int]] = []
     for v, path in _log_entries(table):
         ts = None
@@ -379,7 +385,7 @@ def delta_version_at(table: str, timestamp_ms: int) -> int:
                 info = json.loads(line).get("commitInfo")
                 if info is not None and info.get("timestamp") is not None:
                     ts = int(info["timestamp"])
-                break  # commitInfo is the first line by convention
+                    break
         if ts is None:
             ts = int(os.path.getmtime(path) * 1000)
         stamps.append((v, ts))
@@ -554,7 +560,11 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
     """A ``commitInfo`` action (PROTOCOL.md: free-form provenance, first
     line of the commit by convention). Readers must ignore it — ours do —
     but it is what DESCRIBE HISTORY surfaces, so the writer records the
-    operation name and its parameters the way delta-spark does."""
+    operation name and its parameters the way delta-spark does.
+    Parameters serialize with a ``default=str`` fallback: provenance
+    recording must never reject a value (e.g. a datetime.date in a
+    replace_where predicate) that the predicate matcher itself accepts
+    via str()-canonicalization."""
     import time as _time
 
     return {
@@ -562,7 +572,7 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
             "timestamp": int(_time.time() * 1000),
             "operation": operation,
             "operationParameters": {
-                k: json.dumps(v) if not isinstance(v, str) else v
+                k: json.dumps(v, default=str) if not isinstance(v, str) else v
                 for k, v in (params or {}).items()
             },
             "engineInfo": "marketdb-spark",
@@ -698,13 +708,22 @@ def write_delta(
         raise ValueError("txn_app and txn_version must be set together")
     if replace_where is not None and mode != "overwrite":
         raise ValueError("replace_where requires mode='overwrite'")
-    # normalize predicate values to the protocol's string form (None = a
-    # null partition value)
+    # normalize predicate values to the protocol's CANONICAL partition-
+    # value strings (None = a null partition value). Booleans encode as
+    # 'true'/'false' — Spark's Hive-style staged layout writes them
+    # lower-cased, so Python's str(True) = 'True' would never match and
+    # every boolean-partition overwrite would die at the constraint
+    # check. Dates/timestamps str() to their ISO forms, matching the
+    # staged directory encoding.
+    def _canon_pv(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
     rw = (
-        {
-            c: {None if v is None else str(v) for v in vs}
-            for c, vs in replace_where.items()
-        }
+        {c: {_canon_pv(v) for v in vs} for c, vs in replace_where.items()}
         if replace_where is not None
         else None
     )

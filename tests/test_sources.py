@@ -1790,6 +1790,104 @@ class TestDeltaLogEdges:
         assert write_delta(other, t, mode="overwrite") == 1
         assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1.5,)]
 
+    def test_version_at_scans_whole_commit_for_commitinfo(
+        self, spark, tmp_path
+    ):
+        """A foreign commit whose commitInfo is NOT the first line must
+        resolve to the same timestamp in delta_version_at as in
+        delta_history (batch timestampAsOf vs streaming startingTimestamp
+        parity)."""
+        import json as _json
+
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_version_at,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        h0 = delta_history(t)[0]["timestamp"]
+        # foreign commit: add first, commitInfo last, stamped way in the
+        # future so mtime-fallback (now) would resolve differently
+        future = h0 + 10_000_000
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(_json.dumps({"add": {"path": "x.parquet",
+                                         "partitionValues": {},
+                                         "dataChange": True}}) + "\n")
+            f.write(_json.dumps({"commitInfo": {"timestamp": future}}) + "\n")
+        hist = {r["version"]: r["timestamp"] for r in delta_history(t)}
+        assert hist[1] == future
+        assert delta_version_at(t, future) == 1
+        assert delta_version_at(t, future - 1) == 0  # not mtime-resolved
+
+    def test_replace_where_boolean_partition(self, spark, tmp_path):
+        """Boolean partition predicates match Spark's lower-cased
+        Hive-style encoding ('true'/'false'), whether passed as Python
+        bools or as the protocol's canonical strings."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, flag boolean"
+        write_delta(
+            spark.createDataFrame([(1, True), (2, False)], schema),
+            t,
+            partition_by=["flag"],
+        )
+        write_delta(
+            spark.createDataFrame([(9, True)], schema),
+            t,
+            mode="overwrite",
+            replace_where={"flag": [True]},
+        )
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(2, False), (9, True)]
+        # canonical-string spelling is equivalent
+        write_delta(
+            spark.createDataFrame([(7, False)], schema),
+            t,
+            mode="overwrite",
+            replace_where={"flag": ["false"]},
+        )
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(7, False), (9, True)]
+
+    def test_commit_info_serializes_non_json_predicates(
+        self, spark, tmp_path
+    ):
+        """A replace_where predicate carrying a datetime.date must commit
+        (provenance falls back to str()) — the matcher accepts str()-able
+        values, so provenance recording must too."""
+        import datetime
+
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, d date"
+        d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+        write_delta(
+            spark.createDataFrame([(1, d1), (2, d2)], schema),
+            t,
+            partition_by=["d"],
+        )
+        write_delta(
+            spark.createDataFrame([(9, d1)], schema),
+            t,
+            mode="overwrite",
+            replace_where={"d": [d1]},
+        )
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(2, d2), (9, d1)]
+        assert "2024-01-01" in delta_history(t)[0]["operationParameters"][
+            "predicate"
+        ]
+
 
 class TestDeltaCheckpoint:
     """Checkpoint WRITER + log retention (sources/deltalog.py

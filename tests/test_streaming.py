@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1834,6 +1835,66 @@ class TestDeltaStreamAdmission:
             if not f.startswith(".")
         ]
         assert len(commits) >= 3  # 6 files / 2 per trigger
+
+    def test_capped_restart_end_to_end_no_duplicates(self, spark, tmp_path):
+        """Through the REAL engine: a capped deltastream drains with a
+        checkpoint, stops, new commits land, a fresh query resumes from
+        the same checkpoint — the union across both runs is exactly-once
+        and the second drain stays bounded. This is the engine-order pin
+        the direct-drive restart tests can't give: the restored offset
+        must reach the reader via the engine's own partitions()/commit()
+        replay before the first new latestOffset, for the capped planner
+        as well as the spoolqueue source (mirrors
+        test_capped_restart_no_duplicates)."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._mk_table(spark, t, n_commits=3, files_per_commit=2)
+
+        def drain():
+            q = (
+                read_delta_stream(spark, t, maxFilesPerTrigger=2)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain()
+        first_commits = len(
+            [
+                f
+                for f in os.listdir(os.path.join(ckpt, "commits"))
+                if not f.startswith(".")
+            ]
+        )
+        assert first_commits >= 3  # 6 files / 2 per trigger
+        # two appends of 2 files each land while the stream is down
+        for c in (90, 91):
+            write_delta(
+                spark.createDataFrame(
+                    [(c * 10 + i, c) for i in range(4)], "k long, commit long"
+                ).repartition(2),
+                t,
+            )
+        drain()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == want  # exactly-once across the restart
+        second_commits = len(
+            [
+                f
+                for f in os.listdir(os.path.join(ckpt, "commits"))
+                if not f.startswith(".")
+            ]
+        )
+        assert second_commits >= first_commits + 2  # 4 new files, cap 2
 
     def test_ignore_deletes_skips_delete_only_commits(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
