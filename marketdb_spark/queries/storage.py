@@ -1001,3 +1001,88 @@ def store_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_colmap_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_colmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping NAME mode under the hash gate (PROTOCOL.md "Column
+    Mapping"; write_delta ``column_mapping="name"`` + read_delta's
+    logical↔physical remap): orders land in a priority-partitioned Delta
+    table whose data files and partitionValues speak per-field
+    ``col-<uuid>`` PHYSICAL names (asserted inline on the raw parquet
+    footer and the live-file paths — the rename-without-rewrite
+    foundation real lakehouses rely on), then read back through the
+    LOGICAL surface, partition-pruned to two priorities, and aggregated
+    — hash-equal to the plain orders oracle iff the physical↔logical
+    remap is lossless in both directions, including the physically-keyed
+    partition values. delta_features() reporting the table streamable
+    (protocol 2/5, no unsupported features) is asserted inline; the
+    streaming leg of the same remap is pinned by
+    tests/test_streaming.py::test_column_mapped_table_streams_logical."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from marketdb_spark.sources.deltalog import (
+        delta_features,
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_colmap_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            orders,
+            t,
+            partition_by=["o_orderpriority"],
+            column_mapping="name",
+        )
+        files = delta_live_files(t)
+        import os as _os
+
+        # storage speaks physical names: partition dirs AND parquet cols
+        assert files and all(f.startswith("col-") for f in files)
+        raw_cols = pq.read_schema(_os.path.join(t, files[0])).names
+        assert all(c.startswith("col-") for c in raw_cols)
+        feats = delta_features(t)
+        assert feats["streamable"] and feats["protocol"] == {
+            "minReaderVersion": 2,
+            "minWriterVersion": 5,
+        }
+        back = read_delta(spark, t)
+        assert back.columns == orders.columns  # logical surface
+        out = (
+            back.filter(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

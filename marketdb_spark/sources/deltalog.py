@@ -22,12 +22,16 @@ checkpoints — single-part AND complete multi-part sets
 tables) — are replayed (located by filename; checkpoint-only tables
 whose JSON commits expired under log retention read fine; incomplete
 multi-part sets from a crashed writer are ignored per the protocol).
-Deletion vectors, column mapping, v2/UUID checkpoints, and truncated
-logs with no covering checkpoint RAISE instead of returning wrong
-rows; add/remove paths are percent-decoded per the protocol and
-absolute (shallow-clone) paths are rejected. Partition values ride back
-in as literal columns per add — the directory layout is NOT trusted
-(the protocol says partitionValues is authoritative).
+Column mapping in NAME mode is supported end-to-end (read, write,
+stream): data files speak per-field physical names from the
+schemaString metadata, partition values are keyed by physical names,
+and the user-facing surface stays logical. Deletion vectors,
+column-mapping ID mode, v2/UUID checkpoints, and truncated logs with
+no covering checkpoint RAISE instead of returning wrong rows;
+add/remove paths are percent-decoded per the protocol and absolute
+(shallow-clone) paths are rejected. Partition values ride back in as
+literal columns per add — the directory layout is NOT trusted (the
+protocol says partitionValues is authoritative).
 
 At 100 TB the replay cost is the log size (KBs per commit, one
 checkpoint parquet), not the data; the returned DataFrame scans exactly
@@ -39,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import typing as _t
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,6 +142,178 @@ def _checkpoint_rows(
     return rows
 
 
+class _Snapshot(_t.NamedTuple):
+    """The replayed table state at one version. ``part_cols`` are the
+    LOGICAL partition-column names (metaData.partitionColumns); with
+    column mapping active, ``live``'s partitionValues are keyed by
+    PHYSICAL names per the protocol's column-mapping rules."""
+
+    schema_json: str
+    part_cols: list
+    live: dict
+    config: dict
+    protocol: dict
+
+
+# Reader features this engine can consume under protocol v3
+# (PROTOCOL.md "Table Features"). Deletion vectors, v2 checkpoints,
+# timestampNtz etc. stay loud errors — wrong rows are worse.
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
+def _check_reader_protocol(proto: dict, where: str) -> None:
+    """Gate on the reader protocol: v1 plain, v2 column mapping (mode
+    validated where the schema is mapped — `name` reads, `id` raises),
+    v3 only when every declared readerFeature is in
+    _SUPPORTED_READER_FEATURES. Anything else raises rather than
+    returning wrong rows (a feature-blind replay of a DV table would
+    emit deleted rows)."""
+    v = int(proto.get("minReaderVersion") or 1)
+    if v <= 2:
+        return
+    if v == 3:
+        feats = proto.get("readerFeatures")
+        if feats is None:
+            # v3 REQUIRES readerFeatures per the protocol; a v3 action
+            # without it is malformed — the needed features are unknown
+            raise ValueError(
+                f"malformed Delta protocol in {where}: minReaderVersion 3 "
+                f"without readerFeatures"
+            )
+        extra = sorted(set(feats) - _SUPPORTED_READER_FEATURES)
+        if not extra:
+            return
+        raise ValueError(
+            f"unsupported Delta readerFeatures {extra} in {where} "
+            f"(this reader supports {sorted(_SUPPORTED_READER_FEATURES)})"
+        )
+    raise ValueError(
+        f"unsupported Delta minReaderVersion {v} in {where} "
+        f"(this reader supports protocol versions 1-3)"
+    )
+
+
+# -- column mapping (PROTOCOL.md "Column Mapping", name mode) ------------
+# With delta.columnMapping.mode = name, data files store columns under
+# per-field PHYSICAL names carried in the schemaString's field metadata
+# (delta.columnMapping.physicalName / .id); partition values and stats
+# in the log are keyed by physical names, while metaData.partitionColumns
+# keeps the logical names. Mode `id` (parquet field-id resolution) is out
+# of documented scope and raises.
+
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAXID = "delta.columnMapping.maxColumnId"
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+
+
+def _mapping_mode(config: dict | None, where: str = "table") -> str:
+    mode = (config or {}).get(_CM_MODE) or "none"
+    if mode == "id":
+        raise ValueError(
+            f"unsupported Delta column-mapping mode 'id' in {where} "
+            f"(name mode is supported; id needs parquet field-id "
+            f"resolution)"
+        )
+    if mode not in ("none", "name"):
+        raise ValueError(
+            f"unknown Delta column-mapping mode {mode!r} in {where}"
+        )
+    return mode
+
+
+def _physical_name(field: T.StructField) -> str:
+    phys = (field.metadata or {}).get(_CM_PHYS)
+    if not phys:
+        raise ValueError(
+            f"column-mapped table: field {field.name!r} lacks "
+            f"{_CM_PHYS} metadata in its schemaString"
+        )
+    return phys
+
+
+def _physical_datatype(dt: T.DataType) -> T.DataType:
+    """The PHYSICAL shape of a logical type under name mode: every
+    struct field (any nesting level) renamed to its physicalName."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    _physical_name(f), _physical_datatype(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_datatype(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_datatype(dt.keyType),
+            _physical_datatype(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _strip_field_metadata(dt: T.DataType) -> T.DataType:
+    """The schema with ALL field metadata removed (recursively) — the
+    logical shape a user-supplied DataFrame is compared against: a
+    column-mapped table's schemaString carries per-field mapping
+    metadata that StructType equality would otherwise see."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _strip_field_metadata(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _strip_field_metadata(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_field_metadata(dt.keyType),
+            _strip_field_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _assign_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
+    """Name-mode mapping assignment for a NEW table (what delta-spark's
+    ALTER TABLE ... SET TBLPROPERTIES columnMapping.mode=name does at
+    create): every struct field at every nesting level gets a fresh
+    ``col-<uuid>`` physical name and a sequential id. Returns the
+    metadata-carrying schema and the max assigned id."""
+    import uuid as _uuid
+
+    counter = 0
+
+    def walk_dt(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([walk_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk_dt(dt.keyType), walk_dt(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def walk_field(f: T.StructField) -> T.StructField:
+        nonlocal counter
+        counter += 1
+        md = dict(f.metadata or {})
+        md[_CM_ID] = counter
+        md[_CM_PHYS] = f"col-{_uuid.uuid4()}"
+        return T.StructField(f.name, walk_dt(f.dataType), f.nullable, md)
+
+    return T.StructType([walk_field(f) for f in schema.fields]), counter
+
+
 def _decode_path(raw: str) -> str:
     """add/remove paths are URL-encoded per the protocol (RFC 2396);
     decode before touching the filesystem. Absolute paths (shallow
@@ -152,9 +329,8 @@ def _decode_path(raw: str) -> str:
     return path
 
 
-def _replay(table: str, version: int | None):
-    """Replay the log up to ``version`` (default: latest). Returns
-    (schema_json, partition_cols, {path: partitionValues})."""
+def _replay(table: str, version: int | None) -> _Snapshot:
+    """Replay the log up to ``version`` (default: latest)."""
     entries = _log_entries(table)
     ckpt_map = _checkpoints(table)
     ckpts = sorted(ckpt_map)
@@ -172,6 +348,22 @@ def _replay(table: str, version: int | None):
     schema_json: str | None = None
     part_cols: list[str] = []
     live: dict[str, dict] = {}
+    config: dict = {}
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
+
+    def _see_add(a: dict) -> None:
+        if a.get("deletionVector"):
+            # a DV-carrying add must never be read as a full file —
+            # the protocol gate normally catches this first (DVs need
+            # reader v3), but a malformed log must not slip through
+            raise ValueError(
+                f"add action in {table} carries a deletionVector; "
+                f"this reader does not decode deletion vectors"
+            )
+        pv = a.get("partitionValues") or {}
+        # checkpoint schema stores partitionValues as map<string,string>;
+        # pyarrow's to_pylist renders maps as (key, value) tuple lists
+        live[_decode_path(a["path"])] = dict(pv) if isinstance(pv, list) else pv
 
     # Start from the newest checkpoint at-or-before `version`, if any —
     # a checkpoint-only table (JSON commits expired by log retention) is
@@ -190,24 +382,17 @@ def _replay(table: str, version: int | None):
         for row in _checkpoint_rows(table, ckpt_version, ckpt_map):
             add = row.get("add")
             if add and add.get("path"):
-                pv = add.get("partitionValues") or {}
-                # checkpoint schema stores partitionValues as
-                # map<string,string>; pyarrow's to_pylist renders maps
-                # as (key, value) tuple lists
-                live[_decode_path(add["path"])] = (
-                    dict(pv) if isinstance(pv, list) else pv
-                )
+                _see_add(add)
             meta = row.get("metaData")
             if meta and meta.get("schemaString"):
                 schema_json = meta["schemaString"]
                 part_cols = list(meta.get("partitionColumns") or [])
+                c = meta.get("configuration")
+                config = (dict(c) if isinstance(c, list) else c) or {}
             proto = row.get("protocol")
-            if proto and (proto.get("minReaderVersion") or 1) > 1:
-                raise ValueError(
-                    f"unsupported Delta minReaderVersion "
-                    f"{proto['minReaderVersion']} (deletion vectors / "
-                    f"column mapping need a feature-aware reader)"
-                )
+            if proto and proto.get("minReaderVersion") is not None:
+                protocol = {k: v for k, v in proto.items() if v is not None}
+                _check_reader_protocol(protocol, table)
 
     for v, path in entries:
         if v <= ckpt_version or v > version:
@@ -223,22 +408,21 @@ def _replay(table: str, version: int | None):
                     part_cols = list(
                         action["metaData"].get("partitionColumns") or []
                     )
+                    config = action["metaData"].get("configuration") or {}
                 elif "add" in action:
-                    a = action["add"]
-                    live[_decode_path(a["path"])] = (
-                        a.get("partitionValues") or {}
-                    )
+                    _see_add(action["add"])
                 elif "remove" in action:
                     live.pop(_decode_path(action["remove"]["path"]), None)
                 elif "protocol" in action:
-                    if (action["protocol"].get("minReaderVersion") or 1) > 1:
-                        raise ValueError(
-                            f"unsupported Delta minReaderVersion "
-                            f"{action['protocol']['minReaderVersion']}"
-                        )
+                    protocol = {
+                        k: v
+                        for k, v in action["protocol"].items()
+                        if v is not None
+                    }
+                    _check_reader_protocol(protocol, table)
     if schema_json is None:
         raise ValueError(f"no metaData action found in {table}/{_LOG}")
-    return schema_json, part_cols, live
+    return _Snapshot(schema_json, part_cols, live, config, protocol)
 
 
 def delta_live_files(table: str, version: int | None = None) -> list[str]:
@@ -297,12 +481,13 @@ def delta_features(table: str) -> dict:
          "streamable": bool}
 
     ``unsupported`` names every feature outside this reader's documented
-    scope (module docstring): a minReaderVersion above 1, any declared
-    readerFeatures (deletion vectors, column mapping, v2 checkpoints,
-    timestampNtz...), a column-mapping mode or deletion-vector flag in
-    the table configuration, and unreadable (v2/UUID) checkpoint
-    layouts. Empty list ⇒ the batch reader and deltastream source can
-    consume the table."""
+    scope (module docstring): a minReaderVersion above 3, any declared
+    readerFeature not in _SUPPORTED_READER_FEATURES (deletion vectors,
+    v2 checkpoints, timestampNtz...), column-mapping ID mode or a
+    deletion-vector flag in the table configuration, and unreadable
+    (v2/UUID) checkpoint layouts. Column-mapping NAME mode is supported
+    and not listed. Empty list ⇒ the batch reader and deltastream
+    source can consume the table."""
     proto: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     conf: dict = {}
     unsupported: list[str] = []
@@ -342,12 +527,18 @@ def delta_features(table: str) -> dict:
                 _see_protocol(action.get("protocol"))
                 _see_meta(action.get("metaData"))
 
-    if (proto.get("minReaderVersion") or 1) > 1:
-        unsupported.append(f"minReaderVersion={proto['minReaderVersion']}")
-    for feat in proto.get("readerFeatures") or []:
-        unsupported.append(f"readerFeature:{feat}")
-    cmode = conf.get("delta.columnMapping.mode", "none")
-    if cmode not in (None, "", "none"):
+    v = int(proto.get("minReaderVersion") or 1)
+    if v > 3:
+        unsupported.append(f"minReaderVersion={v}")
+    elif v == 3:
+        for feat in (
+            set(proto.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
+        ):
+            unsupported.append(f"readerFeature:{feat}")
+    cmode = conf.get(_CM_MODE, "none")
+    if cmode not in (None, "", "none", "name"):
+        # name mode is READ/WRITE supported (read_delta, write_delta,
+        # deltastream); id mode needs parquet field-id resolution
         unsupported.append(f"columnMapping:{cmode}")
     if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
         unsupported.append("deletionVectors")
@@ -427,23 +618,62 @@ def read_delta(
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
         version = delta_version_at(table, timestamp_ms)
-    schema_json, part_cols, live = _replay(table, version)
-    schema = T.StructType.fromJson(json.loads(schema_json))
+    snap = _replay(table, version)
+    part_cols, live = snap.part_cols, snap.live
+    mapped = _mapping_mode(snap.config, table) == "name"
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    logical = _t.cast(T.StructType, _strip_field_metadata(schema))
     if not live:
-        return spark.createDataFrame([], schema)
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+        return spark.createDataFrame([], logical)
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if mapped:
+        # name mode: data files store columns under the per-field
+        # PHYSICAL names in the schemaString metadata — read with the
+        # physical schema, then rename back to logical names (a
+        # positional struct cast renames nested fields; flat fields are
+        # a plain alias, so Catalyst sees no real cast)
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    _physical_name(f), _physical_datatype(f.dataType), f.nullable
+                )
+                for f in data_fields
+            ]
+        )
+        renames = []
+        for f in data_fields:
+            phys_dt = _physical_datatype(f.dataType)
+            col = F.col(_physical_name(f))
+            if phys_dt != f.dataType:
+                col = col.cast(_strip_field_metadata(f.dataType))
+            renames.append(col.alias(f.name))
+        pv_key = {
+            f.name: _physical_name(f)
+            for f in schema.fields
+            if f.name in part_cols
+        }
+    else:
+        data_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        renames = [F.col(f.name) for f in data_fields]
+        pv_key = {c: c for c in part_cols}
     if not part_cols:
         paths = [os.path.join(table, p) for p in live]
-        return spark.read.schema(data_schema).parquet(*paths)
+        return spark.read.schema(data_schema).parquet(*paths).select(renames)
     # group files by partition tuple; union one literal-annotated read
-    # per group (partition cardinality bounds the union width)
+    # per group (partition cardinality bounds the union width).
+    # partitionValues are keyed by PHYSICAL names under column mapping
+    # (the protocol's rule); tolerate logical-keyed values from sloppy
+    # foreign writers rather than silently attaching nulls.
     by_part: dict[tuple, list[str]] = {}
     for path, pvals in live.items():
-        key = tuple(pvals.get(c) for c in part_cols)
+        key = tuple(pvals.get(pv_key[c], pvals.get(c)) for c in part_cols)
         by_part.setdefault(key, []).append(os.path.join(table, path))
-    types = {f.name: f.dataType for f in schema.fields}
+    types = {f.name: f.dataType for f in logical.fields}
     parts = []
     # NULL partition values sort last (a plain tuple sort would raise
     # TypeError comparing None to str)
@@ -451,13 +681,13 @@ def read_delta(
         by_part.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = spark.read.schema(data_schema).parquet(*paths).select(renames)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
                 (F.lit(None) if raw is None else F.lit(raw)).cast(types[c]),
             )
-        parts.append(df.select([f.name for f in schema.fields]))
+        parts.append(df.select([f.name for f in logical.fields]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -474,8 +704,7 @@ def _table_partitioning(table: str) -> list[str] | None:
         return None
     if not _log_entries(table) and not _checkpoint_versions(table):
         return None
-    _schema, part_cols, _live = _replay(table, None)
-    return part_cols
+    return _replay(table, None).part_cols
 
 
 def _stage_files(
@@ -658,6 +887,7 @@ def write_delta(
     txn_version: int | None = None,
     partition_by: list[str] | None = None,
     replace_where: dict[str, list] | None = None,
+    column_mapping: str | None = None,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -695,7 +925,20 @@ def write_delta(
     every predicate column, and delta's data constraint is enforced:
     a staged file whose partitionValues fall OUTSIDE the predicate
     raises (and unstages) instead of silently widening the overwrite.
-    A replace_where overwrite can never change the schema."""
+    A replace_where overwrite can never change the schema.
+
+    ``column_mapping="name"`` on table CREATE enables the protocol's
+    column-mapping name mode (PROTOCOL.md "Column Mapping"): every field
+    gets a ``col-<uuid>`` physical name + sequential id in the
+    schemaString metadata, data files are staged under physical names,
+    add.partitionValues are keyed by physical names (partitionColumns
+    stay logical), and the protocol advances to reader 2 / writer 5 —
+    the rename-without-rewrite foundation. Appends and overwrites to a
+    mapped table ADOPT its mapping automatically (the argument may
+    restate it, never change it); schema EVOLUTION on a mapped table is
+    out of scope and raises rather than dropping the mapping metadata.
+    The user-facing DataFrame always speaks LOGICAL names — physical
+    names are a storage detail."""
     import uuid as _uuid
 
     from urllib.parse import quote
@@ -727,11 +970,21 @@ def write_delta(
         if replace_where is not None
         else None
     )
+    if column_mapping not in (None, "none", "name"):
+        raise ValueError(
+            f"column_mapping must be None|'none'|'name', got "
+            f"{column_mapping!r} (id mode is unsupported)"
+        )
     if txn_app is not None:
         seen = last_txn_version(table, txn_app)
         if seen is not None and seen >= txn_version:
             return None  # replayed batch: already committed
-    existing_parts = _table_partitioning(table)
+    existing: _Snapshot | None = None
+    if os.path.isdir(os.path.join(table, _LOG)) and (
+        _log_entries(table) or _checkpoint_versions(table)
+    ):
+        existing = _replay(table, None)
+    existing_parts = existing.part_cols if existing is not None else None
     if existing_parts is not None and partition_by is not None:
         if list(partition_by) != existing_parts:
             raise ValueError(
@@ -750,20 +1003,65 @@ def write_delta(
                 f"replace_where columns {bad} are not partition columns "
                 f"of {table} (partitioned by {part_cols})"
             )
+    # column-mapping resolution: an existing table's mode is adopted (the
+    # argument may restate it, never change it); a new table takes the
+    # requested mode. Under name mode the staged files speak PHYSICAL
+    # names while this API and the log's partitionColumns stay logical.
+    max_id = 0
+    if existing is not None:
+        cmode = _mapping_mode(existing.config, table)
+        if column_mapping == "name" and cmode != "name":
+            raise ValueError(
+                f"{table} is not column-mapped; enabling column mapping "
+                f"on an existing table is unsupported (create-time only)"
+            )
+        mapped_schema = (
+            T.StructType.fromJson(json.loads(existing.schema_json))
+            if cmode == "name"
+            else None
+        )
+        if mapped_schema is not None and _strip_field_metadata(
+            mapped_schema
+        ) != _strip_field_metadata(df.schema):
+            raise ValueError(
+                f"schema mismatch on column-mapped table {table}: schema "
+                f"evolution under column mapping is unsupported (table "
+                f"has {existing.schema_json}, batch has {df.schema.json()})"
+            )
+    elif column_mapping == "name":
+        cmode = "name"
+        mapped_schema, max_id = _assign_mapping(df.schema)
+    else:
+        cmode, mapped_schema = "none", None
+    if mapped_schema is not None:
+        phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}
+        stage_renames = []
+        for f in mapped_schema.fields:
+            phys_dt = _physical_datatype(f.dataType)
+            col = F.col(f.name)
+            if phys_dt != _strip_field_metadata(f.dataType):
+                col = col.cast(phys_dt)  # positional nested rename
+            stage_renames.append(col.alias(phys_of[f.name]))
+        stage_df = df.select(stage_renames)
+        stage_cols = [phys_of[c] for c in part_cols]
+    else:
+        phys_of = {}
+        stage_df, stage_cols = df, list(part_cols)
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
-    staged = _stage_files(df, table, part_cols)
+    staged = _stage_files(stage_df, table, stage_cols)
     names = [rel for rel, _ in staged]
 
     try:
         if rw is not None:
             # delta's replaceWhere data constraint: every staged file
             # must fall INSIDE the predicate, or the "overwrite" would
-            # silently touch partitions the caller did not scope
+            # silently touch partitions the caller did not scope (staged
+            # partitionValues are keyed by physical names when mapped)
             for rel, pvals in staged:
                 off = {
-                    c: pvals.get(c)
+                    c: pvals.get(phys_of.get(c, c))
                     for c in rw
-                    if pvals.get(c) not in rw[c]
+                    if pvals.get(phys_of.get(c, c)) not in rw[c]
                 }
                 if off:
                     raise ValueError(
@@ -786,7 +1084,10 @@ def write_delta(
             removes: list[str] = []
             need_meta = latest < 0
             if latest >= 0:
-                schema_json, table_parts, live = _replay(table, None)
+                cur = _replay(table, None)
+                schema_json, table_parts, live = (
+                    cur.schema_json, cur.part_cols, cur.live
+                )
                 if table_parts != part_cols:
                     # a concurrent writer created/changed the table with a
                     # different layout after we staged — the staged files
@@ -795,14 +1096,27 @@ def write_delta(
                         f"{table} is partitioned by {table_parts}, staged "
                         f"files are laid out by {part_cols}"
                     )
+                if _mapping_mode(cur.config, table) != cmode:
+                    # concurrent create with a different mapping mode —
+                    # the staged files carry the wrong column names
+                    raise ValueError(
+                        f"{table}'s column-mapping mode changed while "
+                        f"staging; staged files speak the wrong names"
+                    )
                 # STRUCTURAL schema compare, not string equality:
                 # pyspark's schema.json() sorts keys while external Delta
                 # writers emit {"type":...,"fields":...} order — a raw
                 # string compare would reject every schema-identical
-                # append to a foreign table.
-                table_schema = T.StructType.fromJson(json.loads(schema_json))
+                # append to a foreign table. Field METADATA is stripped
+                # from the compare: a column-mapped table's schemaString
+                # carries per-field mapping metadata the user's DataFrame
+                # never has.
+                table_schema = _strip_field_metadata(
+                    T.StructType.fromJson(json.loads(schema_json))
+                )
+                df_schema = _strip_field_metadata(df.schema)
                 if mode == "overwrite" and rw is not None:
-                    if table_schema != df.schema:
+                    if table_schema != df_schema:
                         raise ValueError(
                             f"replace_where overwrite cannot change the "
                             f"schema of {table}"
@@ -810,12 +1124,22 @@ def write_delta(
                     removes = sorted(
                         p
                         for p, pv in live.items()
-                        if all(pv.get(c) in vals for c, vals in rw.items())
+                        if all(
+                            pv.get(phys_of.get(c, c), pv.get(c)) in vals
+                            for c, vals in rw.items()
+                        )
                     )
                 elif mode == "overwrite":
                     removes = sorted(live)
-                    need_meta = table_schema != df.schema
-                elif table_schema != df.schema:
+                    need_meta = table_schema != df_schema
+                    if need_meta and cmode == "name":
+                        raise ValueError(
+                            f"overwrite cannot change the schema of the "
+                            f"column-mapped table {table}: schema "
+                            f"evolution under column mapping is "
+                            f"unsupported"
+                        )
+                elif table_schema != df_schema:
                     raise ValueError(
                         f"append schema mismatch on {table}: table has "
                         f"{schema_json}, batch has {df.schema.json()}"
@@ -846,10 +1170,13 @@ def write_delta(
             if latest < 0:
                 actions.append(
                     {
-                        "protocol": {
-                            "minReaderVersion": 1,
-                            "minWriterVersion": 2,
-                        }
+                        "protocol": (
+                            # column mapping needs reader 2 / writer 5
+                            # (PROTOCOL.md "Column Mapping")
+                            {"minReaderVersion": 2, "minWriterVersion": 5}
+                            if cmode == "name"
+                            else {"minReaderVersion": 1, "minWriterVersion": 2}
+                        )
                     }
                 )
             if need_meta:
@@ -858,9 +1185,17 @@ def write_delta(
                         "metaData": {
                             "id": _uuid.uuid4().hex,
                             "format": {"provider": "parquet", "options": {}},
-                            "schemaString": df.schema.json(),
+                            "schemaString": (
+                                mapped_schema.json()
+                                if mapped_schema is not None
+                                else df.schema.json()
+                            ),
                             "partitionColumns": part_cols,
-                            "configuration": {},
+                            "configuration": (
+                                {_CM_MODE: "name", _CM_MAXID: str(max_id)}
+                                if cmode == "name"
+                                else {}
+                            ),
                         }
                     }
                 )
@@ -1038,7 +1373,8 @@ def write_checkpoint(
         raise ValueError(f"no Delta log at {table}/{_LOG}")
     if version is None:
         version = latest
-    schema_json, part_cols, live = _replay(table, version)
+    snap = _replay(table, version)
+    schema_json, part_cols, live = snap.schema_json, snap.part_cols, snap.live
 
     # per-app txn high-water marks visible at `version`
     txns: dict[str, int] = {}
@@ -1070,6 +1406,10 @@ def write_checkpoint(
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # table-features form (protocol v3+) — null for
+                        # legacy protocols, preserved verbatim otherwise
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -1116,9 +1456,22 @@ def write_checkpoint(
     )
     from urllib.parse import quote
 
+    # the table's ACTUAL protocol and configuration ride into the
+    # checkpoint — a checkpoint that hardcoded {1,2}/{} would strip
+    # column mapping (or any table feature) the moment clean_log
+    # removed the JSON commit that declared it
     rows: list[dict] = [
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "protocol": {
+                "minReaderVersion": int(
+                    snap.protocol.get("minReaderVersion") or 1
+                ),
+                "minWriterVersion": int(
+                    snap.protocol.get("minWriterVersion") or 2
+                ),
+                "readerFeatures": snap.protocol.get("readerFeatures"),
+                "writerFeatures": snap.protocol.get("writerFeatures"),
+            },
             "metaData": None,
             "add": None,
             "txn": None,
@@ -1130,7 +1483,7 @@ def write_checkpoint(
                 "format": {"provider": "parquet", "options": []},
                 "schemaString": schema_json,
                 "partitionColumns": part_cols,
-                "configuration": [],
+                "configuration": list((snap.config or {}).items()),
             },
             "add": None,
             "txn": None,
@@ -1267,14 +1620,34 @@ def optimize_delta(
 
     from marketdb_spark.sources.snapshot import CommitConflict
 
-    schema_json, part_cols, live = _replay(table, None)
-    schema = T.StructType.fromJson(json.loads(schema_json))
+    snap = _replay(table, None)
+    part_cols, live = snap.part_cols, snap.live
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    # compaction never renames: under column mapping the files are read
+    # AND rewritten with their physical column names — add.partitionValues
+    # and the Hive-style dirs stay keyed by physical names per the
+    # protocol, and the logical surface is untouched
+    mapped = _mapping_mode(snap.config, table) == "name"
+    stage_key = {
+        f.name: (_physical_name(f) if mapped else f.name)
+        for f in schema.fields
+        if f.name in part_cols
+    }
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(
+                _physical_name(f) if mapped else f.name,
+                _physical_datatype(f.dataType) if mapped else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
     by_part: dict[tuple, list[str]] = {}
     for path, pvals in live.items():
-        key = tuple((pvals or {}).get(c) for c in part_cols)
+        pv = pvals or {}
+        key = tuple(pv.get(stage_key[c], pv.get(c)) for c in part_cols)
         by_part.setdefault(key, []).append(path)
     todo = {
         key: sorted(paths)
@@ -1298,7 +1671,10 @@ def optimize_delta(
             todo.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            pvals = dict(zip(part_cols, key))
+            # the staged add's partitionValues (and the cosmetic dirs)
+            # are keyed the way the table keys them: physical under
+            # column mapping, logical otherwise
+            pvals = dict(zip((stage_key[c] for c in part_cols), key))
             df = spark.read.schema(data_schema).parquet(
                 *[os.path.join(table, p) for p in paths]
             )
@@ -1309,7 +1685,7 @@ def optimize_delta(
             ]
             part_dir = "/".join(
                 f"{c}={_HIVE_NULL if pvals[c] is None else quote(pvals[c], safe='')}"
-                for c in part_cols
+                for c in pvals
             )
             name = f"part-{_uuid.uuid4().hex}.parquet"
             rel = os.path.join(part_dir, name) if part_dir else name
@@ -1332,7 +1708,8 @@ def optimize_delta(
             latest = max(
                 entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
             )
-            _schema2, parts2, live2 = _replay(table, None)
+            cur = _replay(table, None)
+            parts2, live2 = cur.part_cols, cur.live
             if parts2 != part_cols or any(p not in live2 for p in removes):
                 raise CommitConflict(
                     f"optimize of {table} is stale: a concurrent commit "
@@ -1398,8 +1775,7 @@ def vacuum_delta(
     data). Pass 0 only when writers are quiesced."""
     import time as _time
 
-    _schema, _parts, live = _replay(table, None)
-    live_set = set(live)
+    live_set = set(_replay(table, None).live)
     cutoff = _time.time() - min_file_age_seconds
     deleted: list[str] = []
     for root, _dirs, files in os.walk(table):

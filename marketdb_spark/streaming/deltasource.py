@@ -51,11 +51,15 @@ it:
 
 Tail commits are also GATED against mid-stream table upgrades (same
 policy as the batch reader's _replay, deltalog.py): a ``protocol``
-action raising minReaderVersion above 1 (deletion vectors / column
-mapping) raises instead of tailing DV-carrying adds as full files, and
-a ``metaData`` action whose schema or partitionColumns differ from the
-stream's pinned schema raises instead of misreading new files with the
-old schema.
+action declaring features this engine cannot consume (deletion
+vectors, v2 checkpoints — anything past column mapping) raises instead
+of tailing DV-carrying adds as full files, and a ``metaData`` action
+whose schema, partitionColumns, or column-mapping mode differ from the
+stream's pinned state raises instead of misreading new files with the
+old schema. Column-mapped tables (NAME mode) stream natively: data
+files and partitionValues speak physical names, the emitted schema is
+logical (mapping metadata stripped), and nested struct fields are
+renamed executor-side on the Arrow buffers.
 
 ``startingVersion`` / ``startingTimestamp`` (delta-spark parity) skip
 the initial snapshot entirely and tail the log FROM that version — the
@@ -88,7 +92,14 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from marketdb_spark.sources.deltalog import _LOG, _decode_path, _replay
+from marketdb_spark.sources.deltalog import (
+    _LOG,
+    _check_reader_protocol,
+    _decode_path,
+    _mapping_mode,
+    _physical_name,
+    _replay,
+)
 
 try:  # pyspark >= 4.0
     from pyspark.sql.datasource import (
@@ -210,6 +221,7 @@ def _tail_adds(
     mode: str = "strict",
     pinned_schema_json: str | None = None,
     pinned_parts: list[str] | None = None,
+    pinned_cmode: str | None = None,
 ) -> list[tuple[str, dict, int]]:
     """The (path, partitionValues, size) adds of ONE tail commit,
     honoring dataChange under ``mode`` (module docstring), and gating on
@@ -237,6 +249,12 @@ def _tail_adds(
             action = json.loads(line)
             if "add" in action:
                 a = action["add"]
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        f"deltastream: version {version} of {table} adds "
+                        f"a deletion-vector-carrying file — a DV-blind "
+                        f"tail would emit deleted rows"
+                    )
                 if a.get("dataChange") is not False:
                     adds.append(
                         (
@@ -249,14 +267,18 @@ def _tail_adds(
                 if action["remove"].get("dataChange") is not False:
                     has_change_remove = True
             elif "protocol" in action:
-                if (action["protocol"].get("minReaderVersion") or 1) > 1:
-                    raise ValueError(
-                        f"deltastream: version {version} of {table} "
-                        f"raises minReaderVersion to "
-                        f"{action['protocol']['minReaderVersion']} "
-                        f"(deletion vectors / column mapping) mid-stream "
-                        f"— a feature-blind tail would emit deleted rows"
-                    )
+                # same policy as the batch reader: v2 (column mapping)
+                # and v3-with-supported-features pass; DV and friends
+                # raise. A mid-stream mapping ENABLE still trips the
+                # metaData gate below (enabling it rewrites metaData).
+                _check_reader_protocol(
+                    {
+                        k: v
+                        for k, v in action["protocol"].items()
+                        if v is not None
+                    },
+                    f"deltastream tail of {table} at version {version}",
+                )
             elif "metaData" in action:
                 meta = action["metaData"]
                 if pinned_schema_json is None:
@@ -272,7 +294,11 @@ def _tail_adds(
                 same_parts = list(meta.get("partitionColumns") or []) == list(
                     pinned_parts or []
                 )
-                if not (same_schema and same_parts):
+                same_cmode = pinned_cmode is None or _mapping_mode(
+                    meta.get("configuration") or {},
+                    f"deltastream tail of {table} at version {version}",
+                ) == pinned_cmode
+                if not (same_schema and same_parts and same_cmode):
                     raise ValueError(
                         f"deltastream: version {version} of {table} "
                         f"changes the table schema or partitioning "
@@ -300,6 +326,46 @@ def _tail_adds(
     return adds
 
 
+def _arrow_rename(arr, target):
+    """Rebuild ``arr`` with the field NAMES of arrow type ``target``
+    (identical layout/types — column mapping is a pure rename). Executor
+    side, zero-copy for the leaf buffers: structs re-wrap their children,
+    lists/maps re-wrap offsets + renamed values."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_struct(t):
+        children = [
+            _arrow_rename(arr.field(i), target.field(i).type)
+            for i in range(t.num_fields)
+        ]
+        names = [target.field(i).name for i in range(target.num_fields)]
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(children, names=names, mask=mask)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        values = _arrow_rename(arr.values, target.value_type)
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        mask = arr.is_null() if arr.null_count else None
+        return cls.from_arrays(arr.offsets, values, mask=mask)
+    if pa.types.is_map(t):
+        keys = _arrow_rename(arr.keys, target.key_type)
+        items = _arrow_rename(arr.items, target.item_type)
+        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+    return arr
+
+
+def _contains_struct(dt: T.DataType) -> bool:
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.table = options["path"]
@@ -310,6 +376,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         # the schemaString pinned at stream open (None only under direct
         # test construction) — tail metaData actions verify against it
         self.pinned_schema_json = options.get("schemajson")
+        # column mapping (name mode): data files and partitionValues
+        # speak PHYSICAL names; id mode raises here, at open
+        config = json.loads(options.get("configjson") or "{}")
+        self.cmode = _mapping_mode(config, self.table)
+        if self.cmode == "name":
+            pinned = T.StructType.fromJson(
+                json.loads(self.pinned_schema_json)
+            )
+            self.phys_of = {f.name: _physical_name(f) for f in pinned.fields}
+        else:
+            self.phys_of = {}
         self.mode = _parse_mode(options)
         self.max_files = _parse_cap(options, "maxFilesPerTrigger")
         self.max_bytes = _parse_cap(options, "maxBytesPerTrigger")
@@ -389,7 +466,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         fl = self._units.get(unit)
         if fl is None:
             if self._snap is not None and unit == self._snap:
-                _schema, _parts, live = _replay(self.table, unit)
+                live = _replay(self.table, unit).live
                 fl = [
                     (
                         rel,
@@ -407,6 +484,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     mode=self.mode,
                     pinned_schema_json=self.pinned_schema_json,
                     pinned_parts=self.part_cols,
+                    pinned_cmode=(
+                        self.cmode if self.pinned_schema_json else None
+                    ),
                 )
             self._units[unit] = fl
         return fl
@@ -521,15 +601,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         cols, names = [], []
         for f in self.schema.fields:
-            if f.name in partition.pvals or f.name in self.part_cols:
-                raw = partition.pvals.get(f.name)
+            phys = self.phys_of.get(f.name, f.name)
+            if (
+                f.name in self.part_cols
+                or phys in partition.pvals
+                or f.name in partition.pvals
+            ):
+                # partitionValues are keyed by PHYSICAL names under
+                # column mapping (logical otherwise) and are strings per
+                # the protocol; cast to the table-schema type through
+                # arrow
+                raw = partition.pvals.get(phys, partition.pvals.get(f.name))
                 at = to_arrow_type(f.dataType)
-                # partitionValues are strings per the protocol; cast to
-                # the table-schema type through arrow
                 const = pa.array([raw] * n, pa.string()).cast(at)
                 cols.append(const)
             else:
-                cols.append(tbl.column(f.name).combine_chunks())
+                col = tbl.column(phys).combine_chunks()
+                if self.cmode == "name" and _contains_struct(f.dataType):
+                    col = _arrow_rename(col, to_arrow_type(f.dataType))
+                cols.append(col)
             names.append(f.name)
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
@@ -555,15 +645,22 @@ class DeltaStreamDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         # a StructType (not DDL text — toDDL needs a SparkContext, and
-        # this runs inside the sessionless planner worker)
-        schema_json, _parts, _live = _replay(self.options["path"], None)
-        return T.StructType.fromJson(json.loads(schema_json))
+        # this runs inside the sessionless planner worker). LOGICAL
+        # names, mapping metadata stripped — physical names are a
+        # storage detail the stream's consumers never see.
+        from marketdb_spark.sources.deltalog import _strip_field_metadata
+
+        snap = _replay(self.options["path"], None)
+        return _strip_field_metadata(
+            T.StructType.fromJson(json.loads(snap.schema_json))
+        )
 
     def streamReader(self, schema) -> DeltaStreamReader:
         opts = dict(self.options)
-        schema_json, parts, _live = _replay(self.options["path"], None)
-        opts["partcols"] = json.dumps(parts)
-        opts["schemajson"] = schema_json
+        snap = _replay(self.options["path"], None)
+        opts["partcols"] = json.dumps(snap.part_cols)
+        opts["schemajson"] = snap.schema_json
+        opts["configjson"] = json.dumps(snap.config)
         return DeltaStreamReader(opts, schema)
 
 

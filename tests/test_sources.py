@@ -1720,11 +1720,12 @@ class TestDeltaLogEdges:
                 f.write(json.dumps(a) + "\n")
         feats = delta_features(alien)
         assert not feats["streamable"]
-        assert "minReaderVersion=3" in feats["unsupported"]
+        # DV is the blocker; columnMapping (name mode) is SUPPORTED now —
+        # neither the readerFeature nor the configuration mode is listed
         assert "readerFeature:deletionVectors" in feats["unsupported"]
-        assert "readerFeature:columnMapping" in feats["unsupported"]
-        assert "columnMapping:name" in feats["unsupported"]
         assert "deletionVectors" in feats["unsupported"]
+        assert not any("columnMapping" in u for u in feats["unsupported"])
+        assert not any("minReaderVersion" in u for u in feats["unsupported"])
         # v2/UUID checkpoint layout: reported, not raised
         open(
             os.path.join(
@@ -1887,6 +1888,313 @@ class TestDeltaLogEdges:
         assert "2024-01-01" in delta_history(t)[0]["operationParameters"][
             "predicate"
         ]
+
+
+class TestDeltaColumnMapping:
+    """Column mapping, NAME mode (PROTOCOL.md "Column Mapping"):
+    physical names in the schemaString metadata, physically-named data
+    files and partitionValues, logical user surface. Both directions —
+    our writer's tables AND a hand-crafted foreign log — plus the
+    documented raises (id mode, enable-on-existing, schema evolution)."""
+
+    def test_writer_roundtrip_flat_partitioned(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], schema
+        )
+        assert write_delta(
+            df, t, partition_by=["p"], column_mapping="name"
+        ) == 0
+        # the storage layer speaks physical names end to end
+        files = delta_live_files(t)
+        assert files and all(f.startswith("col-") for f in files), files
+        raw_cols = pq.read_schema(os.path.join(t, files[0])).names
+        assert all(c.startswith("col-") for c in raw_cols), raw_cols
+        feats = delta_features(t)
+        assert feats["unsupported"] == [] and feats["streamable"]
+        assert feats["protocol"] == {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }
+        assert feats["configuration"]["delta.columnMapping.mode"] == "name"
+        assert int(feats["configuration"]["delta.columnMapping.maxColumnId"]) == 3
+        # the user surface is logical
+        got = read_delta(spark, t)
+        assert got.columns == ["k", "v", "p"]
+        assert not got.schema["k"].metadata  # mapping metadata stripped
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+        ]
+        # appends ADOPT the mapping (no argument needed)
+        write_delta(spark.createDataFrame([(4, "d", "y")], schema), t)
+        assert read_delta(spark, t).count() == 4
+        assert all(f.startswith("col-") for f in delta_live_files(t))
+        # time travel still maps
+        assert read_delta(spark, t, version=0).count() == 3
+
+    def test_writer_roundtrip_nested_struct(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, ("x", [(2,), (3,)])), (2, None)],
+            "k long, deal struct<sym:string, legs:array<struct<qty:long>>>",
+        )
+        write_delta(df, t, column_mapping="name")
+        got = read_delta(spark, t)
+        assert got.schema == df.schema  # nested names mapped back
+        assert sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in got.collect()
+        ) == sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in df.collect()
+        )
+
+    def test_replace_where_and_optimize_on_mapped_table(
+        self, spark, tmp_path
+    ):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], schema
+            ),
+            t,
+            partition_by=["p"],
+            column_mapping="name",
+        )
+        # logical predicate scopes a physical-keyed overwrite
+        write_delta(
+            spark.createDataFrame([(9, "z", "x")], schema),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == [
+            (2, "b", "y"), (9, "z", "x"),
+        ]
+        # violation still enforced through the physical keys
+        with pytest.raises(ValueError, match="replace_where violation"):
+            write_delta(
+                spark.createDataFrame([(8, "w", "y")], schema),
+                t,
+                mode="overwrite",
+                replace_where={"p": ["x"]},
+            )
+        # pile up small files, then compact: same rows, fewer files
+        for i in range(3):
+            write_delta(
+                spark.createDataFrame([(10 + i, "m", "y")], schema), t
+            )
+        before = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        n_files = len(delta_live_files(t))
+        assert optimize_delta(spark, t) is not None
+        assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == before
+        assert len(delta_live_files(t)) < n_files
+        assert all(f.startswith("col-") for f in delta_live_files(t))
+
+    def test_checkpoint_preserves_mapping(self, spark, tmp_path):
+        """write_checkpoint + clean_log on a mapped table: protocol 2/5
+        and the mapping configuration ride in the checkpoint, so the
+        table still maps after the JSON prefix is retired."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_features,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.createDataFrame([(1, "a")], schema), t,
+            column_mapping="name",
+        )
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        write_checkpoint(t)
+        assert clean_log(t)
+        got = read_delta(spark, t)
+        assert got.columns == ["k", "v"]
+        assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+        feats = delta_features(t)
+        assert feats["protocol"]["minReaderVersion"] == 2
+        assert feats["configuration"]["delta.columnMapping.mode"] == "name"
+        # the checkpoint-anchored table keeps living
+        write_delta(spark.createDataFrame([(3, "c")], schema), t)
+        assert read_delta(spark, t).count() == 3
+
+    def test_handcrafted_foreign_mapped_log(self, spark, tmp_path):
+        """Spec fidelity, not writer round-trip: a foreign NAME-mode log
+        (physical parquet names, metadata-carrying schemaString,
+        protocol 2/5, physically-keyed partitionValues) reads back
+        logical — including protocol v3 + readerFeatures spelling."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "alien")
+        os.makedirs(os.path.join(t, "_delta_log"))
+        pq.write_table(
+            pa.table({"col-aaa": pa.array([1, 2], pa.int64())}),
+            os.path.join(t, "f1.parquet"),
+        )
+        schema_str = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "k",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 1,
+                            "delta.columnMapping.physicalName": "col-aaa",
+                        },
+                    },
+                    {
+                        "name": "p",
+                        "type": "string",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 2,
+                            "delta.columnMapping.physicalName": "col-bbb",
+                        },
+                    },
+                ],
+            }
+        )
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": ["p"],  # LOGICAL per the protocol
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    # partitionValues keyed by PHYSICAL name
+                    "partitionValues": {"col-bbb": "east"},
+                    "size": 1,
+                    "dataChange": True,
+                }
+            },
+        ]
+        with open(
+            os.path.join(t, "_delta_log", f"{0:020d}.json"), "w"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        got = read_delta(spark, t)
+        assert got.columns == ["k", "p"]
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, "east"), (2, "east"),
+        ]
+
+    def test_id_mode_and_guards_raise(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.createDataFrame([(1, "a")], schema), t,
+            column_mapping="name",
+        )
+        # enabling mapping on an existing plain table: refused
+        t2 = str(tmp_path / "plain")
+        write_delta(spark.createDataFrame([(1, "a")], schema), t2)
+        with pytest.raises(ValueError, match="create-time only"):
+            write_delta(
+                spark.createDataFrame([(2, "b")], schema), t2,
+                column_mapping="name",
+            )
+        # schema evolution on a mapped table: refused (append + overwrite)
+        other = spark.createDataFrame([(1.5,)], "x double")
+        with pytest.raises(ValueError, match="column mapping"):
+            write_delta(other, t)
+        with pytest.raises(ValueError, match="column mapping"):
+            write_delta(other, t, mode="overwrite")
+        # id mode: loud raise on read AND listed by delta_features
+        t3 = str(tmp_path / "idmode")
+        os.makedirs(os.path.join(t3, "_delta_log"))
+        with open(
+            os.path.join(t3, "_delta_log", f"{0:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                             "minWriterVersion": 5}}) + "\n")
+            f.write(json.dumps({
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.createDataFrame(
+                        [(1,)], "k long").schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            }) + "\n")
+        with pytest.raises(ValueError, match="'id'"):
+            read_delta(spark, t3)
+        assert "columnMapping:id" in delta_features(t3)["unsupported"]
+
+    def test_dv_carrying_add_raises(self, spark, tmp_path):
+        """Belt and braces below the protocol gate: an add action with a
+        deletionVector descriptor must never be read as a full file."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({
+                "add": {
+                    "path": "x.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "abc",
+                        "offset": 1, "sizeInBytes": 4, "cardinality": 1,
+                    },
+                }
+            }) + "\n")
+        with pytest.raises(ValueError, match="deletionVector"):
+            read_delta(spark, t)
 
 
 class TestDeltaCheckpoint:

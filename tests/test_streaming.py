@@ -1975,6 +1975,82 @@ class TestDeltaStreamAdmission:
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         assert got == [(1, "a"), (9, "z")]
 
+    def test_column_mapped_table_streams_logical(self, spark, tmp_path):
+        """A NAME-mode column-mapped table (physical file names,
+        physically-keyed partitionValues, nested struct) streams through
+        the real engine with the LOGICAL schema, rows equal to the batch
+        read; id mode raises at open."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        schema = (
+            "k long, deal struct<sym:string, qty:long>, p string"
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(1, ("AAA", 10), "x"), (2, ("BBB", 20), "y")], schema
+            ),
+            t,
+            partition_by=["p"],
+            column_mapping="name",
+        )
+        write_delta(
+            spark.createDataFrame([(3, ("CCC", 30), "x")], schema), t
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = read_delta_stream(spark, t)
+        assert stream.schema.fieldNames() == ["k", "deal", "p"]
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in read_delta(spark, t).collect()
+        )
+        assert got == want and len(got) == 3
+        # id mode: raises at open, not silently wrong
+        import json as _json
+        import os as _os
+
+        t2 = str(tmp_path / "idmode")
+        _os.makedirs(_os.path.join(t2, "_delta_log"))
+        with open(
+            _os.path.join(t2, "_delta_log", f"{0:020d}.json"), "w"
+        ) as f:
+            f.write(_json.dumps({"protocol": {"minReaderVersion": 2,
+                                              "minWriterVersion": 5}}) + "\n")
+            f.write(_json.dumps({
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.createDataFrame(
+                        [(1,)], "k long").schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            }) + "\n")
+        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+
+        snap_opts = {
+            "path": t2,
+            "partcols": "[]",
+            "configjson": _json.dumps({"delta.columnMapping.mode": "id"}),
+        }
+        with pytest.raises(ValueError, match="'id'"):
+            DeltaStreamReader(snap_opts, None)
+
     def test_mid_stream_protocol_upgrade_raises(self, spark, tmp_path):
         """An external writer bumping minReaderVersion (deletion vectors
         / column mapping) mid-tail must raise, not emit deleted rows."""
@@ -2012,8 +2088,30 @@ class TestDeltaStreamAdmission:
                 )
                 + "\n"
             )
-        with pytest.raises(ValueError, match="minReaderVersion"):
+        with pytest.raises(ValueError, match="readerFeatures"):
             _tail_adds(t, 1)
+        # a columnMapping-only feature set passes the PROTOCOL gate (the
+        # metaData gate still guards the actual remap); v4 never does
+        with open(_commit_path(t, 2), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["columnMapping"],
+                        }
+                    }
+                )
+                + "\n"
+            )
+        assert _tail_adds(t, 2) == []
+        with open(_commit_path(t, 3), "w") as f:
+            f.write(
+                json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n"
+            )
+        with pytest.raises(ValueError, match="minReaderVersion"):
+            _tail_adds(t, 3)
 
     def test_mid_stream_schema_change_raises(self, spark, tmp_path):
         """A metaData action with a different schema (or partitioning)
