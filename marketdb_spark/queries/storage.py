@@ -1086,3 +1086,87 @@ def store_delta_colmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_cdf",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice + 1000 AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def store_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed under the hash gate (PROTOCOL.md "Add CDC File";
+    write_delta ``enable_cdf=True`` + deltalog.read_change_feed —
+    delta-spark's ``readChangeFeed``): orders land in a
+    priority-partitioned CDF-enabled Delta table (version 0), then a
+    replaceWhere backfill rewrites the 1-URGENT partition with
+    +1000-adjusted prices (version 1) — the commit stages its full
+    row-level changes under ``_change_data/`` as ``cdc`` actions
+    (asserted inline), and ``read_change_feed(0, 1)`` returns version
+    0's inserts (derived from the add actions — pure appends record no
+    cdc files per the protocol) plus version 1's delete/insert pairs
+    (consumed from exactly the cdc files). The per-(version,
+    change_type) row counts and exact price sums are hash-equal to the
+    oracle iff the feed captures every row exactly once with the right
+    change attribution — the CDC contract downstream incremental
+    consumers (ETL, replication, audit) rely on. The protocol's
+    derivation rules, vacuum interplay, and column-mapping composition
+    are pinned by tests/test_sources.py::TestDeltaCDF."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        read_change_feed,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bad = "1-URGENT"
+    work = tempfile.mkdtemp(prefix="store_cdf_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            orders, t, partition_by=["o_orderpriority"], enable_cdf=True
+        )
+        write_delta(
+            orders.filter(F.col("o_orderpriority") == bad).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1000
+            ),
+            t,
+            mode="overwrite",
+            replace_where={"o_orderpriority": [bad]},
+        )
+        # the backfill commit recorded its changes as cdc actions
+        assert _os.path.isdir(_os.path.join(t, "_change_data"))
+        out = (
+            read_change_feed(spark, t, 0, 1)
+            .groupBy(
+                F.col("_commit_version").cast("long").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

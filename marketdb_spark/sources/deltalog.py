@@ -206,6 +206,12 @@ _CM_MAXID = "delta.columnMapping.maxColumnId"
 _CM_PHYS = "delta.columnMapping.physicalName"
 _CM_ID = "delta.columnMapping.id"
 
+# Change Data Feed (PROTOCOL.md "Add CDC File"): table flag, the
+# directory change files land in, and the change-type column they carry
+_CDF_FLAG = "delta.enableChangeDataFeed"
+_CDF_DIR = "_change_data"
+_CHANGE_TYPE = T.StructField("_change_type", T.StringType(), False)
+
 
 def _mapping_mode(config: dict | None, where: str = "table") -> str:
     mode = (config or {}).get(_CM_MODE) or "none"
@@ -619,11 +625,33 @@ def read_delta(
             raise ValueError("pass version OR timestamp_ms, not both")
         version = delta_version_at(table, timestamp_ms)
     snap = _replay(table, version)
-    part_cols, live = snap.part_cols, snap.live
+    return _scan_files(spark, table, snap, snap.live)
+
+
+def _scan_files(
+    spark: SparkSession,
+    table: str,
+    snap: _Snapshot,
+    files: dict,
+    extra_fields: list[T.StructField] | None = None,
+) -> DataFrame:
+    """The scan kernel shared by read_delta and read_change_feed: a
+    DataFrame over ``files`` ({rel_path: partitionValues}) in the
+    table's LOGICAL schema, partition columns re-attached from the
+    (physically-keyed, under column mapping) partitionValues, one
+    parquet scan per distinct partition tuple. ``extra_fields`` are
+    NON-TABLE columns stored verbatim in the files (the CDF reader's
+    ``_change_type``) — appended to the read schema and the output,
+    never name-mapped."""
+    part_cols = snap.part_cols
     mapped = _mapping_mode(snap.config, table) == "name"
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
-    logical = _t.cast(T.StructType, _strip_field_metadata(schema))
-    if not live:
+    extra_fields = list(extra_fields or [])
+    logical = T.StructType(
+        _t.cast(T.StructType, _strip_field_metadata(schema)).fields
+        + extra_fields
+    )
+    if not files:
         return spark.createDataFrame([], logical)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     if mapped:
@@ -661,8 +689,11 @@ def read_delta(
         )
         renames = [F.col(f.name) for f in data_fields]
         pv_key = {c: c for c in part_cols}
+    if extra_fields:
+        data_schema = T.StructType(data_schema.fields + extra_fields)
+        renames = renames + [F.col(f.name) for f in extra_fields]
     if not part_cols:
-        paths = [os.path.join(table, p) for p in live]
+        paths = [os.path.join(table, p) for p in files]
         return spark.read.schema(data_schema).parquet(*paths).select(renames)
     # group files by partition tuple; union one literal-annotated read
     # per group (partition cardinality bounds the union width).
@@ -670,7 +701,7 @@ def read_delta(
     # (the protocol's rule); tolerate logical-keyed values from sloppy
     # foreign writers rather than silently attaching nulls.
     by_part: dict[tuple, list[str]] = {}
-    for path, pvals in live.items():
+    for path, pvals in files.items():
         key = tuple(pvals.get(pv_key[c], pvals.get(c)) for c in part_cols)
         by_part.setdefault(key, []).append(os.path.join(table, path))
     types = {f.name: f.dataType for f in logical.fields}
@@ -694,6 +725,152 @@ def read_delta(
     return out
 
 
+def read_change_feed(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed reader (delta-spark's ``readChangeFeed`` /
+    ``table_changes``): the row-level changes committed in versions
+    ``[from_version, to_version]`` (inclusive; default: latest), as the
+    table's LOGICAL columns plus ``_change_type``
+    ('insert'/'delete'/'update_preimage'/'update_postimage'),
+    ``_commit_version``, and ``_commit_timestamp``.
+
+    Per the protocol (PROTOCOL.md "Add CDC File"): when a commit carries
+    ``cdc`` actions, its changes are EXACTLY those ``_change_data``
+    files (the add/remove actions are ignored for CDF); otherwise the
+    changes derive from the actions — dataChange adds are inserts,
+    dataChange removes are whole-file deletes whose rows are read from
+    the removed file (still on disk unless vacuumed — a vacuumed change
+    raises by name rather than under-reporting). Compaction commits
+    (dataChange: false) contribute nothing. The table must have
+    ``delta.enableChangeDataFeed`` set; column-mapped tables work —
+    change files speak physical names like any data file.
+
+    Scale shape: one pruned parquet scan per commit per partition tuple,
+    unioned — the log bounds the union width, no driver-side row
+    handling."""
+    snap = _replay(table, to_version)
+    if str(snap.config.get(_CDF_FLAG, "")).lower() != "true":
+        raise ValueError(
+            f"change data was not recorded for {table}: "
+            f"{_CDF_FLAG} is not set (enable_cdf at table create)"
+        )
+    entries = dict(_log_entries(table))
+    if to_version is None:
+        if not entries:
+            raise ValueError(
+                f"no retained JSON commits in {table}/{_LOG} to read "
+                f"changes from"
+            )
+        to_version = max(entries)
+    if from_version < 0 or from_version > to_version:
+        raise ValueError(
+            f"invalid change-feed range [{from_version}, {to_version}]"
+        )
+    missing = [
+        v for v in range(from_version, to_version + 1) if v not in entries
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot read changes for versions {missing} of {table}: "
+            f"their JSON commits were removed by log retention"
+        )
+    stamps = {
+        r["version"]: r["timestamp"] for r in delta_history(table)
+    }
+    out: DataFrame | None = None
+    for v in range(from_version, to_version + 1):
+        cdcs: dict[str, dict] = {}
+        adds: dict[str, dict] = {}
+        removed: dict[str, dict] = {}
+        with open(entries[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    c = action["cdc"]
+                    cdcs[_decode_path(c["path"])] = (
+                        c.get("partitionValues") or {}
+                    )
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange") is not False:
+                        adds[_decode_path(a["path"])] = (
+                            a.get("partitionValues") or {}
+                        )
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange") is not False:
+                        removed[_decode_path(r["path"])] = (
+                            r.get("partitionValues") or {}
+                        )
+        if cdcs:
+            # the commit's changes are exactly its change files, which
+            # carry _change_type in-band
+            part = _scan_files(
+                spark, table, snap, cdcs, extra_fields=[_CHANGE_TYPE]
+            )
+        elif adds or removed:
+            # derivation reads the action files themselves — adds whose
+            # files a LATER overwrite+vacuum reclaimed are just as gone
+            # as vacuumed removes; raise by name, never under-report
+            gone = [
+                p
+                for p in list(removed) + list(adds)
+                if not os.path.exists(os.path.join(table, p))
+            ]
+            if gone:
+                raise ValueError(
+                    f"cannot derive changes for version {v} of {table}: "
+                    f"files {gone} are no longer on disk (vacuumed) and "
+                    f"the commit recorded no cdc files"
+                )
+            pieces = []
+            if adds:
+                pieces.append(
+                    _scan_files(spark, table, snap, adds).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            if removed:
+                pieces.append(
+                    _scan_files(spark, table, snap, removed).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            part = pieces[0]
+            for p in pieces[1:]:
+                part = part.unionByName(p)
+        else:
+            continue  # metadata-only or compaction commit: no changes
+        ts = stamps.get(v)
+        part = part.withColumn("_commit_version", F.lit(v)).withColumn(
+            "_commit_timestamp",
+            F.timestamp_millis(F.lit(int(ts))) if ts is not None else F.lit(None).cast("timestamp"),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        schema = T.StructType(
+            _t.cast(
+                T.StructType, _strip_field_metadata(
+                    T.StructType.fromJson(json.loads(snap.schema_json))
+                )
+            ).fields
+            + [
+                _CHANGE_TYPE,
+                T.StructField("_commit_version", T.IntegerType(), False),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    return out
+
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -708,14 +885,16 @@ def _table_partitioning(table: str) -> list[str] | None:
 
 
 def _stage_files(
-    df: DataFrame, table: str, part_cols: list[str]
+    df: DataFrame, table: str, part_cols: list[str], prefix: str = ""
 ) -> list[tuple[str, dict]]:
     """Write df's data files into the table directory under fresh names
     (Hive-style ``col=value`` subdirs when partitioned) WITHOUT
     committing them — they become live only when an add action lands.
     Returns [(relative_path, partitionValues)] with partitionValues
     decoded from the staged directory layout (Spark percent-encodes
-    special chars; ``__HIVE_DEFAULT_PARTITION__`` means null)."""
+    special chars; ``__HIVE_DEFAULT_PARTITION__`` means null).
+    ``prefix`` roots the staged files under a table subdirectory — the
+    CDF writer stages change files under ``_change_data/``."""
     import shutil as _shutil
     import uuid as _uuid
 
@@ -747,6 +926,8 @@ def _stage_files(
                     )
                 name = f"part-{_uuid.uuid4().hex}.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                if prefix:
+                    rel = os.path.join(prefix, rel)
                 dest = os.path.join(table, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.replace(os.path.join(root, f), dest)
@@ -888,6 +1069,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     replace_where: dict[str, list] | None = None,
     column_mapping: str | None = None,
+    enable_cdf: bool = False,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -938,7 +1120,20 @@ def write_delta(
     restate it, never change it); schema EVOLUTION on a mapped table is
     out of scope and raises rather than dropping the mapping metadata.
     The user-facing DataFrame always speaks LOGICAL names — physical
-    names are a storage detail."""
+    names are a storage detail.
+
+    ``enable_cdf=True`` on table CREATE enables the Change Data Feed
+    (PROTOCOL.md "Add CDC File"; delta-spark's
+    ``delta.enableChangeDataFeed``): every later commit that REMOVES
+    data (overwrite / replaceWhere — delete+insert semantics) also
+    stages ``_change_data/`` parquet files holding the commit's full
+    row-level changes with a ``_change_type`` column
+    ('delete'/'insert') and records them as ``cdc`` actions; CDF
+    readers (read_change_feed) then consume exactly those files for the
+    commit. Pure appends record no cdc files — the protocol lets
+    readers derive their inserts from the add actions. Like
+    column_mapping, the flag is create-time only (existing tables adopt
+    their recorded configuration)."""
     import uuid as _uuid
 
     from urllib.parse import quote
@@ -1010,6 +1205,15 @@ def write_delta(
     max_id = 0
     if existing is not None:
         cmode = _mapping_mode(existing.config, table)
+        cdf_on = (
+            str(existing.config.get(_CDF_FLAG, "")).lower() == "true"
+        )
+        if enable_cdf and not cdf_on:
+            raise ValueError(
+                f"{table} does not have Change Data Feed enabled; "
+                f"enabling it on an existing table is unsupported "
+                f"(create-time only)"
+            )
         if column_mapping == "name" and cmode != "name":
             raise ValueError(
                 f"{table} is not column-mapped; enabling column mapping "
@@ -1030,9 +1234,11 @@ def write_delta(
             )
     elif column_mapping == "name":
         cmode = "name"
+        cdf_on = bool(enable_cdf)
         mapped_schema, max_id = _assign_mapping(df.schema)
     else:
         cmode, mapped_schema = "none", None
+        cdf_on = bool(enable_cdf)
     if mapped_schema is not None:
         phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}
         stage_renames = []
@@ -1050,6 +1256,8 @@ def write_delta(
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     staged = _stage_files(stage_df, table, stage_cols)
     names = [rel for rel, _ in staged]
+    spark_df = df.sparkSession
+    all_cdc: list[str] = []  # every CDF file staged across retries
 
     try:
         if rw is not None:
@@ -1150,7 +1358,31 @@ def write_delta(
                 seen = last_txn_version(table, txn_app)
                 if seen is not None and seen >= txn_version:
                     _unstage(table, names)  # staged files are orphans now
+                    _unstage(table, all_cdc)
                     return None
+            # Change Data Feed: a data-removing commit (overwrite /
+            # replaceWhere) stages its full row-level changes under
+            # _change_data/ and records them as cdc actions — CDF readers
+            # consume exactly these files for the commit. Built inside
+            # the retry loop because the removes are a function of the
+            # live set; a lost race unstages and rebuilds.
+            cdc_staged: list[tuple[str, dict]] = []
+            if cdf_on and removes:
+                deletes_df = _scan_files(
+                    spark_df, table, cur, {p: live[p] for p in removes}
+                ).withColumn("_change_type", F.lit("delete"))
+                inserts_df = _scan_files(
+                    spark_df, table, cur, dict(staged)
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc_df = deletes_df.unionByName(inserts_df)
+                if mapped_schema is not None:
+                    cdc_df = cdc_df.select(
+                        list(stage_renames) + [F.col("_change_type")]
+                    )
+                cdc_staged = _stage_files(
+                    cdc_df, table, stage_cols, prefix=_CDF_DIR
+                )
+                all_cdc.extend(rel for rel, _ in cdc_staged)
             version = latest + 1
             op = (
                 "WRITE"
@@ -1168,18 +1400,23 @@ def write_delta(
                     {"txn": {"appId": txn_app, "version": int(txn_version)}}
                 )
             if latest < 0:
-                actions.append(
-                    {
-                        "protocol": (
-                            # column mapping needs reader 2 / writer 5
-                            # (PROTOCOL.md "Column Mapping")
-                            {"minReaderVersion": 2, "minWriterVersion": 5}
-                            if cmode == "name"
-                            else {"minReaderVersion": 1, "minWriterVersion": 2}
-                        )
-                    }
-                )
+                # column mapping needs reader 2 / writer 5, CDF writer 4
+                # (writer versions are cumulative per the protocol)
+                if cmode == "name":
+                    proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+                elif cdf_on:
+                    proto = {"minReaderVersion": 1, "minWriterVersion": 4}
+                else:
+                    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+                actions.append({"protocol": proto})
             if need_meta:
+                configuration: dict = {}
+                if cmode == "name":
+                    configuration.update(
+                        {_CM_MODE: "name", _CM_MAXID: str(max_id)}
+                    )
+                if cdf_on:
+                    configuration[_CDF_FLAG] = "true"
                 actions.append(
                     {
                         "metaData": {
@@ -1191,11 +1428,7 @@ def write_delta(
                                 else df.schema.json()
                             ),
                             "partitionColumns": part_cols,
-                            "configuration": (
-                                {_CM_MODE: "name", _CM_MAXID: str(max_id)}
-                                if cmode == "name"
-                                else {}
-                            ),
+                            "configuration": configuration,
                         }
                     }
                 )
@@ -1221,14 +1454,30 @@ def write_delta(
                         }
                     }
                 )
+            for rel, pvals in cdc_staged:
+                full = os.path.join(table, rel)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": quote(rel, safe="/="),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "dataChange": False,
+                        }
+                    }
+                )
             if not _publish_commit(table, version, actions):
-                continue  # lost the race — recompute the live set, retry
+                # lost the race — the change files were derived from a
+                # stale live set; drop them and rebuild next iteration
+                _unstage(table, [rel for rel, _ in cdc_staged])
+                continue
             return version
         raise CommitConflict(f"lost the commit race 5 times on {table}")
     except BaseException:
         # guards, CommitConflict, or anything else before a successful
         # commit: the staged files were never referenced — remove them
         _unstage(table, names)
+        _unstage(table, all_cdc)
         raise
 
 
@@ -1780,7 +2029,13 @@ def vacuum_delta(
     deleted: list[str] = []
     for root, _dirs, files in os.walk(table):
         rel_root = os.path.relpath(root, table)
-        if rel_root.split(os.sep)[0].startswith(("_delta_log", "_staging_")):
+        # _change_data is never in the live set but IS referenced by cdc
+        # actions — vacuuming it would break read_change_feed over
+        # retained history, so it is skipped entirely (conservative;
+        # delta-spark ages CDF files out with the same retention clock)
+        if rel_root.split(os.sep)[0].startswith(
+            ("_delta_log", "_staging_", _CDF_DIR)
+        ):
             continue
         for f in sorted(files):
             if not f.endswith(".parquet"):

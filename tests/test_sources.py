@@ -2197,6 +2197,195 @@ class TestDeltaColumnMapping:
             read_delta(spark, t)
 
 
+class TestDeltaCDF:
+    """Change Data Feed (PROTOCOL.md "Add CDC File"): cdc actions +
+    _change_data files from data-removing commits, read_change_feed
+    over version ranges, derivation rules for commits without cdc
+    files, and the documented raises."""
+
+    def test_insert_append_overwrite_roundtrip(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+            enable_cdf=True,
+        )
+        write_delta(spark.createDataFrame([(3, "c", "x")], schema), t)
+        write_delta(
+            spark.createDataFrame([(9, "z", "x")], schema),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        cf = read_change_feed(spark, t, 0)
+        got = sorted(
+            (r.k, r._change_type, r._commit_version) for r in cf.collect()
+        )
+        assert got == [
+            (1, "delete", 2), (1, "insert", 0), (2, "insert", 0),
+            (3, "delete", 2), (3, "insert", 1), (9, "insert", 2),
+        ]
+        assert all(r._commit_timestamp is not None for r in cf.collect())
+        # cdc actions recorded ONLY for the data-removing commit, and the
+        # reader consumes exactly them for that commit (range slice)
+        kinds = []
+        for v in range(3):
+            with open(
+                os.path.join(t, "_delta_log", f"{v:020d}.json")
+            ) as f:
+                kinds.append(
+                    sorted({next(iter(json.loads(l))) for l in f if l.strip()})
+                )
+        assert "cdc" not in kinds[0] and "cdc" not in kinds[1]
+        assert "cdc" in kinds[2]
+        only2 = sorted(
+            (r.k, r._change_type)
+            for r in read_change_feed(spark, t, 2, 2).collect()
+        )
+        assert only2 == [(1, "delete"), (3, "delete"), (9, "insert")]
+
+    def test_derived_deletes_and_vacuum_interplay(self, spark, tmp_path):
+        """A foreign data-removing commit WITHOUT cdc files derives its
+        deletes by reading the removed file; once vacuum has reclaimed
+        that file the reader raises BY NAME instead of under-reporting.
+        vacuum never touches _change_data."""
+        import json as _json
+
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], schema),
+            t,
+            enable_cdf=True,
+        )
+        # our writer's overwrite at v1 leaves _change_data behind
+        write_delta(
+            spark.createDataFrame([(9, "z")], schema).coalesce(1),
+            t,
+            mode="overwrite",
+        )
+        # foreign remove-only commit at v2, no cdc recorded
+        [live] = delta_live_files(t)
+        with open(
+            os.path.join(t, "_delta_log", f"{2:020d}.json"), "w"
+        ) as f:
+            f.write(
+                _json.dumps(
+                    {"remove": {"path": live, "dataChange": True}}
+                )
+                + "\n"
+            )
+        got = sorted(
+            (r.k, r._change_type, r._commit_version)
+            for r in read_change_feed(spark, t, 0).collect()
+        )
+        assert (9, "delete", 2) in got  # derived from the removed file
+        # vacuum reclaims the removed file but leaves _change_data alone
+        deleted = vacuum_delta(t, min_file_age_seconds=0)
+        assert live in deleted
+        assert not any(d.startswith("_change_data") for d in deleted)
+        assert os.path.isdir(os.path.join(t, "_change_data"))
+        # v1 still reads (its cdc files are intact); v0's derived inserts
+        # and v2's derived deletes both raise BY NAME — their action
+        # files are gone
+        assert sorted(
+            (r.k, r._change_type)
+            for r in read_change_feed(spark, t, 1, 1).collect()
+        ) == [(1, "delete"), (2, "delete"), (9, "insert")]
+        with pytest.raises(ValueError, match="vacuumed"):
+            read_change_feed(spark, t, 0, 0).count()
+        with pytest.raises(ValueError, match="vacuumed"):
+            read_change_feed(spark, t, 2, 2).count()
+
+    def test_optimize_contributes_no_changes(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            optimize_delta,
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.createDataFrame([(1, "a")], schema), t, enable_cdf=True
+        )
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        v = optimize_delta(spark, t)
+        assert v is not None
+        assert read_change_feed(spark, t, v, v).count() == 0
+
+    def test_cdf_with_column_mapping(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema),
+            t,
+            partition_by=["p"],
+            enable_cdf=True,
+            column_mapping="name",
+        )
+        write_delta(
+            spark.createDataFrame([(9, "z", "x")], schema),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        cf = read_change_feed(spark, t, 0)
+        assert cf.columns[:3] == ["k", "v", "p"]  # logical surface
+        got = sorted(
+            (r.k, r.p, r._change_type, r._commit_version)
+            for r in cf.collect()
+        )
+        assert got == [
+            (1, "x", "delete", 1), (1, "x", "insert", 0),
+            (2, "y", "insert", 0), (9, "x", "insert", 1),
+        ]
+
+    def test_guards(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "plain")
+        schema = "k long, v string"
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        with pytest.raises(ValueError, match="change data was not recorded"):
+            read_change_feed(spark, t, 0)
+        with pytest.raises(ValueError, match="create-time only"):
+            write_delta(
+                spark.createDataFrame([(2, "b")], schema), t,
+                enable_cdf=True,
+            )
+        t2 = str(tmp_path / "cdf")
+        write_delta(
+            spark.createDataFrame([(1, "a")], schema), t2, enable_cdf=True
+        )
+        with pytest.raises(ValueError, match="invalid change-feed range"):
+            read_change_feed(spark, t2, 1, 0)
+        with pytest.raises(ValueError, match="not in"):
+            read_change_feed(spark, t2, 0, 5)  # beyond the latest version
+
+
 class TestDeltaCheckpoint:
     """Checkpoint WRITER + log retention (sources/deltalog.py
     write_checkpoint/clean_log): the compaction loop that pairs with the
