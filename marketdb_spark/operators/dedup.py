@@ -614,12 +614,16 @@ def connected_components_star(
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no .distinct() here: duplicates are harmless to the small-star
+        # pass that always follows (its min-aggregation ignores them and
+        # its own distinct bounds the round's output), and dropping the
+        # exchange saves one full shuffle per round — the chain-graph
+        # query's cost is scheduler rounds, not rows
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -639,10 +643,19 @@ def connected_components_star(
 
     def _fingerprint(e: DataFrame):
         # xor-fold of row hashes: order-independent and overflow-free
-        # (a SUM of full-range xxhash64 longs overflows under ANSI mode)
+        # (a SUM of full-range xxhash64 longs overflows under ANSI mode).
+        # Hashed UNDIRECTED — (least, greatest) — because both star
+        # operators act on the symmetric closure, so the iteration is a
+        # function of the undirected edge set: an orientation flip with
+        # the same undirected set IS the fixpoint, and a directed
+        # fingerprint would spend one extra round discovering it. A
+        # star-forest round's output never carries both orientations of
+        # an edge (every v is a local minimum), so the xor cannot cancel.
         row = e.agg(
             F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            F.bit_xor(
+                F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))
+            ).alias("h"),
         ).first()
         return (row.n, row.h)
 

@@ -91,19 +91,28 @@ def _arrow_schema(df: DataFrame):
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
         server: MarketDbServer = self.server  # type: ignore[assignment]
-        for raw in self.rfile:
-            line = raw.strip()
-            if not line:
-                continue
-            try:
-                req = json.loads(line)
-                for out in server.dispatch(req):
-                    if isinstance(out, tuple) and out[0] == "frame":
-                        self._send_frame(out[1])
-                    else:
-                        self._send(out)
-            except Exception as exc:  # malformed request must not kill the server
-                self._send({"error": f"{type(exc).__name__}: {exc}"})
+        try:
+            for raw in self.rfile:
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    for out in server.dispatch(req):
+                        if isinstance(out, tuple) and out[0] == "frame":
+                            self._send_frame(out[1])
+                        else:
+                            self._send(out)
+                except (BrokenPipeError, ConnectionResetError):
+                    raise  # handled once, below — the client is gone
+                except Exception as exc:  # malformed request must not kill the server
+                    self._send({"error": f"{type(exc).__name__}: {exc}"})
+        except (BrokenPipeError, ConnectionResetError):
+            # the CLIENT hung up (mid-request or mid-response frame):
+            # nothing to report and nobody to report it to — end this
+            # handler quietly, the threaded server keeps serving other
+            # connections
+            return
 
     def _send(self, obj: dict) -> None:
         self.wfile.write(json.dumps(obj, default=_json_default).encode() + b"\n")

@@ -499,6 +499,39 @@ def test_star_components_deep_chain(spark):
     assert got[60] == 60  # isolated node stays a singleton
 
 
+def test_star_components_early_stop_on_converged_input(spark):
+    """Early termination: an input that is ALREADY a star forest (every
+    edge center→leaf with center = component min) must converge within a
+    single round — max_rounds=1 succeeds. The same budget on a deep chain
+    must exhaust and raise, proving the early exit is the fingerprint
+    fixpoint, not the round cap."""
+    import pytest as _pytest
+
+    from marketdb_spark.operators.dedup import connected_components_star
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(10, i) for i in range(11, 15)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(15)], "id long")
+    got = {
+        r.id: r.label
+        for r in connected_components_star(
+            star, nodes, max_rounds=1
+        ).collect()
+    }
+    assert all(got[i] == 0 for i in range(8))
+    assert all(got[i] == 10 for i in range(10, 15))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    chain_nodes = spark.createDataFrame(
+        [(i,) for i in range(31)], "id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, chain_nodes, max_rounds=1)
+
+
 class TestCellRangeJoin:
     """Regression for multi-unit cells: interval cells and point cells must
     share one epoch-anchored grid — a point one unit past an interval's

@@ -578,6 +578,90 @@ class TestQueryServer:
         assert pa.types.is_int64(tbl.schema.field("trade_id").type)
         assert pa.types.is_decimal(tbl.schema.field("price").type)
 
+    def test_fetch_arrow_malformed_request_error_in_band(self, server):
+        """Malformed bulk-lane requests fail as ONE JSON error line
+        before any framing starts — the client raises, the connection
+        stays sane for the next request, and the server survives."""
+        import json as _json
+        import socket as _socket
+
+        from marketdb_spark.server import fetch_arrow
+
+        h, p = server.host, server.port
+        # missing required fields → header-stage error, client raises
+        with pytest.raises(RuntimeError, match="Error|error|KeyError"):
+            fetch_arrow(h, p, {"kind": "trades"})
+        # raw non-JSON garbage on the wire → error line, not a crash
+        with _socket.create_connection((h, p), timeout=10) as sock:
+            sock.sendall(b"this is not json\n")
+            line = sock.makefile("rb").readline()
+            assert "error" in _json.loads(line)
+        # the server still serves real requests afterwards
+        tbl = fetch_arrow(h, p, {
+            "kind": "trades", "market": "RTS", "security": "RTS-3.13",
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        })
+        assert tbl.num_rows > 0
+
+    def test_fetch_arrow_mid_stream_disconnect_raises(self, server):
+        """A connection dropped mid-frame must surface as ConnectionError
+        (truncated stream), never as a silently short table: the client
+        treats a short read as corruption, not completion. Server-side,
+        the handler thread dies quietly and the server keeps serving."""
+        import json as _json
+        import socket as _socket
+
+        from marketdb_spark.server import fetch_arrow
+
+        h, p = server.host, server.port
+        req = {
+            "op": "fetch_arrow", "kind": "trades", "market": "RTS",
+            "security": "RTS-3.13", "batch_rows": 5,
+            "interval": ["2013-02-01 10:00:00", "2013-02-01 19:00:00"],
+        }
+        # read the header + the first frame's length prefix, then HANG UP
+        # mid-frame; a client-side mirror of this server behavior is the
+        # read_exact() short-read guard, exercised via a fake server below
+        with _socket.create_connection((h, p), timeout=10) as sock:
+            sock.sendall(_json.dumps(req).encode() + b"\n")
+            rf = sock.makefile("rb")
+            header = _json.loads(rf.readline())
+            assert header.get("arrow_frames")
+            n = int.from_bytes(rf.read(4), "big")
+            assert n > 0
+            rf.read(max(n // 2, 1))  # partial frame
+            # drop the connection here (context exit closes the socket)
+        # the server is still healthy for the next client
+        tbl = fetch_arrow(h, p, req)
+        assert tbl.num_rows == 12
+        # client side: a server that dies mid-frame (short read) raises
+        import threading
+
+        srv_sock = _socket.socket()
+        srv_sock.bind(("127.0.0.1", 0))
+        srv_sock.listen(1)
+        fake_port = srv_sock.getsockname()[1]
+
+        def fake_server():
+            conn, _ = srv_sock.accept()
+            conn.makefile("rb").readline()  # consume the request
+            conn.sendall(
+                _json.dumps(
+                    {"arrow_frames": True, "framing": "u32be"}
+                ).encode()
+                + b"\n"
+            )
+            conn.sendall((1000).to_bytes(4, "big") + b"x" * 10)  # short!
+            conn.close()
+
+        t = threading.Thread(target=fake_server, daemon=True)
+        t.start()
+        try:
+            with pytest.raises(ConnectionError, match="truncated"):
+                fetch_arrow("127.0.0.1", fake_port, req)
+        finally:
+            srv_sock.close()
+
     def test_concurrent_clients(self, server):
         """Two cursors pulled from interleaved connections must not leak
         rows between handles (threaded server, per-handle iterators)."""
