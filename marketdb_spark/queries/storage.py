@@ -1170,3 +1170,228 @@ def store_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 10 < 5)
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE under the hash gate (deltadml.delete_delta —
+    delta-spark's ``DELETE FROM``, file-granular copy-on-write): orders
+    land in a priority-partitioned Delta table, then DELETE removes the
+    1-URGENT rows with ``o_orderkey % 10 < 5`` — a predicate that
+    touches SOME rows of SOME files, so the operator must rewrite
+    exactly the matched files without the matched rows (untouched
+    partitions' file sets asserted identical inline — the property that
+    makes row-level repair affordable at 100 TB), while time travel to
+    the pre-delete version still reads every original row (asserted
+    inline). The read-back aggregate is hash-equal to the oracle's
+    NOT-predicate scan iff the deletion removed exactly the matching
+    rows. CDF attribution, partition-moving updates, and merge clauses
+    are pinned by tests/test_sources.py::TestDeltaDML."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadml import delete_delta
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_del_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders, t, partition_by=["o_orderpriority"])
+        n0 = orders.count()
+        untouched_before = [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith("o_orderpriority=1-URGENT")
+        ]
+        assert delete_delta(
+            spark, t, "o_orderpriority = '1-URGENT' AND o_orderkey % 10 < 5"
+        ) == 1
+        # only the matched partition's files were rewritten
+        assert [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith("o_orderpriority=1-URGENT")
+        ] == untouched_before
+        assert read_delta(spark, t, version=0).count() == n0
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_update",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(
+             CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN o_totalprice + 100 ELSE o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE under the hash gate (deltadml.update_delta —
+    delta-spark's ``UPDATE ... SET ... WHERE``): orders land
+    priority-partitioned, then UPDATE adds 100 to every 2-HIGH price —
+    the operator rewrites exactly the matched partition's files with the
+    SET expression applied to matching rows and every other row byte-
+    preserved (other partitions' file identity asserted inline). Hash-
+    equal to the oracle's CASE-expression scan iff the update touched
+    exactly the matching rows with exactly the SET arithmetic. The
+    row-count per priority doubles as a no-row-loss check."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadml import update_delta
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_upd_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders, t, partition_by=["o_orderpriority"])
+        untouched_before = [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith("o_orderpriority=2-HIGH")
+        ]
+        assert update_delta(
+            spark,
+            t,
+            "o_orderpriority = '2-HIGH'",
+            {"o_totalprice": "o_totalprice + 100"},
+        ) == 1
+        assert [
+            f
+            for f in delta_live_files(t)
+            if not f.startswith("o_orderpriority=2-HIGH")
+        ] == untouched_before
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, '3-MEDIUM', 1.0
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under the hash gate (deltadml.merge_delta —
+    delta-spark's MERGE, protocol-native upsert): orders land with the
+    3-MEDIUM partition's prices CORRUPTED (+500), then one merge keyed
+    on o_orderkey repairs them (whole-row when_matched='update' from the
+    correct source rows) AND inserts synthetic new orders (keys shifted
+    by 1e8, not matched → insert) in the SAME atomic commit. The
+    read-back aggregate is hash-equal to `orders ∪ inserts` iff the
+    merge updated every corrupted row, inserted every new row, and
+    touched nothing else — matched-file granularity, duplicate-source
+    rejection, CDF pre/postimage attribution and the delete clause are
+    pinned by tests/test_sources.py::TestDeltaDML."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadml import merge_delta
+    from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bad = "3-MEDIUM"
+    work = tempfile.mkdtemp(prefix="store_merge_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        corrupted = orders.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == bad,
+                F.col("o_totalprice") + 500,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        write_delta(corrupted, t, partition_by=["o_orderpriority"])
+        source = orders.filter(F.col("o_orderpriority") == bad).unionByName(
+            orders.filter(F.col("o_orderkey") < 1000).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit(bad).alias("o_orderpriority"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+        assert merge_delta(spark, t, source, on=["o_orderkey"]) == 1
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,545 @@
+"""Row-level Delta DML — DELETE / UPDATE / MERGE as file-granular
+copy-on-write commits over the public transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md), no delta
+jars. The missing third of the table lifecycle next to the writer
+(deltalog.write_delta) and the maintenance ops (optimize/vacuum/
+checkpoint): what delta-spark's ``DELETE FROM`` / ``UPDATE`` /
+``MERGE INTO`` compile to, re-expressed Spark-first.
+
+Execution model (exactly delta-spark's copy-on-write):
+
+1. ONE scan of the live file set finds the files that contain any row
+   matching the predicate / join keys (``input_file_name()`` per row —
+   stays in the scan stage, no shuffle). Files without a match are
+   never touched: a DELETE of one day from a 100 TB table rewrites
+   that day's files only.
+2. The matched files are re-read and rewritten WITHOUT the deleted
+   rows (with updated rows, with merged rows), staged under fresh
+   names; MERGE's not-matched inserts stage as additional new files.
+3. One commit claims the next version: ``remove`` for every matched
+   file, ``add`` for every rewritten/new file (all ``dataChange:
+   true``), plus ``cdc`` actions when the table has
+   ``delta.enableChangeDataFeed`` — DELETE records 'delete' rows,
+   UPDATE records 'update_preimage'/'update_postimage' pairs, MERGE
+   records all of insert/delete/preimage/postimage per clause, which
+   is precisely what read_change_feed replays to downstream
+   incremental consumers.
+
+Concurrency follows optimize_delta's discipline: the put-if-absent
+commit race retries only while every matched file is still live; a
+concurrent commit that removed one makes this DML stale →
+CommitConflict (delta-spark resolves the same conflicts the same way).
+Column-mapped tables work throughout — the row-level ops speak the
+LOGICAL schema, staging re-speaks physical names.
+
+Reference anchor: the reference's store is append-only puts + bulk
+loads (MarketDB.scala put/bulk paths); row-level repair there means
+re-putting corrected rows over old row keys. Delta DML is the
+lakehouse generalization this engine adds on top: the same
+"correct in place, atomically, without rewriting the world" contract,
+with provenance (commitInfo + CDF) the HBase path never had.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import typing as _t
+from urllib.parse import quote, unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from marketdb_spark.sources.deltalog import (
+    _CDF_DIR,
+    _CDF_FLAG,
+    _LOG,
+    _Snapshot,
+    _checkpoint_versions,
+    _commit_info,
+    _log_entries,
+    _mapping_mode,
+    _physical_datatype,
+    _physical_name,
+    _publish_commit,
+    _replay,
+    _scan_files,
+    _stage_files,
+    _strip_field_metadata,
+    _unstage,
+)
+
+_FILE_COL = "__dml_file"
+
+
+def _table_state(table: str) -> _Snapshot:
+    if not os.path.isdir(os.path.join(table, _LOG)) or not (
+        _log_entries(table) or _checkpoint_versions(table)
+    ):
+        raise ValueError(f"no Delta table at {table}")
+    return _replay(table, None)
+
+
+def _latest_version(table: str) -> int:
+    entries = _log_entries(table)
+    ckpts = _checkpoint_versions(table)
+    return max(
+        entries[-1][0] if entries else -1, ckpts[-1] if ckpts else -1
+    )
+
+
+def _rel_of_uri(table: str, uri: str) -> str:
+    """input_file_name() returns a percent-encoded file URI; map it back
+    to the table-relative path the log speaks."""
+    path = unquote(urlparse(uri).path)
+    return os.path.relpath(path, os.path.abspath(table))
+
+
+def _tagged_scan(
+    spark: SparkSession, table: str, snap: _Snapshot
+) -> DataFrame:
+    """The live rows in LOGICAL columns plus the source file of each row
+    (percent-decoded, table-relative). input_file_name() is evaluated in
+    the scan stage — valid because _scan_files' plan is scan → project →
+    union, no shuffle below the projection."""
+    df = _scan_files(spark, table, snap, snap.live)
+    return df.withColumn(_FILE_COL, F.input_file_name())
+
+
+def _stage_logical(
+    df: DataFrame,
+    table: str,
+    snap: _Snapshot,
+    extra_cols: list[str] | None = None,
+    prefix: str = "",
+) -> list[tuple[str, dict]]:
+    """Stage a LOGICAL-schema DataFrame into the table's storage layout:
+    physical names under column mapping, Hive dirs on the (physical)
+    partition columns. ``extra_cols`` ride through verbatim (the CDF
+    stager's ``_change_type``)."""
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    cmode = _mapping_mode(snap.config, table)
+    cols = []
+    for f in schema.fields:
+        if cmode == "name":
+            phys_dt = _physical_datatype(f.dataType)
+            col = F.col(f.name)
+            if phys_dt != _strip_field_metadata(f.dataType):
+                col = col.cast(phys_dt)
+            cols.append(col.alias(_physical_name(f)))
+        else:
+            cols.append(F.col(f.name))
+    for c in extra_cols or []:
+        cols.append(F.col(c))
+    if cmode == "name":
+        phys_of = {f.name: _physical_name(f) for f in schema.fields}
+        stage_cols = [phys_of[c] for c in snap.part_cols]
+    else:
+        stage_cols = list(snap.part_cols)
+    return _stage_files(df.select(cols), table, stage_cols, prefix=prefix)
+
+
+def _commit_dml(
+    table: str,
+    op: str,
+    params: dict,
+    matched_rels: list[str],
+    staged: list[tuple[str, dict]],
+    cdc_staged: list[tuple[str, dict]],
+) -> int:
+    """The shared commit tail: remove every matched file, add every
+    staged file (+ cdc actions), with optimize_delta's staleness rule —
+    retry the race only while every matched file is still live."""
+    from marketdb_spark.sources.snapshot import CommitConflict
+
+    for _ in range(5):
+        latest = _latest_version(table)
+        cur = _replay(table, None)
+        if any(p not in cur.live for p in matched_rels):
+            raise CommitConflict(
+                f"{op} of {table} is stale: a concurrent commit removed "
+                f"a file this operation rewrote"
+            )
+        actions: list[dict] = [_commit_info(op, params)]
+        for p in sorted(matched_rels):
+            actions.append(
+                {"remove": {"path": quote(p, safe="/="), "dataChange": True}}
+            )
+        for rel, pvals in staged:
+            full = os.path.join(table, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(rel, safe="/="),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(
+                            os.path.getmtime(full) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+        for rel, pvals in cdc_staged:
+            full = os.path.join(table, rel)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel, safe="/="),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+        if not _publish_commit(table, latest + 1, actions):
+            continue
+        return latest + 1
+    raise CommitConflict(f"lost the commit race 5 times on {table}")
+
+
+def _cdf_on(snap: _Snapshot) -> bool:
+    return str(snap.config.get(_CDF_FLAG, "")).lower() == "true"
+
+
+def delete_delta(
+    spark: SparkSession, table: str, condition: str
+) -> int | None:
+    """``DELETE FROM table WHERE condition`` — rewrite exactly the live
+    files containing a matching row, without those rows. Returns the
+    committed version, or None when nothing matched (delta-spark also
+    commits nothing then). ``condition`` is a Spark SQL boolean
+    expression over the LOGICAL columns; NULL evaluates as no-match,
+    exactly SQL's DELETE semantics. With CDF enabled the commit stages
+    the deleted rows as 'delete' change rows."""
+    snap = _table_state(table)
+    cond = F.expr(condition)
+    tagged = _tagged_scan(spark, table, snap)
+    matched_uris = [
+        r[0]
+        for r in tagged.filter(cond).select(_FILE_COL).distinct().collect()
+    ]
+    if not matched_uris:
+        return None
+    matched_rels = sorted(_rel_of_uri(table, u) for u in matched_uris)
+    subset = {p: snap.live[p] for p in matched_rels}
+    logical_cols = [
+        f.name
+        for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+    ]
+    rows = _scan_files(spark, table, snap, subset)
+    # keep = NOT (cond IS TRUE): null-condition rows survive, per SQL
+    kept = rows.filter(~F.coalesce(cond, F.lit(False))).select(logical_cols)
+    staged = _stage_logical(kept, table, snap)
+    cdc_staged: list[tuple[str, dict]] = []
+    try:
+        if _cdf_on(snap):
+            deleted = (
+                rows.filter(F.coalesce(cond, F.lit(False)))
+                .select(logical_cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_staged = _stage_logical(
+                deleted, table, snap,
+                extra_cols=["_change_type"], prefix=_CDF_DIR,
+            )
+        return _commit_dml(
+            table,
+            "DELETE",
+            {"predicate": condition},
+            matched_rels,
+            staged,
+            cdc_staged,
+        )
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        _unstage(table, [r for r, _ in cdc_staged])
+        raise
+
+
+def update_delta(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    set: dict[str, str],
+) -> int | None:
+    """``UPDATE table SET col = expr, ... WHERE condition`` — rewrite
+    exactly the files containing a matching row, with the matching rows
+    transformed. Each set expression is cast back to the column's
+    existing type (UPDATE never changes the schema). Returns the
+    committed version, or None when nothing matched. With CDF enabled
+    the commit stages 'update_preimage'/'update_postimage' row pairs."""
+    snap = _table_state(table)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
+    bad = [c for c in set if c not in types]
+    if bad:
+        raise ValueError(f"UPDATE of unknown columns {bad} on {table}")
+    # updating a PARTITION column is supported: the rewritten rows simply
+    # stage into their new Hive dirs with new partitionValues
+    cond = F.expr(condition)
+    tagged = _tagged_scan(spark, table, snap)
+    matched_uris = [
+        r[0]
+        for r in tagged.filter(cond).select(_FILE_COL).distinct().collect()
+    ]
+    if not matched_uris:
+        return None
+    matched_rels = sorted(_rel_of_uri(table, u) for u in matched_uris)
+    subset = {p: snap.live[p] for p in matched_rels}
+    rows = _scan_files(spark, table, snap, subset)
+    logical_cols = [f.name for f in schema.fields]
+    hit = F.coalesce(cond, F.lit(False))
+    updated_cols = [
+        (
+            F.when(hit, F.expr(e).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set
+            else F.col(c)
+        )
+        for c, e in ((c, set.get(c)) for c in logical_cols)
+    ]
+    rewritten = rows.select(updated_cols)
+    staged = _stage_logical(rewritten, table, snap)
+    cdc_staged: list[tuple[str, dict]] = []
+    try:
+        if _cdf_on(snap):
+            pre = (
+                rows.filter(hit)
+                .select(logical_cols)
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            post = (
+                rows.filter(hit)
+                .select(
+                    [
+                        F.expr(set[c]).cast(types[c]).alias(c)
+                        if c in set
+                        else F.col(c)
+                        for c in logical_cols
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdc_staged = _stage_logical(
+                pre.unionByName(post), table, snap,
+                extra_cols=["_change_type"], prefix=_CDF_DIR,
+            )
+        return _commit_dml(
+            table,
+            "UPDATE",
+            {"predicate": condition, "set": set},
+            matched_rels,
+            staged,
+            cdc_staged,
+        )
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        _unstage(table, [r for r, _ in cdc_staged])
+        raise
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | dict[str, str] | None = "update",
+    when_not_matched: str | None = "insert",
+) -> int | None:
+    """``MERGE INTO table USING source ON keys`` — the upsert primitive
+    (delta-spark's MERGE, ≙ the reference's bulk-put upsert path in
+    sources/store.merge_upsert, here protocol-native). ``on`` names the
+    join key columns (present in both sides). Clauses:
+
+    - ``when_matched``: ``"update"`` (replace the whole row with the
+      source row — source must carry the full target schema), a
+      ``{col: sql_expr}`` dict (delta's UPDATE SET form; expressions
+      may reference target columns and ``src.<col>`` for source
+      values), ``"delete"``, or None (leave matched rows alone).
+    - ``when_not_matched``: ``"insert"`` (source rows with no target
+      match append as new files — full-schema source required) or None.
+
+    Matching is by equality on ``on``; a source with DUPLICATE keys that
+    match a target row raises (delta-spark's
+    ``multipleSourceRowMatchingTargetRowInMergeException``) — a
+    nondeterministic merge must fail loudly. Only files containing a
+    matched row are rewritten; inserts stage as new files. With CDF:
+    matched updates record preimage/postimage pairs, deletes record
+    'delete', inserts record 'insert'. Returns the committed version,
+    or None when the merge is a no-op."""
+    if when_matched not in ("update", "delete", None) and not isinstance(
+        when_matched, dict
+    ):
+        raise ValueError(
+            f"when_matched must be 'update'|'delete'|dict|None, got "
+            f"{when_matched!r}"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError(
+            f"when_not_matched must be 'insert'|None, got "
+            f"{when_not_matched!r}"
+        )
+    snap = _table_state(table)
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    logical_cols = [f.name for f in schema.fields]
+    types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
+    bad = [k for k in on if k not in logical_cols or k not in source.columns]
+    if bad:
+        raise ValueError(
+            f"merge keys {bad} must exist in both the table "
+            f"({logical_cols}) and the source ({source.columns})"
+        )
+    # delta's nondeterminism guard: no duplicate source keys
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            f"MERGE source has duplicate keys on {on}: multiple source "
+            f"rows would match one target row (nondeterministic merge)"
+        )
+    src = source.alias("src")
+    tagged = _tagged_scan(spark, table, snap).alias("tgt")
+    key_cond = [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on]
+    matched_uris = [
+        r[0]
+        for r in tagged.join(src, key_cond, "left_semi")
+        .select(_FILE_COL)
+        .distinct()
+        .collect()
+    ]
+    matched_rels = sorted(
+        {_rel_of_uri(table, u) for u in matched_uris}
+    )
+    inserts = (
+        src.join(
+            _scan_files(spark, table, snap, snap.live)
+            .select(on)
+            .alias("tgt"),
+            key_cond,
+            "left_anti",
+        )
+        if when_not_matched == "insert"
+        else None
+    )
+    if inserts is not None:
+        missing = [c for c in logical_cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"when_not_matched='insert' needs the full table schema "
+                f"in the source; missing {missing}"
+            )
+        inserts = inserts.select([F.col(c).cast(types[c]).alias(c) for c in logical_cols])
+    if not matched_rels and (inserts is None or inserts.limit(1).count() == 0):
+        return None
+
+    staged: list[tuple[str, dict]] = []
+    cdc_staged: list[tuple[str, dict]] = []
+    try:
+        cdc_parts: list[DataFrame] = []
+        if matched_rels and when_matched is not None:
+            subset = {p: snap.live[p] for p in matched_rels}
+            rows = _scan_files(spark, table, snap, subset).alias("tgt")
+            joined = rows.join(src, key_cond, "left")
+            is_matched = F.col(f"src.{on[0]}").isNotNull()
+            old = [F.col(f"tgt.{c}") for c in logical_cols]
+            if when_matched == "delete":
+                rewritten = joined.filter(~is_matched).select(
+                    [c.alias(n) for c, n in zip(old, logical_cols)]
+                )
+                new_vals = None
+            else:
+                if when_matched == "update":
+                    missing = [
+                        c for c in logical_cols if c not in source.columns
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"when_matched='update' needs the full table "
+                            f"schema in the source; missing {missing}"
+                        )
+                    new_vals = [
+                        F.col(f"src.{c}").cast(types[c]) for c in logical_cols
+                    ]
+                else:  # dict of SET expressions
+                    bad = [c for c in when_matched if c not in logical_cols]
+                    if bad:
+                        raise ValueError(
+                            f"MERGE SET of unknown columns {bad} on {table}"
+                        )
+                    new_vals = [
+                        F.expr(when_matched[c]).cast(types[c])
+                        if c in when_matched
+                        else F.col(f"tgt.{c}")
+                        for c in logical_cols
+                    ]
+                rewritten = joined.select(
+                    [
+                        F.when(is_matched, nv).otherwise(o).alias(n)
+                        for nv, o, n in zip(new_vals, old, logical_cols)
+                    ]
+                )
+            staged.extend(_stage_logical(rewritten, table, snap))
+            if _cdf_on(snap):
+                matched_old = joined.filter(is_matched).select(
+                    [c.alias(n) for c, n in zip(old, logical_cols)]
+                )
+                if when_matched == "delete":
+                    cdc_parts.append(
+                        matched_old.withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                else:
+                    cdc_parts.append(
+                        matched_old.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc_parts.append(
+                        joined.filter(is_matched)
+                        .select(
+                            [
+                                nv.alias(n)
+                                for nv, n in zip(new_vals, logical_cols)
+                            ]
+                        )
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+        if inserts is not None:
+            ins_staged = _stage_logical(inserts, table, snap)
+            staged.extend(ins_staged)
+            if _cdf_on(snap) and ins_staged:
+                cdc_parts.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+        if cdc_parts:
+            cdc = cdc_parts[0]
+            for p in cdc_parts[1:]:
+                cdc = cdc.unionByName(p)
+            cdc_staged = _stage_logical(
+                cdc, table, snap,
+                extra_cols=["_change_type"], prefix=_CDF_DIR,
+            )
+        rewrite_rels = matched_rels if when_matched is not None else []
+        return _commit_dml(
+            table,
+            "MERGE",
+            {
+                "on": on,
+                "matched": "dict" if isinstance(when_matched, dict) else when_matched,
+                "notMatched": when_not_matched,
+            },
+            rewrite_rels,
+            staged,
+            cdc_staged,
+        )
+    except BaseException:
+        _unstage(table, [r for r, _ in staged])
+        _unstage(table, [r for r, _ in cdc_staged])
+        raise

@@ -2470,6 +2470,178 @@ class TestDeltaCDF:
             read_change_feed(spark, t2, 0, 5)  # beyond the latest version
 
 
+class TestDeltaDML:
+    """Row-level DELETE/UPDATE/MERGE (sources/deltadml.py): file-granular
+    copy-on-write commits, CDF change attribution per clause, column
+    mapping composition, and the documented guards."""
+
+    def _mk(self, spark, t, cdf=True, mapping=None):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "z")],
+            "k long, v string, p string",
+        ).coalesce(2)
+        write_delta(
+            df, t, partition_by=["p"], enable_cdf=cdf,
+            column_mapping=mapping,
+        )
+
+    def test_delete_file_granular_with_cdf(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_live_files,
+            read_change_feed,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        before_z = [f for f in delta_live_files(t) if f.startswith("p=z")]
+        v = delete_delta(spark, t, "k = 3")
+        assert v == 1
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "a", "x"), (2, "b", "y"), (4, "d", "z")]
+        # only the file containing k=3 was rewritten
+        assert [
+            f for f in delta_live_files(t) if f.startswith("p=z")
+        ] == before_z
+        # time travel to the pre-delete state works
+        assert read_delta(spark, t, version=0).count() == 4
+        # no-op delete commits nothing
+        assert delete_delta(spark, t, "k = 99") is None
+        assert delta_history(t)[0]["operation"] == "DELETE"
+        cf = read_change_feed(spark, t, 1, 1)
+        assert [(r.k, r._change_type) for r in cf.collect()] == [
+            (3, "delete")
+        ]
+
+    def test_update_with_partition_move_and_cdf(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import update_delta
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        v = update_delta(spark, t, "p = 'y'", {"v": "upper(v)"})
+        assert v == 1
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert (2, "B", "y") in got and len(got) == 4
+        cf = read_change_feed(spark, t, 1, 1)
+        assert sorted((r.k, r.v, r._change_type) for r in cf.collect()) == [
+            (2, "B", "update_postimage"), (2, "b", "update_preimage"),
+        ]
+        # updating the PARTITION column moves the row between partitions
+        v = update_delta(spark, t, "k = 4", {"p": "'x'"})
+        assert v == 2
+        got = {r.k: r.p for r in read_delta(spark, t).collect()}
+        assert got[4] == "x"
+        # unknown column guard
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_delta(spark, t, "k = 1", {"nope": "1"})
+        # no-op
+        assert update_delta(spark, t, "k = 99", {"v": "'q'"}) is None
+
+    def test_merge_clauses_and_cdf_attribution(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        self._mk(spark, t)
+        # whole-row update + insert
+        src = spark.createDataFrame([(1, "A1", "x"), (9, "new", "y")], schema)
+        v = merge_delta(spark, t, src, on=["k"])
+        assert v == 1
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert (1, "A1", "x") in got and (9, "new", "y") in got
+        assert len(got) == 5
+        cf = read_change_feed(spark, t, 1, 1)
+        assert sorted((r.k, r._change_type) for r in cf.collect()) == [
+            (1, "update_postimage"), (1, "update_preimage"),
+            (9, "insert"),
+        ]
+        # SET-dict clause referencing src columns
+        src2 = spark.createDataFrame([(2, "ZZ", "y")], schema)
+        merge_delta(
+            spark, t, src2, on=["k"],
+            when_matched={"v": "concat(src.v, '!')"},
+            when_not_matched=None,
+        )
+        assert {r.v for r in read_delta(spark, t).filter("k=2").collect()} == {
+            "ZZ!"
+        }
+        # delete clause
+        merge_delta(
+            spark, t,
+            spark.createDataFrame([(3,)], "k long"),
+            on=["k"], when_matched="delete", when_not_matched=None,
+        )
+        assert read_delta(spark, t).filter("k=3").count() == 0
+        cfd = read_change_feed(spark, t, 3, 3)
+        assert [(r.k, r._change_type) for r in cfd.collect()] == [
+            (3, "delete")
+        ]
+        # duplicate source keys: nondeterministic merge raises
+        with pytest.raises(ValueError, match="duplicate keys"):
+            merge_delta(
+                spark, t,
+                spark.createDataFrame(
+                    [(1, "q", "x"), (1, "r", "x")], schema
+                ),
+                on=["k"],
+            )
+        # insert-only merge on all-new keys
+        v = merge_delta(
+            spark, t,
+            spark.createDataFrame([(77, "w", "z")], schema),
+            on=["k"], when_matched=None,
+        )
+        assert v is not None
+        assert read_delta(spark, t).filter("k=77").count() == 1
+        # full no-op returns None
+        assert (
+            merge_delta(
+                spark, t,
+                spark.createDataFrame([], schema),
+                on=["k"],
+            )
+            is None
+        )
+
+    def test_dml_on_column_mapped_table(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            merge_delta,
+            update_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, cdf=True, mapping="name")
+        delete_delta(spark, t, "k = 3")
+        update_delta(spark, t, "k = 2", {"v": "'B'"})
+        merge_delta(
+            spark, t,
+            spark.createDataFrame([(9, "n", "x")], "k long, v string, p string"),
+            on=["k"],
+        )
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "B", "y"), (4, "d", "z"), (9, "n", "x"),
+        ]
+        assert all(f.startswith("col-") for f in delta_live_files(t))
+
+
 class TestDeltaCheckpoint:
     """Checkpoint WRITER + log retention (sources/deltalog.py
     write_checkpoint/clean_log): the compaction loop that pairs with the
