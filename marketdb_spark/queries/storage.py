@@ -1395,3 +1395,79 @@ def store_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_restore",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE under the hash gate (deltadml.restore_delta —
+    delta-spark's RESTORE ... TO VERSION AS OF): orders land as version
+    0, then two damaging commits follow — a replaceWhere overwrite that
+    corrupts one partition's prices and a DELETE that drops rows — and
+    one RESTORE commit undoes both by re-referencing version 0's exact
+    file set (ZERO data movement, file-set identity asserted inline;
+    the damaged states stay time-travelable, asserted inline). The
+    read-back aggregate is hash-equal to plain orders iff the restore
+    reconstructed the snapshot exactly — the undo primitive that makes
+    a bad 100 TB write a log-sized repair, not a re-load. CDF diff
+    attribution and the vacuumed-target guard are pinned by
+    tests/test_sources.py::TestDeltaDML::test_restore_to_version."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadml import delete_delta, restore_delta
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bad = "5-LOW"
+    work = tempfile.mkdtemp(prefix="store_restore_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders, t, partition_by=["o_orderpriority"])
+        files_v0 = delta_live_files(t)
+        # damage 1: corrupt one partition's prices
+        write_delta(
+            orders.filter(F.col("o_orderpriority") == bad).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            t,
+            mode="overwrite",
+            replace_where={"o_orderpriority": [bad]},
+        )
+        # damage 2: drop a slice of rows
+        assert delete_delta(spark, t, "o_orderkey % 7 = 0") == 2
+        assert restore_delta(spark, t, 0) == 3
+        assert delta_live_files(t) == files_v0  # exact snapshot, no copies
+        # the damaged intermediate is still reachable
+        assert read_delta(spark, t, version=2).count() < orders.count()
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

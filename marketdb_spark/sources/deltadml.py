@@ -543,3 +543,87 @@ def merge_delta(
         _unstage(table, [r for r, _ in staged])
         _unstage(table, [r for r, _ in cdc_staged])
         raise
+
+
+def restore_delta(
+    spark: SparkSession, table: str, version: int
+) -> int | None:
+    """``RESTORE TABLE ... TO VERSION AS OF v`` (delta-spark's RESTORE):
+    one commit that makes the LIVE SET equal the historical snapshot's —
+    ``remove`` for every file live now but not at ``v``, ``add``
+    re-referencing every file live at ``v`` but not now (no data
+    movement: the old files are still on disk unless vacuumed — a
+    vacuumed restore target raises BY NAME before committing anything).
+    History is preserved: the restore is a NEW version on top, so the
+    pre-restore state remains time-travelable — this is the undo
+    primitive for a bad overwrite/DML on a 100 TB table, at log cost.
+
+    With CDF enabled the commit stages the full row-level diff
+    ('delete' rows for what the restore removes, 'insert' rows for what
+    it brings back), so incremental consumers see the restore as the
+    data change it is. Returns the committed version, or None when the
+    table is already at the target state."""
+    snap = _table_state(table)
+    target = _replay(table, version)
+    if _strip_field_metadata(
+        T.StructType.fromJson(json.loads(target.schema_json))
+    ) != _strip_field_metadata(
+        T.StructType.fromJson(json.loads(snap.schema_json))
+    ) or target.part_cols != snap.part_cols:
+        raise ValueError(
+            f"cannot restore {table} to version {version}: the schema or "
+            f"partitioning changed since — restore across schema changes "
+            f"is unsupported"
+        )
+    removes = sorted(set(snap.live) - set(target.live))
+    readds = sorted(set(target.live) - set(snap.live))
+    if not removes and not readds:
+        return None
+    gone = [
+        p for p in readds if not os.path.exists(os.path.join(table, p))
+    ]
+    if gone:
+        raise ValueError(
+            f"cannot restore {table} to version {version}: files {gone} "
+            f"were vacuumed — the snapshot is no longer materializable"
+        )
+    # "staged" adds are the EXISTING historical files re-referenced with
+    # their original partitionValues — never unstage these on failure
+    # (they belong to retained history), only the cdc files we created
+    readd_staged = [(p, target.live[p]) for p in readds]
+    cdc_staged: list[tuple[str, dict]] = []
+    try:
+        if _cdf_on(snap):
+            parts: list[DataFrame] = []
+            if removes:
+                parts.append(
+                    _scan_files(
+                        spark, table, snap,
+                        {p: snap.live[p] for p in removes},
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            if readds:
+                parts.append(
+                    _scan_files(
+                        spark, table, target,
+                        {p: target.live[p] for p in readds},
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            cdc = parts[0]
+            for p in parts[1:]:
+                cdc = cdc.unionByName(p)
+            cdc_staged = _stage_logical(
+                cdc, table, snap,
+                extra_cols=["_change_type"], prefix=_CDF_DIR,
+            )
+        return _commit_dml(
+            table,
+            "RESTORE",
+            {"version": version},
+            removes,
+            readd_staged,
+            cdc_staged,
+        )
+    except BaseException:
+        _unstage(table, [r for r, _ in cdc_staged])
+        raise

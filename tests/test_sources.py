@@ -2615,6 +2615,57 @@ class TestDeltaDML:
             is None
         )
 
+    def test_restore_to_version(self, spark, tmp_path):
+        """RESTORE: the live set returns to the historical snapshot's in
+        one new commit (no data movement — the re-added files are the
+        original paths), history is preserved, CDF records the diff, a
+        no-op restore returns None, and a vacuumed target raises by
+        name."""
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            restore_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_live_files,
+            read_change_feed,
+            read_delta,
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        files_v0 = delta_live_files(t)
+        delete_delta(spark, t, "k <= 2")
+        write_delta(
+            spark.createDataFrame(
+                [(8, "h", "x")], "k long, v string, p string"
+            ),
+            t,
+        )
+        v = restore_delta(spark, t, 0)
+        assert v == 3
+        assert delta_live_files(t) == files_v0  # exact snapshot, no copies
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "z"),
+        ]
+        # pre-restore states remain time-travelable
+        assert read_delta(spark, t, version=2).filter("k=8").count() == 1
+        assert delta_history(t)[0]["operation"] == "RESTORE"
+        cf = read_change_feed(spark, t, 3, 3)
+        changes = sorted((r.k, r._change_type) for r in cf.collect())
+        assert (8, "delete") in changes  # the restore removed the append
+        assert (1, "insert") in changes and (2, "insert") in changes
+        assert restore_delta(spark, t, 3) is None  # already there
+        # vacuum the now-dead k=8 file, then a restore to v2 must raise
+        vacuum_delta(t, min_file_age_seconds=0)
+        with pytest.raises(ValueError, match="vacuumed"):
+            restore_delta(spark, t, 2)
+        # and the failed restore committed nothing
+        assert delta_history(t)[0]["operation"] == "RESTORE"
+
     def test_dml_on_column_mapped_table(self, spark, tmp_path):
         from marketdb_spark.sources.deltadml import (
             delete_delta,
