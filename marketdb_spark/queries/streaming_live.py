@@ -1462,3 +1462,100 @@ def stream_delta_starting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_delta_cdf",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice + 1000 AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed under the hash gate
+    (streaming/deltasource.py ``format("deltacdf")`` — delta-spark's
+    readChangeFeed stream): orders land in a CDF-enabled Delta table
+    (version 0), a replaceWhere backfill rewrites the 1-URGENT
+    partition with +1000 prices (version 1, cdc actions staged), then
+    the CHANGE FEED streams from ``startingVersion=0`` under
+    ``maxFilesPerTrigger=2`` — the engine must drain the history as ≥3
+    bounded micro-batches (asserted inline) whose union carries every
+    change exactly once with the right attribution: version 0's inserts
+    DERIVED from its add actions (pure appends record no cdc files per
+    the protocol), version 1's delete/insert pairs consumed from
+    exactly its cdc files, _change_type read IN-BAND from the change
+    files. Hash-equal to the same oracle as the batch reader
+    (store_delta_cdf) — the streaming and batch CDF lanes must agree on
+    the same history, which the inline stream-equals-batch equality in
+    tests/test_streaming.py::TestDeltaCDFStream pins file-for-file.
+    Scale: this is the incremental-consumer entry point (replication,
+    downstream ETL) — each trigger reads only the new commits' change
+    files, never the table."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.catalog import load
+    from marketdb_spark.sources.deltalog import write_delta
+    from marketdb_spark.streaming.deltasource import read_delta_cdf_stream
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bad = "1-URGENT"
+    work = tempfile.mkdtemp(prefix="stream_cdf_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            orders, t, partition_by=["o_orderpriority"], enable_cdf=True
+        )
+        write_delta(
+            orders.filter(F.col("o_orderpriority") == bad).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1000
+            ),
+            t,
+            mode="overwrite",
+            replace_where={"o_orderpriority": [bad]},
+        )
+        agg = (
+            read_delta_cdf_stream(
+                spark, t, startingVersion=0, maxFilesPerTrigger=2
+            )
+            .groupBy(
+                F.col("_commit_version").cast("long").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        name = f"stream_cdf_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        assert n_batches >= 3, f"cap did not split the drain: {n_batches}"
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -678,3 +678,301 @@ def read_delta_stream(spark: SparkSession, table: str, **options):
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(table)
+
+
+# -- Change Data Feed as a STREAMING SOURCE ------------------------------
+# ``spark.readStream.format("deltacdf").load(table)`` — the streaming
+# form of sources/deltalog.read_change_feed (delta-spark's
+# ``readChangeFeed`` stream): emits each commit's row-level changes as
+# they land, with _change_type / _commit_version / _commit_timestamp.
+#
+# Reuses DeltaStreamReader's entire offset/admission machinery by
+# subclassing: the same file-granular {"v", "i", "snap"} offsets, the
+# same maxFilesPerTrigger/maxBytesPerTrigger caps, the same
+# startingVersion/startingTimestamp entry, the same restart recovery.
+# Only the UNITS differ — a fresh stream's unit 0 is the current
+# snapshot AS INSERTS (delta-spark's initial batch for a CDF stream),
+# and every tail unit is the commit's CHANGE SET: its cdc files when it
+# recorded any (the protocol rule: cdc actions are authoritative and
+# the add/remove actions are ignored for CDF), else inserts derived
+# from dataChange adds and deletes derived by reading dataChange
+# removes' files (vacuumed derivation inputs raise by name). The
+# ignoreDeletes/ignoreChanges/skipChangeCommits opt-ins do NOT apply —
+# a CDF consumer wants the changes; compaction commits still
+# contribute nothing.
+
+_CDF_TAG_TYPE = "__cdf_change_type"
+_CDF_TAG_VERSION = "__cdf_version"
+_CDF_TAG_TS = "__cdf_ts"
+
+_CDF_EXTRA_FIELDS = [
+    T.StructField("_change_type", T.StringType(), False),
+    T.StructField("_commit_version", T.LongType(), False),
+    T.StructField("_commit_timestamp", T.TimestampType(), True),
+]
+
+
+class DeltaCDFStreamReader(DeltaStreamReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        super().__init__(options, schema)
+        if self.mode != "strict":
+            raise ValueError(
+                "deltacdf: ignoreDeletes/ignoreChanges/skipChangeCommits "
+                "do not apply to a change-feed stream — it EMITS the "
+                "changes those flags would hide"
+            )
+        config = json.loads(options.get("configjson") or "{}")
+        if str(
+            config.get("delta.enableChangeDataFeed", "")
+        ).lower() != "true":
+            raise ValueError(
+                f"change data was not recorded for {self.table}: "
+                f"delta.enableChangeDataFeed is not set"
+            )
+        self._stamps: dict[int, int | None] | None = None
+
+    def _commit_ts(self, version: int) -> int | None:
+        if self._stamps is None:
+            from marketdb_spark.sources.deltalog import delta_history
+
+            self._stamps = {
+                r["version"]: r["timestamp"]
+                for r in delta_history(self.table)
+            }
+        return self._stamps.get(version)
+
+    def _tag(self, pvals: dict, ctype: str | None, version: int) -> dict:
+        out = dict(pvals)
+        out[_CDF_TAG_TYPE] = ctype
+        out[_CDF_TAG_VERSION] = version
+        out[_CDF_TAG_TS] = self._commit_ts(version)
+        return out
+
+    def _unit_files(self, unit: int):
+        fl = self._units.get(unit)
+        if fl is not None:
+            return fl
+        if self._snap is not None and unit == self._snap:
+            # fresh stream: the current snapshot arrives as INSERTS
+            # (delta-spark's initial CDF batch), capped like any unit
+            live = _replay(self.table, unit).live
+            fl = [
+                (
+                    rel,
+                    self._tag(pvals, "insert", unit),
+                    os.path.getsize(os.path.join(self.table, rel))
+                    if self.max_bytes is not None
+                    else 0,
+                )
+                for rel, pvals in sorted(live.items())
+            ]
+        else:
+            fl = self._cdf_tail(unit)
+        self._units[unit] = fl
+        return fl
+
+    def _cdf_tail(self, version: int):
+        """One tail commit's CHANGE-SET file list, protocol rules applied
+        (cdc authoritative; else derive), with the same mid-stream
+        protocol/metaData gates as the parent reader."""
+        from marketdb_spark.sources.deltalog import _check_reader_protocol
+
+        path = _commit_path(self.table, version)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"deltacdf cannot replay version {version} of "
+                f"{self.table}: its JSON commit was removed by log "
+                f"retention while the stream was tailing"
+            )
+        cdcs: list[tuple[str, dict]] = []
+        adds: list[tuple[str, dict]] = []
+        removes: list[tuple[str, dict]] = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    c = action["cdc"]
+                    cdcs.append(
+                        (_decode_path(c["path"]), c.get("partitionValues") or {})
+                    )
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise ValueError(
+                            f"deltacdf: version {version} of {self.table} "
+                            f"adds a deletion-vector-carrying file"
+                        )
+                    if a.get("dataChange") is not False:
+                        adds.append(
+                            (
+                                _decode_path(a["path"]),
+                                a.get("partitionValues") or {},
+                            )
+                        )
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange") is not False:
+                        removes.append(
+                            (
+                                _decode_path(r["path"]),
+                                r.get("partitionValues") or {},
+                            )
+                        )
+                elif "protocol" in action:
+                    _check_reader_protocol(
+                        {
+                            k: v
+                            for k, v in action["protocol"].items()
+                            if v is not None
+                        },
+                        f"deltacdf tail of {self.table} at version {version}",
+                    )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                    if self.pinned_schema_json is not None:
+                        same = T.StructType.fromJson(
+                            json.loads(meta["schemaString"])
+                        ) == T.StructType.fromJson(
+                            json.loads(self.pinned_schema_json)
+                        )
+                        if not same:
+                            raise ValueError(
+                                f"deltacdf: version {version} of "
+                                f"{self.table} changes the table schema "
+                                f"mid-stream — restart to adopt it"
+                            )
+        out: list[tuple[str, dict, int]] = []
+        if cdcs:
+            for rel, pvals in cdcs:
+                full = os.path.join(self.table, rel)
+                out.append(
+                    (
+                        rel,
+                        self._tag(pvals, None, version),  # in-band type
+                        os.path.getsize(full)
+                        if self.max_bytes is not None
+                        else 0,
+                    )
+                )
+            return out
+        for rel, pvals in removes:
+            full = os.path.join(self.table, rel)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"deltacdf: cannot derive deletes for version "
+                    f"{version} of {self.table}: removed file {rel} is "
+                    f"no longer on disk (vacuumed) and the commit "
+                    f"recorded no cdc files"
+                )
+            out.append(
+                (
+                    rel,
+                    self._tag(pvals, "delete", version),
+                    os.path.getsize(full)
+                    if self.max_bytes is not None
+                    else 0,
+                )
+            )
+        for rel, pvals in adds:
+            full = os.path.join(self.table, rel)
+            out.append(
+                (
+                    rel,
+                    self._tag(pvals, "insert", version),
+                    os.path.getsize(full)
+                    if self.max_bytes is not None
+                    else 0,
+                )
+            )
+        return out
+
+    def read(self, partition: DeltaFilePartition):
+        if not partition.rel:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        pvals = dict(partition.pvals)
+        ctype = pvals.pop(_CDF_TAG_TYPE)
+        version = pvals.pop(_CDF_TAG_VERSION)
+        ts = pvals.pop(_CDF_TAG_TS)
+        tbl = pq.read_table(
+            os.path.join(partition.table, partition.rel)
+        )
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in self.schema.fields:
+            if f.name == "_change_type":
+                if ctype is None:  # cdc file: the column is in-band
+                    cols.append(tbl.column("_change_type").combine_chunks())
+                else:
+                    cols.append(pa.array([ctype] * n, pa.string()))
+            elif f.name == "_commit_version":
+                cols.append(pa.array([version] * n, pa.int64()))
+            elif f.name == "_commit_timestamp":
+                at = to_arrow_type(f.dataType)
+                cols.append(
+                    pa.array(
+                        [None if ts is None else int(ts) * 1000] * n,
+                        pa.int64(),
+                    ).cast(at)
+                )
+            else:
+                phys = self.phys_of.get(f.name, f.name)
+                if (
+                    f.name in self.part_cols
+                    or phys in pvals
+                    or f.name in pvals
+                ):
+                    raw = pvals.get(phys, pvals.get(f.name))
+                    at = to_arrow_type(f.dataType)
+                    cols.append(pa.array([raw] * n, pa.string()).cast(at))
+                else:
+                    col = tbl.column(phys).combine_chunks()
+                    if self.cmode == "name" and _contains_struct(f.dataType):
+                        col = _arrow_rename(col, to_arrow_type(f.dataType))
+                    cols.append(col)
+            names.append(f.name)
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+
+class DeltaCDFDataSource(DataSource):
+    """``spark.readStream.format("deltacdf").load(table)`` — streaming
+    Change Data Feed over the public protocol, no jars."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltacdf"
+
+    def schema(self) -> T.StructType:
+        from marketdb_spark.sources.deltalog import _strip_field_metadata
+
+        snap = _replay(self.options["path"], None)
+        logical = _strip_field_metadata(
+            T.StructType.fromJson(json.loads(snap.schema_json))
+        )
+        return T.StructType(list(logical.fields) + _CDF_EXTRA_FIELDS)
+
+    def streamReader(self, schema) -> DeltaCDFStreamReader:
+        opts = dict(self.options)
+        snap = _replay(self.options["path"], None)
+        opts["partcols"] = json.dumps(snap.part_cols)
+        opts["schemajson"] = snap.schema_json
+        opts["configjson"] = json.dumps(snap.config)
+        return DeltaCDFStreamReader(opts, schema)
+
+
+def read_delta_cdf_stream(spark: SparkSession, table: str, **options):
+    """Convenience: register + open a CDF stream on ``table``. Options
+    pass through (startingVersion, startingTimestamp,
+    maxFilesPerTrigger, maxBytesPerTrigger)."""
+    spark.dataSource.register(DeltaCDFDataSource)
+    reader = spark.readStream.format("deltacdf")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(table)

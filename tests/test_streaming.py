@@ -2051,6 +2051,108 @@ class TestDeltaStreamAdmission:
         with pytest.raises(ValueError, match="'id'"):
             DeltaStreamReader(snap_opts, None)
 
+    def test_cdf_stream_equals_batch_and_restarts(self, spark, tmp_path):
+        """format("deltacdf"): a stream from startingVersion=0 emits the
+        same multiset as batch read_change_feed (derived inserts, cdc
+        files in-band, timestamps attached); a checkpointed restart
+        picks up ONLY the new DML commits' changes — exactly-once across
+        the restart."""
+        from marketdb_spark.sources.deltadml import update_delta
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            read_delta_cdf_stream,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y")], schema
+            ).coalesce(1),
+            t,
+            partition_by=["p"],
+            enable_cdf=True,
+        )
+        write_delta(
+            spark.createDataFrame([(3, "c", "x")], schema).coalesce(1), t
+        )
+        write_delta(
+            spark.createDataFrame([(9, "z", "x")], schema).coalesce(1),
+            t,
+            mode="overwrite",
+            replace_where={"p": ["x"]},
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                read_delta_cdf_stream(
+                    spark, t, startingVersion=0, maxFilesPerTrigger=2
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+
+        assert drain() >= 2  # capped history drain
+        key = lambda r: (r.k, r.v, r._change_type, r._commit_version)
+        got = sorted(key(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            key(r) for r in read_change_feed(spark, t, 0).collect()
+        )
+        assert got == want
+        assert all(
+            r._commit_timestamp is not None
+            for r in spark.read.parquet(out).collect()
+        )
+        # restart: an UPDATE lands while the stream is down; the resumed
+        # stream emits exactly its preimage/postimage pair
+        update_delta(spark, t, "k = 2", {"v": "'B'"})
+        drain()
+        got2 = sorted(key(r) for r in spark.read.parquet(out).collect())
+        want2 = sorted(
+            key(r) for r in read_change_feed(spark, t, 0).collect()
+        )
+        assert got2 == want2  # exactly-once across the restart
+        assert len(got2) == len(got) + 2
+
+    def test_cdf_stream_guards(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.streaming.deltasource import (
+            DeltaCDFStreamReader,
+            read_delta_cdf_stream,
+        )
+
+        t = str(tmp_path / "plain")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        # not CDF-enabled: raises at open (reader construction)
+        with pytest.raises(Exception, match="change data was not recorded"):
+            read_delta_cdf_stream(spark, t).writeStream.format(
+                "noop"
+            ).start().processAllAvailable()
+        # the change-hiding opt-ins are rejected
+        with pytest.raises(ValueError, match="do not apply"):
+            DeltaCDFStreamReader(
+                {
+                    "path": t,
+                    "partcols": "[]",
+                    "ignorechanges": "true",
+                    "configjson": '{"delta.enableChangeDataFeed": "true"}',
+                },
+                None,
+            )
+
     def test_mid_stream_protocol_upgrade_raises(self, spark, tmp_path):
         """An external writer bumping minReaderVersion (deletion vectors
         / column mapping) mid-tail must raise, not emit deleted rows."""
