@@ -1471,3 +1471,73 @@ def store_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_evolve",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_priced,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION under the hash gate (write_delta
+    ``merge_schema=True`` — delta-spark's mergeSchema append): even-keyed
+    orders land first WITHOUT a price column (version 0), then odd-keyed
+    orders append WITH one — the commit re-emits metaData with the union
+    schema, and the read-back shows every pre-evolution row with a NULL
+    price while post-evolution rows carry theirs (the parquet reader's
+    missing-column fill, steered by the table schema). The per-priority
+    row count, priced-row count, and exact priced sum are hash-equal to
+    the oracle's CASE-split iff evolution widened the schema without
+    touching, duplicating, or re-attributing a single row. Version 0
+    still reads with its own two-column schema (asserted inline); type
+    conflicts, the strict default, and configuration preservation are
+    pinned by tests/test_sources.py (test_merge_schema_append_evolution)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_evolve_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            t,
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            t,
+            merge_schema=True,
+        )
+        assert read_delta(spark, t, version=0).columns == [
+            "o_orderkey", "o_orderpriority",
+        ]
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.count("o_totalprice").alias("n_priced"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -348,6 +348,7 @@ def merge_delta(
     on: list[str],
     when_matched: str | dict[str, str] | None = "update",
     when_not_matched: str | None = "insert",
+    when_not_matched_by_source: str | dict[str, str] | None = None,
 ) -> int | None:
     """``MERGE INTO table USING source ON keys`` — the upsert primitive
     (delta-spark's MERGE, ≙ the reference's bulk-put upsert path in
@@ -361,15 +362,24 @@ def merge_delta(
       values), ``"delete"``, or None (leave matched rows alone).
     - ``when_not_matched``: ``"insert"`` (source rows with no target
       match append as new files — full-schema source required) or None.
+    - ``when_not_matched_by_source``: delta's WHEN NOT MATCHED BY SOURCE
+      clause over TARGET rows with no source match — ``"delete"``, a
+      ``{col: sql_expr}`` SET dict (target columns only; there is no
+      source row to reference), or None (the default: leave them alone).
+      The classic full-sync shape is ``when_matched="update",
+      when_not_matched="insert", when_not_matched_by_source="delete"``
+      — after which the table equals the source on the keyed universe.
 
     Matching is by equality on ``on``; a source with DUPLICATE keys that
     match a target row raises (delta-spark's
     ``multipleSourceRowMatchingTargetRowInMergeException``) — a
     nondeterministic merge must fail loudly. Only files containing a
-    matched row are rewritten; inserts stage as new files. With CDF:
-    matched updates record preimage/postimage pairs, deletes record
-    'delete', inserts record 'insert'. Returns the committed version,
-    or None when the merge is a no-op."""
+    row some active clause touches are rewritten (matched files for
+    when_matched, unmatched-row files for when_not_matched_by_source);
+    inserts stage as new files. With CDF: matched updates record
+    preimage/postimage pairs, deletes record 'delete', inserts record
+    'insert'. Returns the committed version, or None when the merge is
+    a no-op."""
     if when_matched not in ("update", "delete", None) and not isinstance(
         when_matched, dict
     ):
@@ -381,6 +391,12 @@ def merge_delta(
         raise ValueError(
             f"when_not_matched must be 'insert'|None, got "
             f"{when_not_matched!r}"
+        )
+    nmbs = when_not_matched_by_source
+    if nmbs not in ("delete", None) and not isinstance(nmbs, dict):
+        raise ValueError(
+            f"when_not_matched_by_source must be 'delete'|dict|None, got "
+            f"{nmbs!r}"
         )
     snap = _table_state(table)
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
@@ -404,16 +420,38 @@ def merge_delta(
     src = source.alias("src")
     tagged = _tagged_scan(spark, table, snap).alias("tgt")
     key_cond = [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on]
-    matched_uris = [
-        r[0]
-        for r in tagged.join(src, key_cond, "left_semi")
-        .select(_FILE_COL)
-        .distinct()
-        .collect()
-    ]
-    matched_rels = sorted(
-        {_rel_of_uri(table, u) for u in matched_uris}
-    )
+    if nmbs is None:
+        matched_uris = [
+            r[0]
+            for r in tagged.join(src, key_cond, "left_semi")
+            .select(_FILE_COL)
+            .distinct()
+            .collect()
+        ]
+        matched_rels = sorted(
+            {_rel_of_uri(table, u) for u in matched_uris}
+        )
+        unmatched_rels: list[str] = []
+    else:
+        # one pass tags every file with whether it holds matched and/or
+        # unmatched rows — NOT MATCHED BY SOURCE may touch files the
+        # matched clause never would
+        is_m = F.col(f"src.{on[0]}").isNotNull()
+        tags = (
+            tagged.join(source.select(on).alias("src"), key_cond, "left")
+            .groupBy(_FILE_COL)
+            .agg(
+                F.max(is_m.cast("int")).alias("m"),
+                F.max((~is_m).cast("int")).alias("u"),
+            )
+            .collect()
+        )
+        matched_rels = sorted(
+            {_rel_of_uri(table, r[0]) for r in tags if r[1] == 1}
+        )
+        unmatched_rels = sorted(
+            {_rel_of_uri(table, r[0]) for r in tags if r[2] == 1}
+        )
     inserts = (
         src.join(
             _scan_files(spark, table, snap, snap.live)
@@ -433,26 +471,30 @@ def merge_delta(
                 f"in the source; missing {missing}"
             )
         inserts = inserts.select([F.col(c).cast(types[c]).alias(c) for c in logical_cols])
-    if not matched_rels and (inserts is None or inserts.limit(1).count() == 0):
+    rewrite_rels: list[str] = sorted(
+        (set(matched_rels) if when_matched is not None else set())
+        | (set(unmatched_rels) if nmbs is not None else set())
+    )
+    if not rewrite_rels and (
+        inserts is None or inserts.limit(1).count() == 0
+    ):
         return None
 
     staged: list[tuple[str, dict]] = []
     cdc_staged: list[tuple[str, dict]] = []
     try:
         cdc_parts: list[DataFrame] = []
-        if matched_rels and when_matched is not None:
-            subset = {p: snap.live[p] for p in matched_rels}
+        if rewrite_rels:
+            subset = {p: snap.live[p] for p in rewrite_rels}
             rows = _scan_files(spark, table, snap, subset).alias("tgt")
             joined = rows.join(src, key_cond, "left")
             is_matched = F.col(f"src.{on[0]}").isNotNull()
             old = [F.col(f"tgt.{c}") for c in logical_cols]
-            if when_matched == "delete":
-                rewritten = joined.filter(~is_matched).select(
-                    [c.alias(n) for c, n in zip(old, logical_cols)]
-                )
-                new_vals = None
-            else:
-                if when_matched == "update":
+
+            def _set_vals(clause, allow_src: bool):
+                """Per-column value expressions for an 'update'-shaped
+                clause (whole-row 'update' or a SET dict)."""
+                if clause == "update":
                     missing = [
                         c for c in logical_cols if c not in source.columns
                     ]
@@ -461,55 +503,85 @@ def merge_delta(
                             f"when_matched='update' needs the full table "
                             f"schema in the source; missing {missing}"
                         )
-                    new_vals = [
-                        F.col(f"src.{c}").cast(types[c]) for c in logical_cols
-                    ]
-                else:  # dict of SET expressions
-                    bad = [c for c in when_matched if c not in logical_cols]
-                    if bad:
-                        raise ValueError(
-                            f"MERGE SET of unknown columns {bad} on {table}"
-                        )
-                    new_vals = [
-                        F.expr(when_matched[c]).cast(types[c])
-                        if c in when_matched
-                        else F.col(f"tgt.{c}")
+                    return [
+                        F.col(f"src.{c}").cast(types[c])
                         for c in logical_cols
                     ]
-                rewritten = joined.select(
-                    [
-                        F.when(is_matched, nv).otherwise(o).alias(n)
-                        for nv, o, n in zip(new_vals, old, logical_cols)
-                    ]
+                bad = [c for c in clause if c not in logical_cols]
+                if bad:
+                    raise ValueError(
+                        f"MERGE SET of unknown columns {bad} on {table}"
+                    )
+                return [
+                    F.expr(clause[c]).cast(types[c])
+                    if c in clause
+                    else F.col(f"tgt.{c}")
+                    for c in logical_cols
+                ]
+
+            wm_vals = (
+                _set_vals(when_matched, allow_src=True)
+                if when_matched not in (None, "delete")
+                else None
+            )
+            nmbs_vals = (
+                _set_vals(nmbs, allow_src=False)
+                if isinstance(nmbs, dict)
+                else None
+            )
+            # survivors: matched rows unless when_matched='delete',
+            # unmatched rows unless when_not_matched_by_source='delete'
+            keep = F.when(is_matched, F.lit(when_matched != "delete")).otherwise(
+                F.lit(nmbs != "delete")
+            )
+            out_vals = []
+            for i, (o, n) in enumerate(zip(old, logical_cols)):
+                m_val = wm_vals[i] if wm_vals is not None else o
+                u_val = nmbs_vals[i] if nmbs_vals is not None else o
+                out_vals.append(
+                    F.when(is_matched, m_val).otherwise(u_val).alias(n)
                 )
+            rewritten = joined.filter(keep).select(out_vals)
             staged.extend(_stage_logical(rewritten, table, snap))
             if _cdf_on(snap):
-                matched_old = joined.filter(is_matched).select(
-                    [c.alias(n) for c, n in zip(old, logical_cols)]
-                )
-                if when_matched == "delete":
-                    cdc_parts.append(
-                        matched_old.withColumn(
-                            "_change_type", F.lit("delete")
+
+                def _pair(rows_f, vals, kind):
+                    if kind == "delete":
+                        cdc_parts.append(
+                            rows_f.select(
+                                [c.alias(n) for c, n in zip(old, logical_cols)]
+                            ).withColumn("_change_type", F.lit("delete"))
                         )
+                    else:
+                        cdc_parts.append(
+                            rows_f.select(
+                                [c.alias(n) for c, n in zip(old, logical_cols)]
+                            ).withColumn(
+                                "_change_type", F.lit("update_preimage")
+                            )
+                        )
+                        cdc_parts.append(
+                            rows_f.select(
+                                [
+                                    v.alias(n)
+                                    for v, n in zip(vals, logical_cols)
+                                ]
+                            ).withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            )
+                        )
+
+                if when_matched is not None:
+                    _pair(
+                        joined.filter(is_matched),
+                        wm_vals,
+                        "delete" if when_matched == "delete" else "update",
                     )
-                else:
-                    cdc_parts.append(
-                        matched_old.withColumn(
-                            "_change_type", F.lit("update_preimage")
-                        )
-                    )
-                    cdc_parts.append(
-                        joined.filter(is_matched)
-                        .select(
-                            [
-                                nv.alias(n)
-                                for nv, n in zip(new_vals, logical_cols)
-                            ]
-                        )
-                        .withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        )
+                if nmbs is not None:
+                    _pair(
+                        joined.filter(~is_matched),
+                        nmbs_vals,
+                        "delete" if nmbs == "delete" else "update",
                     )
         if inserts is not None:
             ins_staged = _stage_logical(inserts, table, snap)
@@ -526,7 +598,6 @@ def merge_delta(
                 cdc, table, snap,
                 extra_cols=["_change_type"], prefix=_CDF_DIR,
             )
-        rewrite_rels = matched_rels if when_matched is not None else []
         return _commit_dml(
             table,
             "MERGE",
@@ -534,6 +605,7 @@ def merge_delta(
                 "on": on,
                 "matched": "dict" if isinstance(when_matched, dict) else when_matched,
                 "notMatched": when_not_matched,
+                "notMatchedBySource": "dict" if isinstance(nmbs, dict) else nmbs,
             },
             rewrite_rels,
             staged,

@@ -288,6 +288,33 @@ def _strip_field_metadata(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _merge_schemas(
+    table_schema: T.StructType, df_schema: T.StructType
+) -> T.StructType:
+    """The mergeSchema union: table fields first (keeping their exact
+    types and any metadata), then the batch's NEW fields in batch order,
+    forced nullable (pre-evolution files have no values for them). A
+    same-name type conflict raises — silent coercion loses data."""
+    table_names = {f.name for f in table_schema.fields}
+    by_name = {f.name: f for f in df_schema.fields}
+    for f in table_schema.fields:
+        g = by_name.get(f.name)
+        if g is not None and _strip_field_metadata(
+            g.dataType
+        ) != _strip_field_metadata(f.dataType):
+            raise ValueError(
+                f"mergeSchema type conflict on column {f.name!r}: table "
+                f"has {f.dataType.simpleString()}, batch has "
+                f"{g.dataType.simpleString()}"
+            )
+    new_fields = [
+        T.StructField(g.name, g.dataType, True)
+        for g in df_schema.fields
+        if g.name not in table_names
+    ]
+    return T.StructType(list(table_schema.fields) + new_fields)
+
+
 def _assign_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
     """Name-mode mapping assignment for a NEW table (what delta-spark's
     ALTER TABLE ... SET TBLPROPERTIES columnMapping.mode=name does at
@@ -1070,6 +1097,7 @@ def write_delta(
     replace_where: dict[str, list] | None = None,
     column_mapping: str | None = None,
     enable_cdf: bool = False,
+    merge_schema: bool = False,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -1133,7 +1161,18 @@ def write_delta(
     commit. Pure appends record no cdc files — the protocol lets
     readers derive their inserts from the add actions. Like
     column_mapping, the flag is create-time only (existing tables adopt
-    their recorded configuration)."""
+    their recorded configuration).
+
+    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option, append
+    form): an append whose DataFrame carries NEW columns re-emits
+    metaData with the UNION schema — existing fields keep their exact
+    types (a same-name type conflict raises), new fields append as
+    nullable, and rows from pre-evolution files read back with NULLs in
+    the new columns (the parquet reader fills missing columns). Batches
+    may also OMIT existing nullable columns. Append-only; unsupported
+    under column mapping (physical-name assignment for new fields is a
+    table-feature write this engine doesn't claim) and meaningless with
+    replace_where (which never changes the schema)."""
     import uuid as _uuid
 
     from urllib.parse import quote
@@ -1142,6 +1181,11 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if merge_schema and mode != "append":
+        raise ValueError(
+            "merge_schema applies to append mode only (an overwrite "
+            "already replaces the schema wholesale)"
+        )
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be set together")
     if replace_where is not None and mode != "overwrite":
@@ -1219,6 +1263,12 @@ def write_delta(
                 f"{table} is not column-mapped; enabling column mapping "
                 f"on an existing table is unsupported (create-time only)"
             )
+        if merge_schema and cmode == "name":
+            raise ValueError(
+                f"merge_schema is unsupported on the column-mapped table "
+                f"{table}: schema evolution under column mapping is out "
+                f"of this writer's scope"
+            )
         mapped_schema = (
             T.StructType.fromJson(json.loads(existing.schema_json))
             if cmode == "name"
@@ -1291,6 +1341,7 @@ def write_delta(
             )
             removes: list[str] = []
             need_meta = latest < 0
+            evolved_schema: T.StructType | None = None
             if latest >= 0:
                 cur = _replay(table, None)
                 schema_json, table_parts, live = (
@@ -1348,10 +1399,19 @@ def write_delta(
                             f"unsupported"
                         )
                 elif table_schema != df_schema:
-                    raise ValueError(
-                        f"append schema mismatch on {table}: table has "
-                        f"{schema_json}, batch has {df.schema.json()}"
-                    )
+                    if merge_schema:
+                        evolved_schema = _merge_schemas(
+                            T.StructType.fromJson(json.loads(schema_json)),
+                            df.schema,
+                        )
+                        need_meta = True
+                    else:
+                        raise ValueError(
+                            f"append schema mismatch on {table}: table "
+                            f"has {schema_json}, batch has "
+                            f"{df.schema.json()} (pass merge_schema=True "
+                            f"to evolve)"
+                        )
             if txn_app is not None:
                 # re-check inside the loop: a concurrent replay of the
                 # SAME batch may have won an earlier race iteration
@@ -1410,7 +1470,12 @@ def write_delta(
                     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
                 actions.append({"protocol": proto})
             if need_meta:
-                configuration: dict = {}
+                # re-emits PRESERVE the table's existing configuration
+                # (CDF flag, foreign keys) — a schema evolution or
+                # overwrite must not strip table features
+                configuration: dict = (
+                    dict(cur.config) if latest >= 0 else {}
+                )
                 if cmode == "name":
                     configuration.update(
                         {_CM_MODE: "name", _CM_MAXID: str(max_id)}
@@ -1423,7 +1488,9 @@ def write_delta(
                             "id": _uuid.uuid4().hex,
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": (
-                                mapped_schema.json()
+                                evolved_schema.json()
+                                if evolved_schema is not None
+                                else mapped_schema.json()
                                 if mapped_schema is not None
                                 else df.schema.json()
                             ),

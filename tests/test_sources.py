@@ -1875,6 +1875,72 @@ class TestDeltaLogEdges:
         assert write_delta(other, t, mode="overwrite") == 1
         assert [tuple(r) for r in read_delta(spark, t).collect()] == [(1.5,)]
 
+    def test_merge_schema_append_evolution(self, spark, tmp_path):
+        """mergeSchema appends: union schema, NULL-fill in both
+        directions (old files lack new columns; new batches may omit
+        existing nullable columns), type conflicts raise, the table's
+        configuration survives the metaData re-emit, and the default
+        stays strict."""
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_change_feed,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1),
+            t,
+            enable_cdf=True,
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(2, "b", 3.5)], "k long, v string, w double"
+            ).coalesce(1),
+            t,
+            merge_schema=True,
+        )
+        got = read_delta(spark, t)
+        assert got.columns == ["k", "v", "w"]
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, "a", None), (2, "b", 3.5),
+        ]
+        # a batch omitting an existing nullable column
+        write_delta(
+            spark.createDataFrame([(9, 0.5)], "k long, w double").coalesce(1),
+            t,
+            merge_schema=True,
+        )
+        assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == [
+            (1, "a", None), (2, "b", 3.5), (9, None, 0.5),
+        ]
+        # table features survive the evolution re-emit
+        feats = delta_features(t)
+        assert feats["configuration"]["delta.enableChangeDataFeed"] == "true"
+        assert read_change_feed(spark, t, 0).count() == 3
+        # pre-evolution versions still read with their own schema
+        assert read_delta(spark, t, version=0).columns == ["k", "v"]
+        with pytest.raises(ValueError, match="type conflict"):
+            write_delta(
+                spark.createDataFrame([(1,)], "v long").coalesce(1),
+                t,
+                merge_schema=True,
+            )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(
+                spark.createDataFrame([(1, "q", 1.0, "z")],
+                                      "k long, v string, w double, q string"),
+                t,  # no merge_schema: strict
+            )
+        with pytest.raises(ValueError, match="append mode only"):
+            write_delta(
+                spark.createDataFrame([(1,)], "k long"),
+                t,
+                mode="overwrite",
+                merge_schema=True,
+            )
+
     def test_version_at_scans_whole_commit_for_commitinfo(
         self, spark, tmp_path
     ):
@@ -2614,6 +2680,58 @@ class TestDeltaDML:
             )
             is None
         )
+
+    def test_merge_not_matched_by_source(self, spark, tmp_path):
+        """WHEN NOT MATCHED BY SOURCE: the full-sync shape makes the
+        table equal the source; the SET-dict form updates unmatched
+        target rows in place; CDF attributes every clause."""
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        self._mk(spark, t)
+        src = spark.createDataFrame([(1, "A", "x"), (9, "n", "y")], schema)
+        v = merge_delta(
+            spark, t, src, on=["k"],
+            when_matched="update",
+            when_not_matched="insert",
+            when_not_matched_by_source="delete",
+        )
+        assert v == 1
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "A", "x"), (9, "n", "y")]  # table == source
+        cf = sorted(
+            (r.k, r._change_type)
+            for r in read_change_feed(spark, t, 1, 1).collect()
+        )
+        assert cf == [
+            (1, "update_postimage"), (1, "update_preimage"),
+            (2, "delete"), (3, "delete"), (4, "delete"), (9, "insert"),
+        ]
+        # SET-dict NMBS with no other clause
+        t2 = str(tmp_path / "tbl2")
+        self._mk(spark, t2, cdf=False)
+        merge_delta(
+            spark, t2,
+            spark.createDataFrame([(1,), (2,)], "k long"),
+            on=["k"],
+            when_matched=None,
+            when_not_matched=None,
+            when_not_matched_by_source={"v": "'stale'"},
+        )
+        got = {r.k: r.v for r in read_delta(spark, t2).collect()}
+        assert got == {1: "a", 2: "b", 3: "stale", 4: "stale"}
+        with pytest.raises(ValueError, match="not_matched_by_source"):
+            merge_delta(
+                spark, t2,
+                spark.createDataFrame([(1,)], "k long"),
+                on=["k"],
+                when_not_matched_by_source="insert",
+            )
 
     def test_restore_to_version(self, spark, tmp_path):
         """RESTORE: the live set returns to the historical snapshot's in
