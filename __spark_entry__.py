@@ -240,10 +240,35 @@ _DRIVER_CHECKED_R09 = frozenset({
     "stream_delta_starting", "unpivot_lineitem_metrics",
 })
 
+# Round-10 window (CORRECTNESS_r10.json): all 50 green — including all 11
+# queries added in round 10 (store_delta_colmap_scan, store_delta_cdf,
+# store_delta_delete/update/merge/restore/evolve, stream_delta_cdf) plus
+# re-attestations of the stalest r1-r3 rows (ts_*, win_*, doc_* families).
+_DRIVER_CHECKED_R10 = frozenset({
+    "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "doc_chunk_overlap", "doc_fingerprint", "doc_language_id",
+    "doc_length_histogram", "doc_pack_sequences", "doc_pii_redact",
+    "doc_quality_score", "doc_repetition_ratio", "doc_text_stats",
+    "doc_tfidf_topterms", "doc_token_bpe_est", "doc_token_totals",
+    "doc_vocab_topwords", "doc_winnow_fingerprints", "q19_discounted_revenue",
+    "q20_promo_suppliers", "q21_sole_supplier_waits",
+    "q22_global_sales_opportunity", "set_intersect_keys",
+    "set_union_all_parties", "store_delta_cdf", "store_delta_colmap_scan",
+    "store_delta_delete", "store_delta_evolve", "store_delta_merge",
+    "store_delta_restore", "store_delta_update", "stream_delta_cdf",
+    "ts_asof_forward", "ts_asof_join", "ts_asof_tolerance",
+    "ts_interval_days", "ts_merge_series", "ts_ohlc_daily_rollup",
+    "ts_ohlc_hourly", "ts_scan_series", "ts_session_gaps",
+    "ts_similarity_paa", "ts_tumbling_window", "udf_pandas_lcg_buckets",
+    "win_cume_percent", "win_first_last_range", "win_lag_lead_price",
+    "win_moving_avg", "win_rank_dense_ntile", "win_running_total",
+    "win_topk_orders_per_customer",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
-    | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09
+    | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09 | _DRIVER_CHECKED_R10
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
@@ -273,7 +298,7 @@ def _rank(name: str) -> int:
 _ROUND_WINDOWS = (
     _DRIVER_CHECKED_R01_R02, _DRIVER_CHECKED_R03, _DRIVER_CHECKED_R04,
     _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
-    _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09,
+    _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09, _DRIVER_CHECKED_R10,
 )
 
 
