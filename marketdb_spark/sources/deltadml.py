@@ -56,6 +56,7 @@ from marketdb_spark.sources.deltalog import (
     _CDF_FLAG,
     _LOG,
     _Snapshot,
+    _check_writer_protocol,
     _checkpoint_versions,
     _commit_info,
     _log_entries,
@@ -156,6 +157,12 @@ def _commit_dml(
     for _ in range(5):
         latest = _latest_version(table)
         cur = _replay(table, None)
+        # writer-protocol gate (mirror of the reader gate): unknown
+        # writerFeatures / defined constraints raise; removing files
+        # from an appendOnly table is forbidden
+        _check_writer_protocol(
+            cur, table, data_removing=bool(matched_rels)
+        )
         if any(p not in cur.live for p in matched_rels):
             raise CommitConflict(
                 f"{op} of {table} is stale: a concurrent commit removed "
@@ -512,6 +519,22 @@ def merge_delta(
                     raise ValueError(
                         f"MERGE SET of unknown columns {bad} on {table}"
                     )
+                if not allow_src:
+                    # NOT MATCHED BY SOURCE has no source row: a SET
+                    # expression referencing src.<col> would silently
+                    # evaluate against the all-NULL unmatched side, so
+                    # resolve each expression against a target-only
+                    # frame and raise on anything it can't resolve
+                    for c, e in clause.items():
+                        try:
+                            rows.select(F.expr(e))
+                        except Exception:
+                            raise ValueError(
+                                f"when_not_matched_by_source SET for "
+                                f"{c!r} references non-target columns "
+                                f"in {e!r}: there is no source row in "
+                                f"a NOT MATCHED BY SOURCE clause"
+                            ) from None
                 return [
                     F.expr(clause[c]).cast(types[c])
                     if c in clause

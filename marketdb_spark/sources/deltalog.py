@@ -193,6 +193,108 @@ def _check_reader_protocol(proto: dict, where: str) -> None:
     )
 
 
+# Writer features this engine can honor under protocol v7 (PROTOCOL.md
+# "Table Features"). invariants / checkConstraints / generatedColumns /
+# identityColumns are accepted as FEATURE NAMES only because the artifact
+# scan below independently raises the moment a table actually DEFINES one
+# (delta-spark emits e.g. `invariants` in writerFeatures even on tables
+# with none defined); deletionVectors / rowTracking etc. stay unsupported.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "columnMapping",
+    "generatedColumns",
+    "identityColumns",
+}
+
+# Schema field-metadata keys that carry writer obligations this engine
+# does not evaluate: writing around them would corrupt invariants other
+# readers rely on, so their presence blocks writes.
+_WRITER_OBLIGATION_META = ("delta.invariants", "delta.generationExpression")
+
+
+def _check_writer_protocol(
+    snap: _Snapshot, where: str, data_removing: bool = False
+) -> None:
+    """Gate on the WRITER protocol before committing to a foreign table —
+    the mirror of _check_reader_protocol (a reader that gates carefully
+    but writes blindly can corrupt invariants other readers rely on).
+
+    Raises on: minWriterVersion above 7; v7 without writerFeatures
+    (malformed per the protocol) or with features outside
+    _SUPPORTED_WRITER_FEATURES; any DEFINED CHECK constraint
+    (``delta.constraints.*`` config, writer v3), column invariant
+    (``delta.invariants`` field metadata, writer v2), generated column
+    (``delta.generationExpression``, writer v4) or identity column
+    (``delta.identity.*``, writer v6) — obligations this writer does not
+    evaluate, at ANY legacy writer version since v2-6 imply them; and
+    ``delta.appendOnly=true`` when the operation removes data
+    (delta-spark's DeltaUnsupportedOperationException for DML on
+    append-only tables)."""
+    v = int((snap.protocol or {}).get("minWriterVersion") or 1)
+    if v > 7:
+        raise ValueError(
+            f"unsupported Delta minWriterVersion {v} in {where} "
+            f"(this writer supports protocol versions 1-7)"
+        )
+    if v == 7:
+        feats = (snap.protocol or {}).get("writerFeatures")
+        if feats is None:
+            raise ValueError(
+                f"malformed Delta protocol in {where}: minWriterVersion 7 "
+                f"without writerFeatures"
+            )
+        extra = sorted(set(feats) - _SUPPORTED_WRITER_FEATURES)
+        if extra:
+            raise ValueError(
+                f"unsupported Delta writerFeatures {extra} in {where} "
+                f"(this writer supports "
+                f"{sorted(_SUPPORTED_WRITER_FEATURES)})"
+            )
+    cfg = snap.config or {}
+    constraints = sorted(
+        k for k in cfg if k.startswith("delta.constraints.")
+    )
+    if constraints:
+        raise ValueError(
+            f"cannot write {where}: CHECK constraints {constraints} are "
+            f"defined and this writer does not enforce them"
+        )
+    offenders: list[str] = []
+
+    def _walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            md = f.metadata or {}
+            for k in md:
+                if k in _WRITER_OBLIGATION_META or k.startswith(
+                    "delta.identity."
+                ):
+                    offenders.append(f"{prefix}{f.name}:{k}")
+            dt = f.dataType
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            if isinstance(dt, T.StructType):
+                _walk(dt.fields, f"{prefix}{f.name}.")
+
+    _walk(
+        T.StructType.fromJson(json.loads(snap.schema_json)).fields, ""
+    )
+    if offenders:
+        raise ValueError(
+            f"cannot write {where}: columns carry writer obligations this "
+            f"writer does not evaluate ({sorted(offenders)})"
+        )
+    if data_removing and str(cfg.get("delta.appendOnly", "")).lower() == (
+        "true"
+    ):
+        raise ValueError(
+            f"{where} is append-only (delta.appendOnly=true): "
+            f"data-removing operations are forbidden"
+        )
+
+
 # -- column mapping (PROTOCOL.md "Column Mapping", name mode) ------------
 # With delta.columnMapping.mode = name, data files store columns under
 # per-field PHYSICAL names carried in the schemaString's field metadata
@@ -876,7 +978,10 @@ def read_change_feed(
         else:
             continue  # metadata-only or compaction commit: no changes
         ts = stamps.get(v)
-        part = part.withColumn("_commit_version", F.lit(v)).withColumn(
+        # long, matching the deltacdf streaming source and delta-spark
+        part = part.withColumn(
+            "_commit_version", F.lit(v).cast(T.LongType())
+        ).withColumn(
             "_commit_timestamp",
             F.timestamp_millis(F.lit(int(ts))) if ts is not None else F.lit(None).cast("timestamp"),
         )
@@ -890,7 +995,7 @@ def read_change_feed(
             ).fields
             + [
                 _CHANGE_TYPE,
-                T.StructField("_commit_version", T.IntegerType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
                 T.StructField("_commit_timestamp", T.TimestampType(), True),
             ]
         )
@@ -1344,6 +1449,9 @@ def write_delta(
             evolved_schema: T.StructType | None = None
             if latest >= 0:
                 cur = _replay(table, None)
+                _check_writer_protocol(
+                    cur, table, data_removing=(mode != "append")
+                )
                 schema_json, table_parts, live = (
                     cur.schema_json, cur.part_cols, cur.live
                 )
@@ -1431,10 +1539,21 @@ def write_delta(
                 deletes_df = _scan_files(
                     spark_df, table, cur, {p: live[p] for p in removes}
                 ).withColumn("_change_type", F.lit("delete"))
+                # a schema-changing overwrite stages the NEW schema: the
+                # insert postimages must be read with the batch schema,
+                # not the pre-overwrite snapshot's (which would drop new
+                # columns and NULL-fill removed ones into the feed)
+                ins_snap = (
+                    cur._replace(schema_json=df.schema.json())
+                    if need_meta and mapped_schema is None
+                    else cur
+                )
                 inserts_df = _scan_files(
-                    spark_df, table, cur, dict(staged)
+                    spark_df, table, ins_snap, dict(staged)
                 ).withColumn("_change_type", F.lit("insert"))
-                cdc_df = deletes_df.unionByName(inserts_df)
+                cdc_df = deletes_df.unionByName(
+                    inserts_df, allowMissingColumns=True
+                )
                 if mapped_schema is not None:
                     cdc_df = cdc_df.select(
                         list(stage_renames) + [F.col("_change_type")]

@@ -352,7 +352,26 @@ def _arrow_rename(arr, target):
     if pa.types.is_map(t):
         keys = _arrow_rename(arr.keys, target.key_type)
         items = _arrow_rename(arr.items, target.item_type)
-        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+        # MapArray.from_arrays has no mask parameter (pyarrow 16) and
+        # would drop the validity bitmap — a NULL map would come back as
+        # an empty map. Rebuild via from_buffers, re-wrapping the
+        # original validity + offsets buffers around the renamed entries
+        # (keys/items of a sliced parent are the FULL child arrays, so
+        # offset=arr.offset stays correct).
+        kf = pa.field(target.key_field.name, keys.type, nullable=False)
+        vf = pa.field(
+            target.item_field.name,
+            items.type,
+            nullable=target.item_field.nullable,
+        )
+        entries = pa.StructArray.from_arrays([keys, items], fields=[kf, vf])
+        return pa.Array.from_buffers(
+            pa.map_(kf, vf),
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[entries],
+        )
     return arr
 
 

@@ -3379,3 +3379,264 @@ class TestDeltaVacuum:
         assert [tuple(r) for r in read_delta(spark, t).collect()] == [(2, "b")]
         with _pytest.raises(Exception):  # replay resolves, scan fails
             read_delta(spark, t, version=0).collect()
+
+
+class TestWriterProtocolGate:
+    """_check_writer_protocol — the writer-side mirror of the reader gate
+    (PROTOCOL.md "Table Features" / "Writer Version Requirements"):
+    unknown writerFeatures, defined CHECK constraints / invariants /
+    generated / identity columns, and appendOnly all block writes BEFORE
+    a commit could violate obligations other readers rely on."""
+
+    def _mk(self, spark, t):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            t,
+        )
+
+    def _add_commit(self, t, actions):
+        from marketdb_spark.sources.deltalog import _log_entries
+
+        v = _log_entries(t)[-1][0] + 1
+        with open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json"), "w"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    def _meta(self, t, config=None, schema_json=None):
+        """A metaData re-emit copied from v0 with overrides."""
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            md = next(
+                json.loads(l)["metaData"]
+                for l in f
+                if l.strip() and "metaData" in json.loads(l)
+            )
+        if config is not None:
+            md["configuration"] = {**md.get("configuration", {}), **config}
+        if schema_json is not None:
+            md["schemaString"] = schema_json
+        return {"metaData": md}
+
+    def test_unknown_writer_feature_blocks_all_writes(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(
+            t,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                           "writerFeatures": ["deletionVectors"]}}],
+        )
+        df = spark.createDataFrame([(3, "c")], "k long, v string")
+        with pytest.raises(ValueError, match="writerFeatures.*deletionVectors"):
+            write_delta(df, t)
+        with pytest.raises(ValueError, match="writerFeatures"):
+            delete_delta(spark, t, "k = 1")
+        # reading stays fine: the gate is writer-side only
+        assert read_delta(spark, t).count() == 2
+
+    def test_v7_without_features_is_malformed(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(
+            t, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}]
+        )
+        with pytest.raises(ValueError, match="without writerFeatures"):
+            write_delta(
+                spark.createDataFrame([(3, "c")], "k long, v string"), t
+            )
+
+    def test_benign_v7_features_pass(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        # delta-spark emits e.g. invariants/appendOnly as feature NAMES
+        # even when no invariant is defined — that must keep writing
+        self._add_commit(
+            t,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                           "writerFeatures": ["appendOnly", "invariants"]}}],
+        )
+        write_delta(spark.createDataFrame([(3, "c")], "k long, v string"), t)
+        assert read_delta(spark, t).count() == 3
+
+    def test_append_only_blocks_data_removal_not_appends(
+        self, spark, tmp_path
+    ):
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            merge_delta,
+            update_delta,
+        )
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(t, [self._meta(t, config={"delta.appendOnly": "true"})])
+        df = spark.createDataFrame([(3, "c")], "k long, v string")
+        write_delta(df, t)  # appends still fine
+        assert read_delta(spark, t).count() == 3
+        with pytest.raises(ValueError, match="append-only"):
+            write_delta(df, t, mode="overwrite")
+        with pytest.raises(ValueError, match="append-only"):
+            delete_delta(spark, t, "k = 1")
+        with pytest.raises(ValueError, match="append-only"):
+            update_delta(spark, t, "k = 1", {"v": "'z'"})
+        # insert-only MERGE removes no file → allowed (delta-spark parity)
+        src = spark.createDataFrame([(9, "i")], "k long, v string")
+        assert (
+            merge_delta(spark, t, src, ["k"], when_matched=None) is not None
+        )
+        assert read_delta(spark, t).count() == 4
+
+    def test_defined_check_constraint_blocks(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(
+            t,
+            [self._meta(t, config={"delta.constraints.positive": "k > 0"})],
+        )
+        with pytest.raises(ValueError, match="CHECK constraints"):
+            write_delta(
+                spark.createDataFrame([(3, "c")], "k long, v string"), t
+            )
+
+    def test_defined_invariant_blocks(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.invariants":
+                              '{"expression":{"expression":"k > 0"}}'}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        self._add_commit(t, [self._meta(t, schema_json=json.dumps(schema))])
+        with pytest.raises(ValueError, match="writer obligations"):
+            write_delta(
+                spark.createDataFrame([(3, "c")], "k long, v string"), t
+            )
+
+
+class TestAdviceRegressions:
+    """Round-11 regressions for the r10 ADVICE findings."""
+
+    def test_cdf_overwrite_schema_change_records_new_columns(
+        self, spark, tmp_path
+    ):
+        """A schema-changing full overwrite of a CDF table must record
+        insert postimages in the BATCH schema — new columns carried,
+        not silently dropped (old ADVICE: staged files were read with
+        the pre-overwrite snapshot schema)."""
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            t,
+            enable_cdf=True,
+        )
+        write_delta(
+            spark.createDataFrame([(9, "z", 7.5)], "k long, v string, w double"),
+            t,
+            mode="overwrite",
+        )
+        cf = read_change_feed(spark, t, 1, 1)
+        rows = {r._change_type: r for r in cf.collect()}
+        assert rows["insert"].k == 9 and rows["insert"].w == 7.5
+        assert rows["delete"].k == 1 and rows["delete"].w is None
+
+    def test_commit_version_is_long_in_batch_and_stream(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import types as T
+
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import _CDF_EXTRA_FIELDS
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            t,
+            enable_cdf=True,
+        )
+        cf = read_change_feed(spark, t, 0)
+        [f] = [f for f in cf.schema.fields if f.name == "_commit_version"]
+        assert f.dataType == T.LongType()
+        [sf] = [
+            f for f in _CDF_EXTRA_FIELDS if f.name == "_commit_version"
+        ]
+        assert sf.dataType == f.dataType
+
+    def test_nmbs_set_referencing_source_raises(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k long, v string"
+            ),
+            t,
+        )
+        src = spark.createDataFrame([(1, "A")], "k long, v string")
+        with pytest.raises(ValueError, match="non-target columns"):
+            merge_delta(
+                spark, t, src, ["k"],
+                when_matched="update",
+                when_not_matched=None,
+                when_not_matched_by_source={"v": "src.v"},
+            )
+        # target-only expressions still work (tgt-qualified — both sides
+        # of the join carry `v`, so unqualified refs are ambiguous there)
+        assert merge_delta(
+            spark, t, src, ["k"],
+            when_matched="update",
+            when_not_matched=None,
+            when_not_matched_by_source={"v": "upper(tgt.v)"},
+        ) is not None
+
+    def test_arrow_rename_preserves_null_maps(self):
+        import pyarrow as pa
+
+        from marketdb_spark.streaming.deltasource import _arrow_rename
+
+        src_t = pa.map_(
+            pa.string(), pa.struct([pa.field("c_phys", pa.int64())])
+        )
+        arr = pa.array(
+            [{"a": {"c_phys": 1}}, None, {"b": {"c_phys": 2}}], type=src_t
+        )
+        tgt_t = pa.map_(
+            pa.string(), pa.struct([pa.field("c", pa.int64())])
+        )
+        out = _arrow_rename(arr, tgt_t)
+        out.validate(full=True)
+        assert out.null_count == 1 and out[1].as_py() is None
+        assert out[0].as_py() == [("a", {"c": 1})]
+        # sliced input keeps validity aligned
+        out2 = _arrow_rename(arr.slice(1), tgt_t)
+        out2.validate(full=True)
+        assert out2[0].as_py() is None and out2[1].as_py() == [
+            ("b", {"c": 2})
+        ]
