@@ -14,6 +14,8 @@ so the DuckDB oracle (list_reduce) reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -21,6 +23,153 @@ from pyspark.sql import functions as F
 def _fold_sum(arr: Column) -> Column:
     """Sequential double sum of an array — deterministic order."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def attach_scalar(df: DataFrame, onerow: DataFrame, field: str, alias: str) -> DataFrame:
+    """Attach one field of a ONE-ROW frame to every row of ``df`` as a
+    scalar subquery — no join node (a constant-key join would constant-fold
+    into a BroadcastNestedLoopJoin and trip the repo's no-BNLJ plan gate),
+    zero shuffle of ``df``; the subquery runs once inside the final action
+    and its single value is injected into the projection. The temp view
+    exists only while the plan analyzes (Spark analyzes transformations
+    eagerly, inlining the view's plan); it is dropped before returning."""
+    spark = df.sparkSession
+    vname = f"__scalar_{uuid.uuid4().hex}"
+    onerow.createOrReplaceTempView(vname)
+    try:
+        return df.withColumn(alias, F.expr(f"(SELECT {field} FROM {vname})"))
+    finally:
+        spark.catalog.dropTempView(vname)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH with corpus-scaled width + occupancy-capped refinement.
+#
+# A FIXED hyperplane count is quadratic at scale: within-bucket candidate
+# pairs grow as N²/2^bits, so 8 bits that are fine at 2k vectors are ~10⁴×
+# too coarse at 100× the corpus. The width must scale with the corpus:
+# bits ≈ log2(N / target_occupancy), so expected bucket occupancy — and
+# hence per-vector candidate work — stays CONSTANT as the corpus grows
+# (total candidate pairs grow linearly, not quadratically). Buckets that
+# still exceed the cap (dense regions of embedding space; sign-bit skew)
+# re-key on EXTRA hyperplanes — the same frequency-refinement device the
+# edit-distance blocker uses (queries/llm_dedup.py) — bounding the worst
+# bucket at cap/2^extra_bits expected occupancy. At real scale the refine
+# iterates until no bucket exceeds the cap; one level is the oracle-checked
+# demonstration.
+#
+# Everything is engine-exact and derived from the data itself (no driver
+# collect): the corpus count rides in as a scalar subquery, the width is
+# integer-exact via length(bin(buckets_needed - 1)) = ceil(log2(·)), and
+# the bucket id is a fold of sign bits both engines replay bit-for-bit.
+# ---------------------------------------------------------------------------
+
+LSH_TARGET_OCCUPANCY = 8   # expected vectors per bucket the width aims at
+LSH_CAP = 16               # buckets above this re-key on extra hyperplanes
+LSH_EXTRA_BITS = 4         # hyperplanes added when a bucket splits
+LSH_MIN_BITS = 4           # floor: tiny corpora keep a few buckets
+LSH_MAX_BITS = 20          # ceiling: bounded by embedding dims (64) and
+                           # the bucket-count broadcast (2^20 rows max)
+
+
+def adaptive_sign_bits(
+    n_rows: Column,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    min_bits: int = LSH_MIN_BITS,
+    max_bits: int = LSH_MAX_BITS,
+) -> Column:
+    """Hyperplane count for a corpus of ``n_rows`` vectors: the smallest b
+    with 2^b >= ceil(n / target_occupancy), clamped to [min_bits, max_bits].
+    Integer-exact on both engines: ceil(log2(x)) = length(bin(x - 1)) for
+    x > 1 — no floating log anywhere."""
+    bn = F.floor(
+        (n_rows + F.lit(target_occupancy - 1)) / F.lit(target_occupancy)
+    ).cast("long")
+    raw = F.when(bn <= 1, F.lit(0)).otherwise(F.length(F.bin(bn - 1)))
+    return (
+        F.least(F.greatest(raw, F.lit(min_bits)), F.lit(max_bits)).cast("int")
+    )
+
+
+def sign_lsh(vec: Column, n_bits: Column | int, start: Column | int = 1) -> Column:
+    """Bucket id from the sign bits of ``n_bits`` consecutive vector
+    elements beginning at 1-based ``start``: bit j set iff
+    vec[start + j] > 0. With a COLUMN width the fold runs the sequence
+    high→low and doubles the accumulator (acc*2 + bit) — pure integer ops,
+    equal to the oracle's ascending shift-weighted sum. Deterministic and
+    map-side only."""
+    if isinstance(n_bits, int) and isinstance(start, int):
+        bucket = F.lit(0).cast("long")
+        for j in range(n_bits):
+            bucket = bucket + F.when(
+                F.element_at(vec, start + j).cast("double") > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return bucket
+    start_c = F.lit(start) if isinstance(start, int) else start
+    n_c = F.lit(n_bits) if isinstance(n_bits, int) else n_bits
+    hi = start_c + n_c - 1
+    return F.aggregate(
+        F.sequence(hi.cast("int"), start_c.cast("int"), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(
+            F.element_at(vec, i.cast("int")).cast("double") > 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def lsh_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    cap: int = LSH_CAP,
+    extra_bits: int = LSH_EXTRA_BITS,
+    min_bits: int = LSH_MIN_BITS,
+    max_bits: int = LSH_MAX_BITS,
+) -> DataFrame:
+    """(id, vec, bucket) with the adaptive occupancy-capped sign-LSH.
+
+    Plan shape at 100 TB: the width parameter is ONE scalar-subquery row
+    (a count aggregate — map-side combined, no corpus shuffle); the first
+    bucketing is a pure map; the occupancy histogram is a groupBy over at
+    most 2^max_bits SMALL rows, broadcast back onto the corpus (equi hash
+    join, no shuffle of the corpus side); the split re-key is again a map.
+    Split buckets get ids 2^n_bits + bucket0·2^extra + subkey — disjoint
+    from unsplit ids by construction, so downstream equi-joins on `bucket`
+    never mix a split bucket with its parent."""
+    pts = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    params = pts.agg(F.count("*").alias("__n")).select(
+        adaptive_sign_bits(
+            F.col("__n"), target_occupancy, min_bits, max_bits
+        ).alias("n_bits")
+    )
+    base = attach_scalar(pts, params, "n_bits", "__nb")
+    b0 = base.withColumn(
+        "__bucket0", sign_lsh(F.col("__vec"), F.col("__nb"))
+    )
+    cnts = b0.groupBy("__bucket0").agg(F.count("*").alias("__cnt"))
+    joined = b0.join(F.broadcast(cnts), "__bucket0")
+    sub = sign_lsh(
+        F.col("__vec"), F.lit(extra_bits), F.col("__nb") + 1
+    )
+    # 2^n_bits without a column-shift builtin: pow(2, nb) is exact in a
+    # double for nb <= 52 (a representable power of two), nb <= max_bits.
+    split_base = F.pow(F.lit(2.0), F.col("__nb")).cast("long")
+    bucket = F.when(
+        F.col("__cnt") > cap,
+        split_base + F.col("__bucket0") * F.lit(1 << extra_bits) + sub,
+    ).otherwise(F.col("__bucket0"))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("__vec").alias(vec_col),
+        bucket.alias("bucket"),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -176,6 +325,8 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    k_frame: DataFrame | None = None,
+    max_k: int = 4096,
 ) -> DataFrame:
     """Lloyd's k-means refinement over embeddings with ENGINE-EXACT
     arithmetic — the clustering step of semantic dedup / corpus
@@ -217,6 +368,16 @@ def kmeans_refine(
     ``keep_vec`` adds the vector column back so consumers that score
     within clusters (semantic dedup) don't re-join the corpus to
     recover embeddings the assignment plan already carries.
+
+    ``k_frame`` (a ONE-ROW frame with a bigint column ``k``) makes the
+    cluster count DATA-DRIVEN: k IS the cost dial of every corpus²/k
+    consumer (semantic dedup), so a fixed k is quadratic at scale — k must
+    grow with the corpus to keep each cluster partition-sized. The seed
+    pick stays scale-safe: TakeOrderedAndProject(``max_k``) first (a
+    LITERAL bound, so no global sort), then the dynamic k rides in as a
+    scalar subquery filtering the <= max_k seed rows. ``k`` is ignored
+    when ``k_frame`` is given; clusters above max_k need a bigger literal
+    cap (a driver-side constant, not a per-row cost).
     """
     scale = float(1 << 46)
     pts = corpus.select(
@@ -225,12 +386,18 @@ def kmeans_refine(
     m = 2147483648
     h = F.pmod(F.pmod(F.col("id"), F.lit(m)) * F.lit(506952113), F.lit(m))
     picked = (
-        pts.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(k)
+        pts.select("id", "vec", h.alias("h"))
+        .orderBy("h", "id")
+        .limit(max_k if k_frame is not None else k)
     )
     centroids = picked.select(
         (F.row_number().over(W.orderBy("h", "id")) - 1).cast("int").alias("cid"),
         F.transform("vec", lambda x: x.cast("double")).alias("c"),
     )
+    if k_frame is not None:
+        centroids = attach_scalar(centroids, k_frame, "k", "__k").filter(
+            F.col("cid") < F.col("__k")
+        ).drop("__k")
 
     import uuid
 

@@ -24,6 +24,7 @@ from marketdb_spark.operators.dedup import (
     simhash_fingerprints,
     verified_near_dups,
 )
+from marketdb_spark.queries.llm_similarity import lsh_sql_ctes
 from marketdb_spark.queries.registry import query
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
@@ -325,25 +326,15 @@ _EMB_NORM = (
     "sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, v) -> acc + v))"
 )
-_EMB_BUCKET = (
-    "list_reduce(list_transform(range(1, 9), i -> "
-    "CASE WHEN CAST({e}[i] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
-    "ELSE 0 END), (acc, v) -> acc + v)"
-)
-
-
 @query(
     "dedup_embedding_pairs",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {_EMB_BUCKET.format(e='embedding')} AS bucket
-      FROM embeddings
-    )
+    WITH {lsh_sql_ctes()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
              / ({_EMB_NORM.format(a='a.embedding')}
                 * {_EMB_NORM.format(a='b.embedding')}) AS cosine_sim
-    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM lshb a JOIN lshb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
             / ({_EMB_NORM.format(a='a.embedding')}
                * {_EMB_NORM.format(a='b.embedding')}) >= 0.35
@@ -351,21 +342,20 @@ _EMB_BUCKET = (
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (the fifth dedup modality, SURVEY §2B [N]):
-    candidate pairs share a sign-LSH bucket (first 8 dims → 256 buckets, so
-    the pair space is corpus²/256 per bucket, not corpus²), then exact
-    cosine ≥ threshold verifies. Same candidates→verify shape as
-    dedup_verified_pairs, on vectors instead of shingles; cosine is a
-    sequential double fold on both engines (bit-exact oracle)."""
-    from marketdb_spark.operators.similarity import cosine
+    candidate pairs share a sign-LSH bucket — the ADAPTIVE occupancy-capped
+    width (operators.similarity.lsh_bucketed: bits scale log2 with corpus
+    size, over-cap buckets split on extra hyperplanes), so the candidate
+    pair space grows LINEARLY with the corpus instead of the r10-flagged
+    N²/256 of a fixed 8-bit width — then exact cosine ≥ threshold
+    verifies. Same candidates→verify shape as dedup_verified_pairs, on
+    vectors instead of shingles; cosine is a sequential double fold on
+    both engines (bit-exact oracle)."""
+    from marketdb_spark.operators.similarity import cosine, lsh_bucketed
 
     emb = load(spark, sf_dir, "embeddings")
-    bucket = F.lit(0).cast("long")
-    for i in range(8):
-        bucket = bucket + F.when(
-            F.element_at("embedding", i + 1).cast("double") > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # both pair sides reference the bucketed frame; materialize the LSH
+    # prep once (the pre-self-join device, see dedup_semantic_pairs).
+    b = lsh_bucketed(emb).localCheckpoint()
     a_side = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),

@@ -322,6 +322,96 @@ class TestKmeans:
         assert got[0] not in far_clusters
 
 
+class TestSignLsh:
+    def test_adaptive_width_math(self, spark):
+        """bits = ceil(log2(ceil(n/target))) clamped to [4,20], computed
+        integer-exactly via length(bin(x-1)) — spot values across the
+        clamp range, including exact powers of two where a floating log2
+        could round the wrong way."""
+        from marketdb_spark.operators.similarity import adaptive_sign_bits
+
+        cases = {1: 4, 8: 4, 128: 4, 129: 5, 500: 6, 2000: 8, 2048: 8,
+                 2049: 9, 6000: 10, 8 * (1 << 20): 20, 10**12: 20}
+        df = spark.createDataFrame([(n,) for n in cases], "n long")
+        got = {
+            r.n: r.bits
+            for r in df.select(
+                "n", adaptive_sign_bits(F.col("n")).alias("bits")
+            ).collect()
+        }
+        assert got == cases
+
+    def test_column_width_matches_int_width(self, spark):
+        """The column-width fold (descending acc*2+bit) must equal the
+        unrolled int-width shift sum for the same width and start."""
+        from marketdb_spark.operators.similarity import sign_lsh
+
+        rows = [
+            (i, [((i >> j) & 1) * 2.0 - 1.0 for j in range(12)])
+            for i in range(64)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = df.select(
+            sign_lsh(F.col("embedding"), 7).alias("a"),
+            sign_lsh(F.col("embedding"), F.lit(7)).alias("b"),
+            sign_lsh(F.col("embedding"), 3, 5).alias("c"),
+            sign_lsh(F.col("embedding"), F.lit(3), F.lit(5)).alias("d"),
+        ).collect()
+        for r in got:
+            assert r.a == r.b and r.c == r.d
+
+    def test_occupancy_cap_splits_hot_bucket(self, spark):
+        """A skewed corpus (every vector positive in the width dims →
+        ONE bucket0) must split on the extra hyperplanes: final buckets
+        are disjoint from the unsplit id space, sub-keyed by the next
+        dims, and the hot bucket's occupancy drops accordingly, while a
+        small under-cap bucket keeps its plain bucket0 id."""
+        from marketdb_spark.operators.similarity import lsh_bucketed
+
+        # 40 hot vectors: dims 1..4 positive (bucket0=15 at the 4-bit
+        # min width for n=44), dim 5 sign alternates → 2 sub-buckets.
+        # 4 cold vectors: dims 1..4 negative (bucket0=0, under cap).
+        rows = [
+            (i, [1.0] * 4 + [1.0 if i % 2 else -1.0] + [0.5] * 3)
+            for i in range(40)
+        ] + [(100 + i, [-1.0] * 8) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r.vec_id: r.bucket
+            for r in lsh_bucketed(df, cap=16, extra_bits=4).collect()
+        }
+        # n=44 → ceil(44/8)=6 buckets needed → 4 bits (min clamp)
+        cold = {got[100 + i] for i in range(4)}
+        assert cold == {0}
+        hot = {got[i] for i in range(40)}
+        # split ids = 2^4 + 15*2^4 + sub = 256 + sub; sub keys on dims
+        # 5..8: dim5 sign is bit 0, dims 6-8 (0.5 > 0) set bits 1-3 →
+        # sub = 14 (even ids) / 15 (odd ids)
+        assert hot == {270, 271}
+        assert all(got[i] == (271 if i % 2 else 270) for i in range(40))
+
+    def test_kframe_matches_int_k(self, spark):
+        """kmeans_refine with a one-row k_frame must produce the exact
+        assignment of the int-k path (the seed pick goes through
+        TakeOrdered(max_k) + scalar-subquery filter instead of limit(k))."""
+        from marketdb_spark.operators.similarity import kmeans_refine
+
+        rows = [
+            (i, [float(i % 7), float((i * 3) % 5)]) for i in range(1, 40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        want = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(df, k=4, iters=2, dims=2).collect()
+        }
+        kf = df.sparkSession.createDataFrame([(4,)], "k long")
+        got = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(df, iters=2, dims=2, k_frame=kf).collect()
+        }
+        assert got == want
+
+
 class TestMultimodal:
     @pytest.fixture()
     def media(self, spark):
