@@ -356,6 +356,9 @@ def merge_delta(
     when_matched: str | dict[str, str] | None = "update",
     when_not_matched: str | None = "insert",
     when_not_matched_by_source: str | dict[str, str] | None = None,
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int | None:
     """``MERGE INTO table USING source ON keys`` — the upsert primitive
     (delta-spark's MERGE, ≙ the reference's bulk-put upsert path in
@@ -376,6 +379,23 @@ def merge_delta(
       The classic full-sync shape is ``when_matched="update",
       when_not_matched="insert", when_not_matched_by_source="delete"``
       — after which the table equals the source on the keyed universe.
+
+    Each clause takes an optional PER-CLAUSE CONDITION (delta-spark's
+    ``whenMatchedUpdate(condition=...)`` / ``whenMatchedDelete(
+    condition=...)`` / ``whenNotMatchedInsert(condition=...)`` /
+    ``whenNotMatchedBySource*(condition=...)``): a Spark SQL boolean that
+    gates the clause row-by-row. Rows the clause matches but the
+    condition does NOT evaluate TRUE for (false or NULL, standard SQL
+    filter semantics) fall through UNCHANGED — this engine's surface is
+    one clause of each kind, so there is no next clause to try, matching
+    delta with a single conditional clause. Reference columns QUALIFIED:
+    ``tgt.<col>`` / ``src.<col>`` (the SET-dict convention);
+    ``matched_condition`` may use both sides, ``not_matched_condition``
+    sees only the source row, and ``not_matched_by_source_condition``
+    only target columns (a ``src.`` reference raises — there is no
+    source row). Files where the condition filters out every otherwise-
+    matching row are NOT rewritten, and CDF records changes only for
+    rows the clause actually touched.
 
     Matching is by equality on ``on``; a source with DUPLICATE keys that
     match a target row raises (delta-spark's
@@ -405,6 +425,25 @@ def merge_delta(
             f"when_not_matched_by_source must be 'delete'|dict|None, got "
             f"{nmbs!r}"
         )
+    for cond, clause, cname in (
+        (matched_condition, when_matched, "matched_condition"),
+        (not_matched_condition, when_not_matched, "not_matched_condition"),
+        (not_matched_by_source_condition, nmbs,
+         "not_matched_by_source_condition"),
+    ):
+        if cond is not None and clause is None:
+            raise ValueError(
+                f"{cname} given but its clause is None: a condition "
+                f"gates a clause, it cannot stand alone"
+            )
+
+    def _true(cond: str | None):
+        """Clause gate: TRUE-only filter semantics (false/NULL → the
+        clause does not apply), None → the clause is unconditional."""
+        if cond is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+
     snap = _table_state(table)
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     logical_cols = [f.name for f in schema.fields]
@@ -427,10 +466,28 @@ def merge_delta(
     src = source.alias("src")
     tagged = _tagged_scan(spark, table, snap).alias("tgt")
     key_cond = [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on]
+    if not_matched_by_source_condition is not None:
+        # target-only: resolve against the target frame alone so a
+        # src.<col> reference raises here instead of silently evaluating
+        # against the all-NULL unmatched source side (the SET-dict
+        # device below, applied to the clause gate)
+        try:
+            tagged.select(F.expr(not_matched_by_source_condition))
+        except Exception:
+            raise ValueError(
+                f"not_matched_by_source_condition references non-target "
+                f"columns in {not_matched_by_source_condition!r}: there "
+                f"is no source row in a NOT MATCHED BY SOURCE clause"
+            ) from None
     if nmbs is None:
+        # semi-join keeps only rows the (conditional) matched clause
+        # actually touches — a file whose matched rows all fail the
+        # condition is not rewritten
         matched_uris = [
             r[0]
-            for r in tagged.join(src, key_cond, "left_semi")
+            for r in tagged.join(
+                src, key_cond + [_true(matched_condition)], "left_semi"
+            )
             .select(_FILE_COL)
             .distinct()
             .collect()
@@ -441,15 +498,23 @@ def merge_delta(
         unmatched_rels: list[str] = []
     else:
         # one pass tags every file with whether it holds matched and/or
-        # unmatched rows — NOT MATCHED BY SOURCE may touch files the
-        # matched clause never would
+        # unmatched rows the respective clause CONDITION lets through —
+        # NOT MATCHED BY SOURCE may touch files the matched clause never
+        # would. The source side stays key-only unless the matched
+        # condition needs source columns.
         is_m = F.col(f"src.{on[0]}").isNotNull()
+        tag_src = (
+            src if matched_condition is not None
+            else source.select(on).alias("src")
+        )
+        apply_m = is_m & _true(matched_condition)
+        apply_u = (~is_m) & _true(not_matched_by_source_condition)
         tags = (
-            tagged.join(source.select(on).alias("src"), key_cond, "left")
+            tagged.join(tag_src, key_cond, "left")
             .groupBy(_FILE_COL)
             .agg(
-                F.max(is_m.cast("int")).alias("m"),
-                F.max((~is_m).cast("int")).alias("u"),
+                F.max(apply_m.cast("int")).alias("m"),
+                F.max(apply_u.cast("int")).alias("u"),
             )
             .collect()
         )
@@ -470,6 +535,10 @@ def merge_delta(
         if when_not_matched == "insert"
         else None
     )
+    if inserts is not None and not_matched_condition is not None:
+        # the anti-join result is the bare source frame (alias 'src'),
+        # so the condition sees exactly the source row, per delta
+        inserts = inserts.filter(_true(not_matched_condition))
     if inserts is not None:
         missing = [c for c in logical_cols if c not in source.columns]
         if missing:
@@ -496,6 +565,11 @@ def merge_delta(
             rows = _scan_files(spark, table, snap, subset).alias("tgt")
             joined = rows.join(src, key_cond, "left")
             is_matched = F.col(f"src.{on[0]}").isNotNull()
+            # per-row clause gates: clause kind AND its condition holds
+            apply_m = is_matched & _true(matched_condition)
+            apply_u = (~is_matched) & _true(
+                not_matched_by_source_condition
+            )
             old = [F.col(f"tgt.{c}") for c in logical_cols]
 
             def _set_vals(clause, allow_src: bool):
@@ -552,17 +626,22 @@ def merge_delta(
                 if isinstance(nmbs, dict)
                 else None
             )
-            # survivors: matched rows unless when_matched='delete',
-            # unmatched rows unless when_not_matched_by_source='delete'
-            keep = F.when(is_matched, F.lit(when_matched != "delete")).otherwise(
-                F.lit(nmbs != "delete")
+            # survivors: a row drops only when its clause APPLIES
+            # (kind + condition) and that clause is a delete; rows a
+            # condition filters out copy through unchanged
+            keep = ~(
+                (apply_m & F.lit(when_matched == "delete"))
+                | (apply_u & F.lit(nmbs == "delete"))
             )
             out_vals = []
             for i, (o, n) in enumerate(zip(old, logical_cols)):
                 m_val = wm_vals[i] if wm_vals is not None else o
                 u_val = nmbs_vals[i] if nmbs_vals is not None else o
                 out_vals.append(
-                    F.when(is_matched, m_val).otherwise(u_val).alias(n)
+                    F.when(apply_m, m_val)
+                    .when(apply_u, u_val)
+                    .otherwise(o)
+                    .alias(n)
                 )
             rewritten = joined.filter(keep).select(out_vals)
             staged.extend(_stage_logical(rewritten, table, snap))
@@ -596,13 +675,13 @@ def merge_delta(
 
                 if when_matched is not None:
                     _pair(
-                        joined.filter(is_matched),
+                        joined.filter(apply_m),
                         wm_vals,
                         "delete" if when_matched == "delete" else "update",
                     )
                 if nmbs is not None:
                     _pair(
-                        joined.filter(~is_matched),
+                        joined.filter(apply_u),
                         nmbs_vals,
                         "delete" if nmbs == "delete" else "update",
                     )
@@ -621,15 +700,23 @@ def merge_delta(
                 cdc, table, snap,
                 extra_cols=["_change_type"], prefix=_CDF_DIR,
             )
+        op_params = {
+            "on": on,
+            "matched": "dict" if isinstance(when_matched, dict) else when_matched,
+            "notMatched": when_not_matched,
+            "notMatchedBySource": "dict" if isinstance(nmbs, dict) else nmbs,
+        }
+        for key, cond in (
+            ("matchedCondition", matched_condition),
+            ("notMatchedCondition", not_matched_condition),
+            ("notMatchedBySourceCondition", not_matched_by_source_condition),
+        ):
+            if cond is not None:
+                op_params[key] = cond
         return _commit_dml(
             table,
             "MERGE",
-            {
-                "on": on,
-                "matched": "dict" if isinstance(when_matched, dict) else when_matched,
-                "notMatched": when_not_matched,
-                "notMatchedBySource": "dict" if isinstance(nmbs, dict) else nmbs,
-            },
+            op_params,
             rewrite_rels,
             staged,
             cdc_staged,

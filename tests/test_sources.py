@@ -2733,6 +2733,103 @@ class TestDeltaDML:
                 when_not_matched_by_source="insert",
             )
 
+    def test_merge_conditional_clauses(self, spark, tmp_path):
+        """Per-clause conditions (delta-spark's whenMatchedUpdate/Delete/
+        whenNotMatchedInsert/whenNotMatchedBySource* condition=...):
+        rows a condition rejects fall through UNCHANGED, files whose
+        candidate rows all fail the condition are NOT rewritten, CDF
+        attributes only actually-touched rows, and the guards hold."""
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_live_files,
+            read_change_feed,
+            read_delta,
+        )
+
+        schema = "k long, v string, p string"
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)  # (1,a,x) (2,b,y) (3,c,x) (4,d,z), CDF on
+
+        # conditional matched UPDATE: source hits k=1 and k=2, but the
+        # condition lets only src.v='A' through → k=2 stays 'b' and its
+        # file (p=y) is not rewritten
+        before_y = {f for f in delta_live_files(t) if f.startswith("p=y")}
+        src = spark.createDataFrame([(1, "A", "x"), (2, "REJECT", "y")], schema)
+        v = merge_delta(
+            spark, t, src, on=["k"],
+            when_matched="update", when_not_matched=None,
+            matched_condition="src.v = 'A'",
+        )
+        assert v == 1
+        got = {r.k: r.v for r in read_delta(spark, t).collect()}
+        assert got == {1: "A", 2: "b", 3: "c", 4: "d"}
+        assert {f for f in delta_live_files(t) if f.startswith("p=y")} == before_y
+        cf = read_change_feed(spark, t, 1, 1)
+        assert sorted((r.k, r._change_type) for r in cf.collect()) == [
+            (1, "update_postimage"), (1, "update_preimage"),
+        ]
+        hist = {h["version"]: h for h in delta_history(t)}
+        assert hist[1]["operationParameters"]["matchedCondition"] == "src.v = 'A'"
+
+        # conditional matched DELETE on a target predicate: source hits
+        # k=1 (p=x) and k=4 (p=z); only the p=x row deletes
+        merge_delta(
+            spark, t,
+            spark.createDataFrame([(1,), (4,)], "k long"),
+            on=["k"], when_matched="delete", when_not_matched=None,
+            matched_condition="tgt.p = 'x'",
+        )
+        got = {r.k for r in read_delta(spark, t).collect()}
+        assert got == {2, 3, 4}
+        cfd = read_change_feed(spark, t, 2, 2)
+        assert [(r.k, r._change_type) for r in cfd.collect()] == [(1, "delete")]
+
+        # conditional INSERT: only source rows passing the condition
+        # append; NULL condition = not applied (TRUE-only semantics)
+        merge_delta(
+            spark, t,
+            spark.createDataFrame(
+                [(8, "ok", "x"), (9, "no", "y"), (10, None, "z")], schema
+            ),
+            on=["k"], when_matched=None, when_not_matched="insert",
+            not_matched_condition="src.v = 'ok'",
+        )
+        got = {r.k for r in read_delta(spark, t).collect()}
+        assert got == {2, 3, 4, 8}
+        cfi = read_change_feed(spark, t, 3, 3)
+        assert [(r.k, r._change_type) for r in cfi.collect()] == [(8, "insert")]
+
+        # conditional NOT MATCHED BY SOURCE: unmatched target rows update
+        # only where the (target-only) condition holds
+        merge_delta(
+            spark, t,
+            spark.createDataFrame([(2, "b2", "y")], schema),
+            on=["k"], when_matched="update", when_not_matched=None,
+            when_not_matched_by_source={"v": "'stale'"},
+            not_matched_by_source_condition="tgt.p = 'z'",
+        )
+        got = {r.k: r.v for r in read_delta(spark, t).collect()}
+        assert got == {2: "b2", 3: "c", 4: "stale", 8: "ok"}
+
+        # guards: src reference in the target-only condition; a
+        # condition without its clause
+        with pytest.raises(ValueError, match="non-target columns"):
+            merge_delta(
+                spark, t,
+                spark.createDataFrame([(2, "x", "y")], schema),
+                on=["k"], when_matched="update",
+                when_not_matched_by_source="delete",
+                not_matched_by_source_condition="src.v = 'a'",
+            )
+        with pytest.raises(ValueError, match="cannot stand alone"):
+            merge_delta(
+                spark, t,
+                spark.createDataFrame([(2, "x", "y")], schema),
+                on=["k"], when_matched=None, when_not_matched=None,
+                matched_condition="tgt.p = 'x'",
+            )
+
     def test_restore_to_version(self, spark, tmp_path):
         """RESTORE: the live set returns to the historical snapshot's in
         one new commit (no data movement — the re-added files are the
