@@ -1089,6 +1089,101 @@ def store_delta_colmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_colmap_id",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_bal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
+def store_delta_colmap_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping ID mode under the hash gate (PROTOCOL.md "Column
+    Mapping"; VERDICT r10 item 3): customers land in a
+    segment-partitioned Delta table whose data files carry PARQUET FIELD
+    IDS (asserted inline on the raw footer), then every data file is
+    REWRITTEN with garbage column names, ids intact — the shape an
+    Iceberg-converted / UniForm writer produces, where name-based
+    resolution would return nulls. read_delta resolves purely by field
+    id (Spark's fieldId.read lane; the footer preflight refuses id-less
+    files), partition-prunes to two segments through the physically-keyed
+    partitionValues, and aggregates — hash-equal to the plain customer
+    oracle iff the id resolution is lossless. delta_features() reporting
+    the table streamable is asserted inline; the streaming leg is pinned
+    by tests/test_streaming.py::test_id_mode_table_streams_by_field_id."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marketdb_spark.sources.deltalog import (
+        delta_features,
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="store_colmap_id_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            cust,
+            t,
+            partition_by=["c_mktsegment"],
+            column_mapping="id",
+        )
+        files = delta_live_files(t)
+        assert files and all(f.startswith("col-") for f in files)
+        raw = pq.read_schema(_os.path.join(t, files[0]))
+        assert all(
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in raw
+        )
+        # the id-mode acid test: garbage names, ids intact
+        for rel in files:
+            p0 = _os.path.join(t, rel)
+            tbl = pq.read_table(p0)
+            nf = [
+                pa.field(f"zz_{i}", f.type, f.nullable, f.metadata)
+                for i, f in enumerate(tbl.schema)
+            ]
+            pq.write_table(pa.table(tbl.columns, schema=pa.schema(nf)), p0)
+        feats = delta_features(t)
+        assert feats["streamable"] and feats["protocol"] == {
+            "minReaderVersion": 2,
+            "minWriterVersion": 5,
+        }
+        assert feats["configuration"]["delta.columnMapping.mode"] == "id"
+        back = read_delta(spark, t)
+        assert back.columns == cust.columns  # logical surface
+        out = (
+            back.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_cust"),
+                dsum("c_acctbal", scale=6).alias("sum_bal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_cdf",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,

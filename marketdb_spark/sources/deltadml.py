@@ -59,8 +59,10 @@ from marketdb_spark.sources.deltalog import (
     _check_writer_protocol,
     _checkpoint_versions,
     _commit_info,
+    _field_id,
     _log_entries,
     _mapping_mode,
+    _PARQUET_FID,
     _physical_datatype,
     _physical_name,
     _publish_commit,
@@ -121,19 +123,27 @@ def _stage_logical(
     stager's ``_change_type``)."""
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     cmode = _mapping_mode(snap.config, table)
+    with_ids = cmode == "id"
     cols = []
     for f in schema.fields:
-        if cmode == "name":
-            phys_dt = _physical_datatype(f.dataType)
+        if cmode in ("name", "id"):
+            phys_dt = _physical_datatype(f.dataType, with_ids)
             col = F.col(f.name)
             if phys_dt != _strip_field_metadata(f.dataType):
                 col = col.cast(phys_dt)
-            cols.append(col.alias(_physical_name(f)))
+            cols.append(
+                col.alias(
+                    _physical_name(f),
+                    metadata={_PARQUET_FID: _field_id(f)}
+                    if with_ids
+                    else None,
+                )
+            )
         else:
             cols.append(F.col(f.name))
     for c in extra_cols or []:
         cols.append(F.col(c))
-    if cmode == "name":
+    if cmode in ("name", "id"):
         phys_of = {f.name: _physical_name(f) for f in schema.fields}
         stage_cols = [phys_of[c] for c in snap.part_cols]
     else:

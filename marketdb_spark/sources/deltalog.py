@@ -22,12 +22,15 @@ checkpoints — single-part AND complete multi-part sets
 tables) — are replayed (located by filename; checkpoint-only tables
 whose JSON commits expired under log retention read fine; incomplete
 multi-part sets from a crashed writer are ignored per the protocol).
-Column mapping in NAME mode is supported end-to-end (read, write,
-stream): data files speak per-field physical names from the
+Column mapping in NAME and ID modes is supported end-to-end (read,
+write, stream): data files speak per-field physical names from the
 schemaString metadata, partition values are keyed by physical names,
-and the user-facing surface stays logical. Deletion vectors,
-column-mapping ID mode, v2/UUID checkpoints, and truncated logs with
-no covering checkpoint RAISE instead of returning wrong rows;
+and the user-facing surface stays logical; id mode additionally
+resolves data columns by parquet FIELD ID (Spark's fieldId.read/write
+lanes batch-side, PARQUET:field_id arrow metadata stream-side), so
+Iceberg-converted / UniForm-style files with foreign column names read
+correctly. Deletion vectors, v2/UUID checkpoints, and truncated logs
+with no covering checkpoint RAISE instead of returning wrong rows;
 add/remove paths are percent-decoded per the protocol and absolute
 (shallow-clone) paths are rejected. Partition values ride back in as
 literal columns per add — the directory layout is NOT trusted (the
@@ -162,8 +165,8 @@ _SUPPORTED_READER_FEATURES = {"columnMapping"}
 
 
 def _check_reader_protocol(proto: dict, where: str) -> None:
-    """Gate on the reader protocol: v1 plain, v2 column mapping (mode
-    validated where the schema is mapped — `name` reads, `id` raises),
+    """Gate on the reader protocol: v1 plain, v2 column mapping (name
+    and id modes both read; the mode is validated where the schema maps),
     v3 only when every declared readerFeature is in
     _SUPPORTED_READER_FEATURES. Anything else raises rather than
     returning wrong rows (a feature-blind replay of a DV table would
@@ -295,13 +298,22 @@ def _check_writer_protocol(
         )
 
 
-# -- column mapping (PROTOCOL.md "Column Mapping", name mode) ------------
+# -- column mapping (PROTOCOL.md "Column Mapping", name + id modes) ------
 # With delta.columnMapping.mode = name, data files store columns under
 # per-field PHYSICAL names carried in the schemaString's field metadata
 # (delta.columnMapping.physicalName / .id); partition values and stats
 # in the log are keyed by physical names, while metaData.partitionColumns
-# keeps the logical names. Mode `id` (parquet field-id resolution) is out
-# of documented scope and raises.
+# keeps the logical names. Mode `id` (what Iceberg-converted / UniForm
+# and some delta-rs writers produce) additionally requires resolving data
+# columns by the PARQUET FIELD ID (delta.columnMapping.id ↔ the file's
+# parquet field_id), NOT by name — the batch lanes do this natively via
+# Spark's spark.sql.parquet.fieldId.read/write.enabled (the read schema's
+# fields carry `parquet.field.id` metadata, so files whose column names
+# differ entirely still resolve, at every struct nesting level); the
+# arrow streaming lanes resolve top-level columns by the file schema's
+# PARQUET:field_id metadata (nested struct fields rename positionally,
+# as in name mode). partitionValues stay keyed by physicalName in BOTH
+# modes per the protocol.
 
 _CM_MODE = "delta.columnMapping.mode"
 _CM_MAXID = "delta.columnMapping.maxColumnId"
@@ -317,17 +329,61 @@ _CHANGE_TYPE = T.StructField("_change_type", T.StringType(), False)
 
 def _mapping_mode(config: dict | None, where: str = "table") -> str:
     mode = (config or {}).get(_CM_MODE) or "none"
-    if mode == "id":
-        raise ValueError(
-            f"unsupported Delta column-mapping mode 'id' in {where} "
-            f"(name mode is supported; id needs parquet field-id "
-            f"resolution)"
-        )
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise ValueError(
             f"unknown Delta column-mapping mode {mode!r} in {where}"
         )
     return mode
+
+
+# metadata key Spark's parquet reader/writer use for field-id resolution
+# (spark.sql.parquet.fieldId.read.enabled / .write.enabled)
+_PARQUET_FID = "parquet.field.id"
+
+
+def _field_id(field: T.StructField) -> int:
+    fid = (field.metadata or {}).get(_CM_ID)
+    if fid is None:
+        raise ValueError(
+            f"column-mapped table (id mode): field {field.name!r} lacks "
+            f"{_CM_ID} metadata in its schemaString"
+        )
+    return int(fid)
+
+
+# id-mode file footers already verified to carry field ids, keyed by
+# (path, size, mtime_ns) — delta data files are immutable once committed
+# (new content ⇒ new path), the stat key catches in-place corruption too
+_FID_VERIFIED: set[tuple] = set()
+
+
+def _require_field_ids(table: str, rels) -> None:
+    """Preflight id-mode data files: every footer must carry parquet
+    field ids. Spark's field-id matcher errors on flat schemas but
+    NULL-FILLS nested ones when a file lacks ids (observed on 4.x) —
+    silently wrong rows, so we verify footers ourselves. Driver-side,
+    one pyarrow footer read (~ms) per file, cached for the process
+    lifetime; a real deployment would fold this into the stats/skipping
+    footer pass."""
+    import pyarrow.parquet as pq
+
+    for rel in rels:
+        full = os.path.join(table, rel)
+        st = os.stat(full)
+        key = (full, st.st_size, st.st_mtime_ns)
+        if key in _FID_VERIFIED:
+            continue
+        sch = pq.read_schema(full)
+        if any(
+            (f.metadata or {}).get(b"PARQUET:field_id") is None
+            for f in sch
+        ):
+            raise ValueError(
+                f"id-mode table {table}: data file {rel} carries no "
+                f"parquet field ids — cannot resolve columns by id "
+                f"(refusing to null-fill)"
+            )
+        _FID_VERIFIED.add(key)
 
 
 def _physical_name(field: T.StructField) -> str:
@@ -340,24 +396,32 @@ def _physical_name(field: T.StructField) -> str:
     return phys
 
 
-def _physical_datatype(dt: T.DataType) -> T.DataType:
-    """The PHYSICAL shape of a logical type under name mode: every
-    struct field (any nesting level) renamed to its physicalName."""
+def _physical_datatype(dt: T.DataType, with_ids: bool = False) -> T.DataType:
+    """The PHYSICAL shape of a logical type under column mapping: every
+    struct field (any nesting level) renamed to its physicalName.
+    ``with_ids`` (id mode) additionally carries each field's
+    delta.columnMapping.id as ``parquet.field.id`` metadata, so Spark's
+    parquet lanes resolve/write nested fields by id."""
     if isinstance(dt, T.StructType):
         return T.StructType(
             [
                 T.StructField(
-                    _physical_name(f), _physical_datatype(f.dataType), f.nullable
+                    _physical_name(f),
+                    _physical_datatype(f.dataType, with_ids),
+                    f.nullable,
+                    {_PARQUET_FID: _field_id(f)} if with_ids else None,
                 )
                 for f in dt.fields
             ]
         )
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_datatype(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_datatype(dt.elementType, with_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_datatype(dt.keyType),
-            _physical_datatype(dt.valueType),
+            _physical_datatype(dt.keyType, with_ids),
+            _physical_datatype(dt.valueType, with_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -671,9 +735,9 @@ def delta_features(table: str) -> dict:
         ):
             unsupported.append(f"readerFeature:{feat}")
     cmode = conf.get(_CM_MODE, "none")
-    if cmode not in (None, "", "none", "name"):
-        # name mode is READ/WRITE supported (read_delta, write_delta,
-        # deltastream); id mode needs parquet field-id resolution
+    if cmode not in (None, "", "none", "name", "id"):
+        # name mode AND id mode are READ/WRITE supported (read_delta,
+        # write_delta, deltastream — id resolves by parquet field id)
         unsupported.append(f"columnMapping:{cmode}")
     if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
         unsupported.append("deletionVectors")
@@ -773,16 +837,37 @@ def _scan_files(
     ``_change_type``) — appended to the read schema and the output,
     never name-mapped."""
     part_cols = snap.part_cols
-    mapped = _mapping_mode(snap.config, table) == "name"
+    cmode = _mapping_mode(snap.config, table)
+    mapped = cmode in ("name", "id")
+    with_ids = cmode == "id"
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     extra_fields = list(extra_fields or [])
     logical = T.StructType(
         _t.cast(T.StructType, _strip_field_metadata(schema)).fields
         + extra_fields
     )
+    if mapped:
+        # a mapped table whose schemaString lacks the required per-field
+        # metadata is malformed per the protocol — validate even when the
+        # live set is empty, so the defect surfaces at first read
+        for f in schema.fields:
+            _physical_name(f)
+            if with_ids:
+                _field_id(f)
     if not files:
         return spark.createDataFrame([], logical)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if with_ids:
+        # id mode: data columns resolve by PARQUET FIELD ID, not name —
+        # the read schema's fields carry parquet.field.id metadata and
+        # Spark's field-id matcher does the rest (nested levels too);
+        # physical names remain as the requested field names, a cosmetic
+        # detail once ids match. Files lacking ids fail loudly via the
+        # footer preflight (Spark's own matcher errors on flat schemas
+        # but null-fills nested ones — wrong rows, so we don't rely on
+        # it).
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        _require_field_ids(table, files)
     if mapped:
         # name mode: data files store columns under the per-field
         # PHYSICAL names in the schemaString metadata — read with the
@@ -792,14 +877,17 @@ def _scan_files(
         data_schema = T.StructType(
             [
                 T.StructField(
-                    _physical_name(f), _physical_datatype(f.dataType), f.nullable
+                    _physical_name(f),
+                    _physical_datatype(f.dataType, with_ids),
+                    f.nullable,
+                    {_PARQUET_FID: _field_id(f)} if with_ids else None,
                 )
                 for f in data_fields
             ]
         )
         renames = []
         for f in data_fields:
-            phys_dt = _physical_datatype(f.dataType)
+            phys_dt = _physical_datatype(f.dataType, with_ids)
             col = F.col(_physical_name(f))
             if phys_dt != f.dataType:
                 col = col.cast(_strip_field_metadata(f.dataType))
@@ -1314,10 +1402,10 @@ def write_delta(
         if replace_where is not None
         else None
     )
-    if column_mapping not in (None, "none", "name"):
+    if column_mapping not in (None, "none", "name", "id"):
         raise ValueError(
-            f"column_mapping must be None|'none'|'name', got "
-            f"{column_mapping!r} (id mode is unsupported)"
+            f"column_mapping must be None|'none'|'name'|'id', got "
+            f"{column_mapping!r}"
         )
     if txn_app is not None:
         seen = last_txn_version(table, txn_app)
@@ -1363,12 +1451,13 @@ def write_delta(
                 f"enabling it on an existing table is unsupported "
                 f"(create-time only)"
             )
-        if column_mapping == "name" and cmode != "name":
+        if column_mapping in ("name", "id") and cmode != column_mapping:
             raise ValueError(
-                f"{table} is not column-mapped; enabling column mapping "
-                f"on an existing table is unsupported (create-time only)"
+                f"{table}'s column-mapping mode is {cmode!r}; enabling or "
+                f"changing column mapping on an existing table is "
+                f"unsupported (create-time only)"
             )
-        if merge_schema and cmode == "name":
+        if merge_schema and cmode != "none":
             raise ValueError(
                 f"merge_schema is unsupported on the column-mapped table "
                 f"{table}: schema evolution under column mapping is out "
@@ -1376,7 +1465,7 @@ def write_delta(
             )
         mapped_schema = (
             T.StructType.fromJson(json.loads(existing.schema_json))
-            if cmode == "name"
+            if cmode in ("name", "id")
             else None
         )
         if mapped_schema is not None and _strip_field_metadata(
@@ -1387,22 +1476,30 @@ def write_delta(
                 f"evolution under column mapping is unsupported (table "
                 f"has {existing.schema_json}, batch has {df.schema.json()})"
             )
-    elif column_mapping == "name":
-        cmode = "name"
+    elif column_mapping in ("name", "id"):
+        cmode = column_mapping
         cdf_on = bool(enable_cdf)
         mapped_schema, max_id = _assign_mapping(df.schema)
     else:
         cmode, mapped_schema = "none", None
         cdf_on = bool(enable_cdf)
     if mapped_schema is not None:
+        with_ids = cmode == "id"
         phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}
         stage_renames = []
         for f in mapped_schema.fields:
-            phys_dt = _physical_datatype(f.dataType)
+            phys_dt = _physical_datatype(f.dataType, with_ids)
             col = F.col(f.name)
             if phys_dt != _strip_field_metadata(f.dataType):
-                col = col.cast(phys_dt)  # positional nested rename
-            stage_renames.append(col.alias(phys_of[f.name]))
+                col = col.cast(phys_dt)  # positional nested rename; under
+                #                          id mode the cast target carries
+                #                          nested parquet.field.id metadata
+            stage_renames.append(
+                col.alias(
+                    phys_of[f.name],
+                    metadata={_PARQUET_FID: _field_id(f)} if with_ids else None,
+                )
+            )
         stage_df = df.select(stage_renames)
         stage_cols = [phys_of[c] for c in part_cols]
     else:
@@ -1581,7 +1678,7 @@ def write_delta(
             if latest < 0:
                 # column mapping needs reader 2 / writer 5, CDF writer 4
                 # (writer versions are cumulative per the protocol)
-                if cmode == "name":
+                if cmode in ("name", "id"):
                     proto = {"minReaderVersion": 2, "minWriterVersion": 5}
                 elif cdf_on:
                     proto = {"minReaderVersion": 1, "minWriterVersion": 4}
@@ -1595,9 +1692,9 @@ def write_delta(
                 configuration: dict = (
                     dict(cur.config) if latest >= 0 else {}
                 )
-                if cmode == "name":
+                if cmode in ("name", "id"):
                     configuration.update(
-                        {_CM_MODE: "name", _CM_MAXID: str(max_id)}
+                        {_CM_MODE: cmode, _CM_MAXID: str(max_id)}
                     )
                 if cdf_on:
                     configuration[_CDF_FLAG] = "true"
@@ -2061,8 +2158,15 @@ def optimize_delta(
     # compaction never renames: under column mapping the files are read
     # AND rewritten with their physical column names — add.partitionValues
     # and the Hive-style dirs stay keyed by physical names per the
-    # protocol, and the logical surface is untouched
-    mapped = _mapping_mode(snap.config, table) == "name"
+    # protocol, and the logical surface is untouched. Under id mode the
+    # read resolves by parquet field id and the schema's parquet.field.id
+    # metadata rides through the read into the rewritten files, so
+    # compacted files keep their ids.
+    cmode = _mapping_mode(snap.config, table)
+    mapped = cmode in ("name", "id")
+    with_ids = cmode == "id"
+    if with_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     stage_key = {
         f.name: (_physical_name(f) if mapped else f.name)
         for f in schema.fields
@@ -2072,8 +2176,11 @@ def optimize_delta(
         [
             T.StructField(
                 _physical_name(f) if mapped else f.name,
-                _physical_datatype(f.dataType) if mapped else f.dataType,
+                _physical_datatype(f.dataType, with_ids)
+                if mapped
+                else f.dataType,
                 f.nullable,
+                {_PARQUET_FID: _field_id(f)} if with_ids else None,
             )
             for f in schema.fields
             if f.name not in part_cols
@@ -2091,6 +2198,10 @@ def optimize_delta(
     }
     if not todo:
         return None
+    if with_ids:
+        _require_field_ids(
+            table, [p for paths in todo.values() for p in paths]
+        )
 
     # rewrite each loose partition into one file; the read-coalesce is
     # per-partition-tuple, so a 1000-partition optimize is 1000

@@ -56,10 +56,11 @@ vectors, v2 checkpoints — anything past column mapping) raises instead
 of tailing DV-carrying adds as full files, and a ``metaData`` action
 whose schema, partitionColumns, or column-mapping mode differ from the
 stream's pinned state raises instead of misreading new files with the
-old schema. Column-mapped tables (NAME mode) stream natively: data
+old schema. Column-mapped tables stream natively in BOTH modes: data
 files and partitionValues speak physical names, the emitted schema is
-logical (mapping metadata stripped), and nested struct fields are
-renamed executor-side on the Arrow buffers.
+logical (mapping metadata stripped), nested struct fields are renamed
+executor-side on the Arrow buffers, and id mode resolves data columns
+by the file's parquet field id (PARQUET:field_id metadata).
 
 ``startingVersion`` / ``startingTimestamp`` (delta-spark parity) skip
 the initial snapshot entirely and tail the log FROM that version — the
@@ -96,6 +97,7 @@ from marketdb_spark.sources.deltalog import (
     _LOG,
     _check_reader_protocol,
     _decode_path,
+    _field_id,
     _mapping_mode,
     _physical_name,
     _replay,
@@ -326,6 +328,22 @@ def _tail_adds(
     return adds
 
 
+def _column_by_field_id(tbl, fid: int, logical: str, table: str):
+    """Resolve a data column by its parquet field id (column-mapping id
+    mode): pyarrow surfaces the file's field ids as PARQUET:field_id
+    field metadata. Missing id → loud error, never a null-filled or
+    name-guessed column."""
+    for i, fld in enumerate(tbl.schema):
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None and int(raw) == fid:
+            return tbl.column(i)
+    raise ValueError(
+        f"id-mode table {table}: no parquet column carries field id "
+        f"{fid} (logical column {logical!r}) — file written without "
+        f"field ids?"
+    )
+
+
 def _arrow_rename(arr, target):
     """Rebuild ``arr`` with the field NAMES of arrow type ``target``
     (identical layout/types — column mapping is a pure rename). Executor
@@ -395,17 +413,26 @@ class DeltaStreamReader(DataSourceStreamReader):
         # the schemaString pinned at stream open (None only under direct
         # test construction) — tail metaData actions verify against it
         self.pinned_schema_json = options.get("schemajson")
-        # column mapping (name mode): data files and partitionValues
-        # speak PHYSICAL names; id mode raises here, at open
+        # column mapping: data files and partitionValues speak PHYSICAL
+        # names in BOTH modes; under id mode data columns additionally
+        # resolve by the file's parquet field id (PARQUET:field_id arrow
+        # metadata), not by name — Iceberg-converted files may carry
+        # arbitrary column names
         config = json.loads(options.get("configjson") or "{}")
         self.cmode = _mapping_mode(config, self.table)
-        if self.cmode == "name":
+        if self.cmode in ("name", "id"):
             pinned = T.StructType.fromJson(
                 json.loads(self.pinned_schema_json)
             )
             self.phys_of = {f.name: _physical_name(f) for f in pinned.fields}
+            self.fid_of = (
+                {f.name: _field_id(f) for f in pinned.fields}
+                if self.cmode == "id"
+                else {}
+            )
         else:
             self.phys_of = {}
+            self.fid_of = {}
         self.mode = _parse_mode(options)
         self.max_files = _parse_cap(options, "maxFilesPerTrigger")
         self.max_bytes = _parse_cap(options, "maxBytesPerTrigger")
@@ -635,8 +662,18 @@ class DeltaStreamReader(DataSourceStreamReader):
                 const = pa.array([raw] * n, pa.string()).cast(at)
                 cols.append(const)
             else:
-                col = tbl.column(phys).combine_chunks()
-                if self.cmode == "name" and _contains_struct(f.dataType):
+                if self.cmode == "id":
+                    col = _column_by_field_id(
+                        tbl, self.fid_of[f.name], f.name, self.table
+                    ).combine_chunks()
+                else:
+                    col = tbl.column(phys).combine_chunks()
+                if self.cmode in ("name", "id") and _contains_struct(
+                    f.dataType
+                ):
+                    # nested struct fields rename POSITIONALLY (file
+                    # schema order = schemaString order for delta
+                    # writers); the batch lane resolves nested by id
                     col = _arrow_rename(col, to_arrow_type(f.dataType))
                 cols.append(col)
             names.append(f.name)
@@ -952,8 +989,15 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     at = to_arrow_type(f.dataType)
                     cols.append(pa.array([raw] * n, pa.string()).cast(at))
                 else:
-                    col = tbl.column(phys).combine_chunks()
-                    if self.cmode == "name" and _contains_struct(f.dataType):
+                    if self.cmode == "id":
+                        col = _column_by_field_id(
+                            tbl, self.fid_of[f.name], f.name, self.table
+                        ).combine_chunks()
+                    else:
+                        col = tbl.column(phys).combine_chunks()
+                    if self.cmode in ("name", "id") and _contains_struct(
+                        f.dataType
+                    ):
                         col = _arrow_rename(col, to_arrow_type(f.dataType))
                     cols.append(col)
             names.append(f.name)

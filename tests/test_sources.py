@@ -2271,9 +2271,8 @@ class TestDeltaColumnMapping:
             (1, "east"), (2, "east"),
         ]
 
-    def test_id_mode_and_guards_raise(self, spark, tmp_path):
+    def test_mapping_guards_raise(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
-            delta_features,
             read_delta,
             write_delta,
         )
@@ -2292,13 +2291,20 @@ class TestDeltaColumnMapping:
                 spark.createDataFrame([(2, "b")], schema), t2,
                 column_mapping="name",
             )
+        # changing an existing table's mode (name → id): refused
+        with pytest.raises(ValueError, match="create-time only"):
+            write_delta(
+                spark.createDataFrame([(2, "b")], schema), t,
+                column_mapping="id",
+            )
         # schema evolution on a mapped table: refused (append + overwrite)
         other = spark.createDataFrame([(1.5,)], "x double")
         with pytest.raises(ValueError, match="column mapping"):
             write_delta(other, t)
         with pytest.raises(ValueError, match="column mapping"):
             write_delta(other, t, mode="overwrite")
-        # id mode: loud raise on read AND listed by delta_features
+        # a foreign id-mode log whose schemaString LACKS the required
+        # mapping metadata: loud raise, never a guessed column
         t3 = str(tmp_path / "idmode")
         os.makedirs(os.path.join(t3, "_delta_log"))
         with open(
@@ -2316,9 +2322,104 @@ class TestDeltaColumnMapping:
                     "configuration": {"delta.columnMapping.mode": "id"},
                 }
             }) + "\n")
-        with pytest.raises(ValueError, match="'id'"):
+        with pytest.raises(ValueError, match="lacks"):
             read_delta(spark, t3)
-        assert "columnMapping:id" in delta_features(t3)["unsupported"]
+
+    def test_id_mode_writer_roundtrip(self, spark, tmp_path):
+        """Column mapping ID mode: files carry parquet field ids
+        (PARQUET:field_id footer metadata) under physical names, the
+        logical surface round-trips, and delta_features reports the
+        table streamable at protocol 2/5."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+            "k long, v string, p string",
+        )
+        assert write_delta(
+            df, t, partition_by=["p"], column_mapping="id"
+        ) == 0
+        files = delta_live_files(t)
+        assert files and all(f.startswith("col-") for f in files)
+        raw = pq.read_schema(os.path.join(t, files[0]))
+        fids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in raw
+        }
+        assert all(v is not None for v in fids.values()), fids
+        feats = delta_features(t)
+        assert feats["unsupported"] == [] and feats["streamable"]
+        assert feats["protocol"] == {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }
+        assert feats["configuration"]["delta.columnMapping.mode"] == "id"
+        back = read_delta(spark, t)
+        assert back.columns == ["k", "v", "p"]
+        assert sorted(tuple(r) for r in back.collect()) == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"),
+        ]
+
+    def test_id_mode_resolves_by_field_id_not_name(self, spark, tmp_path):
+        """The defining property of id mode (Iceberg-converted / UniForm
+        files carry arbitrary column names): rewrite every data file
+        with GARBAGE column names but intact field ids — batch read,
+        nested struct fields, and row-level DML must all still resolve
+        correctly, and a file MISSING ids must raise, not null-fill."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, ("a", 10), "x"), (2, ("b", 20), "y")],
+            "k long, s struct<u: string, w: long>, p string",
+        )
+        write_delta(df, t, partition_by=["p"], column_mapping="id")
+
+        def rename_all(mangle):
+            for rel in delta_live_files(t):
+                p0 = os.path.join(t, rel)
+                tbl = pq.read_table(p0)
+                nf = [
+                    pa.field(f"g{i}", f.type, f.nullable, mangle(f))
+                    for i, f in enumerate(tbl.schema)
+                ]
+                pq.write_table(
+                    pa.table(tbl.columns, schema=pa.schema(nf)), p0
+                )
+
+        rename_all(lambda f: f.metadata)  # garbage names, ids intact
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, ("a", 10), "x"), (2, ("b", 20), "y")]
+        # DML reads by id and stages new files that carry ids again
+        delete_delta(spark, t, "k = 2")
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, ("a", 10), "x")]
+        raw = pq.read_schema(
+            os.path.join(t, delta_live_files(t)[0])
+        )
+        assert all(
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in raw
+        )
+        # ids stripped: loud failure (Spark's field-id matcher), no
+        # silent null-fill
+        rename_all(lambda f: None)
+        with pytest.raises(Exception, match="[Ff]ield [Ii]d|FIELD_ID"):
+            read_delta(spark, t).collect()
 
     def test_dv_carrying_add_raises(self, spark, tmp_path):
         """Belt and braces below the protocol gate: an add action with a

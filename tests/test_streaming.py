@@ -2020,36 +2020,66 @@ class TestDeltaStreamAdmission:
             for r in read_delta(spark, t).collect()
         )
         assert got == want and len(got) == 3
-        # id mode: raises at open, not silently wrong
-        import json as _json
-        import os as _os
 
-        t2 = str(tmp_path / "idmode")
-        _os.makedirs(_os.path.join(t2, "_delta_log"))
-        with open(
-            _os.path.join(t2, "_delta_log", f"{0:020d}.json"), "w"
-        ) as f:
-            f.write(_json.dumps({"protocol": {"minReaderVersion": 2,
-                                              "minWriterVersion": 5}}) + "\n")
-            f.write(_json.dumps({
-                "metaData": {
-                    "id": "m",
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": spark.createDataFrame(
-                        [(1,)], "k long").schema.json(),
-                    "partitionColumns": [],
-                    "configuration": {"delta.columnMapping.mode": "id"},
-                }
-            }) + "\n")
-        from marketdb_spark.streaming.deltasource import DeltaStreamReader
+    def test_id_mode_table_streams_by_field_id(self, spark, tmp_path):
+        """An ID-mode column-mapped table streams through the real
+        engine resolving data columns by PARQUET FIELD ID: every data
+        file is rewritten with garbage column names (ids intact — the
+        Iceberg-converted shape) and the stream still emits the logical
+        rows, equal to the batch read."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        snap_opts = {
-            "path": t2,
-            "partcols": "[]",
-            "configjson": _json.dumps({"delta.columnMapping.mode": "id"}),
-        }
-        with pytest.raises(ValueError, match="'id'"):
-            DeltaStreamReader(snap_opts, None)
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, deal struct<sym:string, qty:long>, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(1, ("AAA", 10), "x"), (2, ("BBB", 20), "y")], schema
+            ),
+            t,
+            partition_by=["p"],
+            column_mapping="id",
+        )
+        write_delta(
+            spark.createDataFrame([(3, ("CCC", 30), "x")], schema), t
+        )
+        for rel in delta_live_files(t):
+            p0 = os.path.join(t, rel)
+            tbl = pq.read_table(p0)
+            nf = [
+                pa.field(f"g{i}", f.type, f.nullable, f.metadata)
+                for i, f in enumerate(tbl.schema)
+            ]
+            pq.write_table(pa.table(tbl.columns, schema=pa.schema(nf)), p0)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = read_delta_stream(spark, t)
+        assert stream.schema.fieldNames() == ["k", "deal", "p"]
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            str(sorted(r.asDict(recursive=True).items()))
+            for r in read_delta(spark, t).collect()
+        )
+        assert got == want and len(got) == 3
 
     def test_cdf_stream_equals_batch_and_restarts(self, spark, tmp_path):
         """format("deltacdf"): a stream from startingVersion=0 emits the
