@@ -1184,6 +1184,105 @@ def store_delta_colmap_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_v2ckpt",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_v2ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/UUID checkpoint replay under the hash gate (PROTOCOL.md "V2
+    Spec Checkpoints"; VERDICT r10 item 6): orders land in a Delta table
+    across two commits, a classic checkpoint is written and then
+    CONVERTED to the v2 layout — a UUID-named sidecar-less JSON
+    checkpoint carrying a checkpointMetadata marker — and the classic
+    checkpoint plus every covered JSON commit is REMOVED (the
+    log-retention end state a newer Databricks / delta-kernel writer
+    leaves behind). read_delta must anchor the replay on the v2 file
+    alone; the aggregation is hash-equal to the plain orders oracle iff
+    the v2 replay reconstructs the exact live set. Parquet-with-sidecars
+    and the corruption guards are pinned by
+    tests/test_sources.py::TestDeltaV2Checkpoint."""
+    import os as _os
+    import shutil
+    import tempfile
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from marketdb_spark.sources.deltalog import (
+        delta_features,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_v2ckpt_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders.filter(F.col("o_orderkey") % 2 == 0), t)
+        write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        v = write_checkpoint(t)
+        log = _os.path.join(t, "_delta_log")
+        rows = pq.read_table(
+            _os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+
+        def clean(x):
+            if isinstance(x, list) and x and isinstance(x[0], tuple):
+                return dict(x)
+            if isinstance(x, list):
+                return [clean(i) for i in x]
+            if isinstance(x, dict):
+                return {k: clean(i) for k, i in x.items() if i is not None}
+            return x
+
+        uuid_name = f"{v:020d}.checkpoint.4695e7a2-19d1-4a46-8b2b-6f3e0006cbf7.json"
+        with open(_os.path.join(log, uuid_name), "w") as f:
+            f.write(_json.dumps(
+                {"checkpointMetadata": {"version": v}}
+            ) + "\n")
+            for r in rows:
+                f.write(_json.dumps(
+                    {k: clean(x) for k, x in r.items() if x is not None}
+                ) + "\n")
+        _os.remove(_os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+        _os.remove(_os.path.join(log, "_last_checkpoint"))
+        for i in range(v + 1):
+            p = _os.path.join(log, f"{i:020d}.json")
+            if _os.path.exists(p):
+                _os.remove(p)
+        assert delta_features(t)["streamable"]
+        back = read_delta(spark, t)
+        out = (
+            back.filter(
+                F.col("o_orderpriority").isin("3-MEDIUM", "5-LOW")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_cdf",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,

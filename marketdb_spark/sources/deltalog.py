@@ -29,7 +29,8 @@ and the user-facing surface stays logical; id mode additionally
 resolves data columns by parquet FIELD ID (Spark's fieldId.read/write
 lanes batch-side, PARQUET:field_id arrow metadata stream-side), so
 Iceberg-converted / UniForm-style files with foreign column names read
-correctly. Deletion vectors, v2/UUID checkpoints, and truncated logs
+correctly. V2/UUID checkpoints (sidecar-less and sidecar layouts,
+JSON and parquet) replay natively. Deletion vectors and truncated logs
 with no covering checkpoint RAISE instead of returning wrong rows;
 add/remove paths are percent-decoded per the protocol and absolute
 (shallow-clone) paths are rejected. Partition values ride back in as
@@ -77,24 +78,41 @@ def delta_versions(table: str) -> list[int]:
     return [v for v, _ in _log_entries(table)]
 
 
+_UUID_RE = r"[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}"
+
+
 def _checkpoints(table: str) -> dict[int, list[str]]:
     """version → ordered part paths for every READABLE checkpoint:
-    classic single-part (``n.checkpoint.parquet``) and multi-part
-    classic sets (``n.checkpoint.o.p.parquet``, part o of p, 1-based —
-    what stock delta-spark writes past ~spark.databricks.delta.
-    checkpoint.partSize actions) with ALL p parts present. An
-    INCOMPLETE multi-part set is skipped per the protocol (a crashed
-    checkpoint writer leaves partial sets that no ``_last_checkpoint``
-    references; readers must ignore them, and the JSON log still covers
-    the range). v2 / UUID-named checkpoint layouts remain an explicit
-    ERROR, not a silent skip — ignoring one and replaying JSON alone
-    can return a partial file set once log cleanup has removed the
+
+    - classic single-part (``n.checkpoint.parquet``);
+    - multi-part classic sets (``n.checkpoint.o.p.parquet``, part o of
+      p, 1-based — what stock delta-spark writes past
+      ~spark.databricks.delta.checkpoint.partSize actions) with ALL p
+      parts present — an INCOMPLETE multi-part set is skipped per the
+      protocol (a crashed checkpoint writer leaves partial sets that no
+      ``_last_checkpoint`` references; readers must ignore them, and
+      the JSON log still covers the range);
+    - V2 / UUID-named checkpoints (``n.checkpoint.<uuid>.{json,
+      parquet}``, PROTOCOL.md "V2 Spec Checkpoints" — what newer
+      Databricks / delta-kernel writers emit): the file carries the
+      non-file actions plus a ``checkpointMetadata`` marker, and either
+      the file actions inline (sidecar-less) or ``sidecar`` references
+      into ``_delta_log/_sidecars/`` — expanded in _checkpoint_rows.
+      Several UUID checkpoints may coexist at one version (each is
+      complete by itself); the lexicographically greatest name is
+      chosen for determinism. A classic checkpoint at the same version
+      wins (cheaper: no sidecar hop).
+
+    Any OTHER ``*.checkpoint.*`` spelling remains an explicit ERROR,
+    not a silent skip — ignoring one and replaying JSON alone can
+    return a partial file set once log cleanup has removed the
     pre-checkpoint commits."""
     import re
 
     log_dir = os.path.join(table, _LOG)
     out: dict[int, list[str]] = {}
     multi: dict[tuple[int, int], dict[int, str]] = {}
+    v2: dict[int, list[str]] = {}
     unsupported = []
     for name in os.listdir(log_dir):
         m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
@@ -110,13 +128,23 @@ def _checkpoints(table: str) -> dict[int, list[str]]:
                 log_dir, name
             )
             continue
+        m = re.fullmatch(
+            rf"(\d{{20}})\.checkpoint\.{_UUID_RE}\.(?:json|parquet)", name
+        )
+        if m:
+            v2.setdefault(int(m.group(1)), []).append(
+                os.path.join(log_dir, name)
+            )
+            continue
         if re.fullmatch(r"\d+\.checkpoint\..+", name):
             unsupported.append(name)
     if unsupported:
         raise ValueError(
             f"unsupported checkpoint layout {sorted(unsupported)} "
-            f"(v2 checkpoints need a feature-aware reader)"
+            f"(classic, multi-part and v2/UUID layouts are readable)"
         )
+    for v, cands in v2.items():
+        out.setdefault(v, [max(cands)])
     for (v, total), parts in multi.items():
         if set(parts) == set(range(1, total + 1)):
             # a single-part checkpoint at the same version is equivalent
@@ -135,14 +163,73 @@ def _checkpoint_rows(
 ) -> list[dict]:
     """Every action row of the checkpoint at ``version`` — all parts
     concatenated (part order is irrelevant: a checkpoint is an unordered
-    action SET per the protocol). Pass the already-computed
-    ``_checkpoints`` map to skip a redundant log-directory listing."""
+    action SET per the protocol), with V2/UUID checkpoints expanded:
+    their ``sidecar`` references are replaced by the referenced sidecar
+    files' add/remove rows. Pass the already-computed ``_checkpoints``
+    map to skip a redundant log-directory listing."""
+    import re
+
     import pyarrow.parquet as pq
 
     rows: list[dict] = []
     for path in (ckpts if ckpts is not None else _checkpoints(table))[version]:
-        rows.extend(pq.read_table(path).to_pylist())
+        name = os.path.basename(path)
+        if re.fullmatch(
+            rf"\d{{20}}\.checkpoint\.{_UUID_RE}\.(?:json|parquet)", name
+        ):
+            rows.extend(_v2_checkpoint_rows(table, path, version))
+        else:
+            rows.extend(pq.read_table(path).to_pylist())
     return rows
+
+
+def _v2_checkpoint_rows(table: str, path: str, version: int) -> list[dict]:
+    """Expand one V2 checkpoint file (PROTOCOL.md "V2 Spec Checkpoints"):
+    JSON (line-delimited actions) or parquet, REQUIRED to carry a
+    ``checkpointMetadata`` action whose version matches the filename —
+    a mismatch means a corrupt or misnamed file and raises. ``sidecar``
+    actions are replaced by the add/remove rows of the referenced
+    parquet files under ``_delta_log/_sidecars/`` (sidecars are written
+    BEFORE the checkpoint file per the protocol, so a visible
+    checkpoint with a missing sidecar is corruption, not a crashed
+    writer's leftovers — loud error, never a partial file set)."""
+    import pyarrow.parquet as pq
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            raw = [json.loads(line) for line in f if line.strip()]
+    else:
+        raw = pq.read_table(path).to_pylist()
+    cms = [
+        r["checkpointMetadata"]
+        for r in raw
+        if isinstance(r, dict) and r.get("checkpointMetadata")
+    ]
+    if not cms or cms[0].get("version") is None:
+        raise ValueError(
+            f"malformed v2 checkpoint {os.path.basename(path)} in "
+            f"{table}: no checkpointMetadata action"
+        )
+    if int(cms[0]["version"]) != version:
+        raise ValueError(
+            f"corrupt v2 checkpoint {os.path.basename(path)} in {table}: "
+            f"checkpointMetadata.version {cms[0]['version']} != filename "
+            f"version {version}"
+        )
+    out: list[dict] = []
+    for r in raw:
+        sc = r.get("sidecar") if isinstance(r, dict) else None
+        if sc and sc.get("path"):
+            sp = os.path.join(table, _LOG, "_sidecars", sc["path"])
+            if not os.path.exists(sp):
+                raise ValueError(
+                    f"v2 checkpoint {os.path.basename(path)} in {table} "
+                    f"references missing sidecar {sc['path']}"
+                )
+            out.extend(pq.read_table(sp).to_pylist())
+        else:
+            out.append(r)
+    return out
 
 
 class _Snapshot(_t.NamedTuple):
@@ -159,9 +246,13 @@ class _Snapshot(_t.NamedTuple):
 
 
 # Reader features this engine can consume under protocol v3
-# (PROTOCOL.md "Table Features"). Deletion vectors, v2 checkpoints,
-# timestampNtz etc. stay loud errors — wrong rows are worse.
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+# (PROTOCOL.md "Table Features"). v2Checkpoint is READ-supported
+# (_v2_checkpoint_rows) but deliberately absent from
+# _SUPPORTED_WRITER_FEATURES: a writer on a v2Checkpoint table is
+# obliged to maintain v2 checkpoints, which this engine does not write.
+# Deletion vectors, timestampNtz etc. stay loud errors — wrong rows
+# are worse.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint"}
 
 
 def _check_reader_protocol(proto: dict, where: str) -> None:
@@ -682,11 +773,11 @@ def delta_features(table: str) -> dict:
     ``unsupported`` names every feature outside this reader's documented
     scope (module docstring): a minReaderVersion above 3, any declared
     readerFeature not in _SUPPORTED_READER_FEATURES (deletion vectors,
-    v2 checkpoints, timestampNtz...), column-mapping ID mode or a
-    deletion-vector flag in the table configuration, and unreadable
-    (v2/UUID) checkpoint layouts. Column-mapping NAME mode is supported
-    and not listed. Empty list ⇒ the batch reader and deltastream
-    source can consume the table."""
+    timestampNtz...), a deletion-vector flag in the table
+    configuration, and unreadable checkpoint layouts. Column mapping
+    (name AND id modes) and v2/UUID checkpoints are supported and not
+    listed. Empty list ⇒ the batch reader and deltastream source can
+    consume the table."""
     proto: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     conf: dict = {}
     unsupported: list[str] = []
@@ -705,15 +796,22 @@ def delta_features(table: str) -> dict:
 
     try:
         ckpt_map = _checkpoints(table)
-    except ValueError as exc:  # v2/UUID layout: report, don't raise
+    except ValueError as exc:  # unknown layout: report, don't raise
         ckpt_map = {}
         unsupported.append(f"checkpointLayout:{exc}")
     ckpts = sorted(ckpt_map)
+    anchor = -1
     if ckpts:
-        for row in _checkpoint_rows(table, ckpts[-1], ckpt_map):
-            _see_protocol(row.get("protocol"))
-            _see_meta(row.get("metaData"))
-    anchor = ckpts[-1] if ckpts else -1
+        try:
+            for row in _checkpoint_rows(table, ckpts[-1], ckpt_map):
+                _see_protocol(row.get("protocol"))
+                _see_meta(row.get("metaData"))
+            anchor = ckpts[-1]
+        except Exception as exc:
+            # a corrupt/unreadable checkpoint (empty v2 file, missing
+            # sidecar) is a consumability blocker to REPORT here — the
+            # readers raise, the introspector must not
+            unsupported.append(f"checkpointLayout:{exc}")
     for v, path in _log_entries(table):
         if v <= anchor:
             continue

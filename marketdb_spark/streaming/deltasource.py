@@ -52,8 +52,9 @@ it:
 Tail commits are also GATED against mid-stream table upgrades (same
 policy as the batch reader's _replay, deltalog.py): a ``protocol``
 action declaring features this engine cannot consume (deletion
-vectors, v2 checkpoints — anything past column mapping) raises instead
-of tailing DV-carrying adds as full files, and a ``metaData`` action
+vectors — anything past column mapping and v2 checkpoints) raises
+instead of tailing DV-carrying adds as full files, and a ``metaData``
+action
 whose schema, partitionColumns, or column-mapping mode differ from the
 stream's pinned state raises instead of misreading new files with the
 old schema. Column-mapped tables stream natively in BOTH modes: data

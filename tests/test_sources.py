@@ -1810,7 +1810,9 @@ class TestDeltaLogEdges:
         assert "deletionVectors" in feats["unsupported"]
         assert not any("columnMapping" in u for u in feats["unsupported"])
         assert not any("minReaderVersion" in u for u in feats["unsupported"])
-        # v2/UUID checkpoint layout: reported, not raised
+        # a CORRUPT v2/UUID checkpoint (empty file, no checkpointMetadata):
+        # reported as a blocker, not raised — valid v2 layouts are
+        # readable (TestDeltaV2Checkpoint)
         open(
             os.path.join(
                 log,
@@ -3336,6 +3338,285 @@ class TestDeltaCheckpointEdges:
         assert sorted(versions) == [1, 2]
         got = sorted(r.k for r in read_delta(spark, t).collect())
         assert got == [0, 1, 2]  # exactly-once: seed + one row per writer
+
+
+class TestDeltaV2Checkpoint:
+    """V2/UUID checkpoint layouts (PROTOCOL.md "V2 Spec Checkpoints"):
+    sidecar-less JSON, parquet with sidecars, layout guards, and the
+    reader/writer feature split (read yes, write obligations no)."""
+
+    _UUID = "80a083e8-7026-4e79-81be-64bd76c43a11"
+
+    @staticmethod
+    def _clean(v):
+        """classic-checkpoint pylist row → JSON-able action value:
+        map columns come back as (k, v) tuple lists, absent struct
+        fields as None."""
+        if isinstance(v, list) and v and isinstance(v[0], tuple):
+            return dict(v)
+        if isinstance(v, list):
+            return [TestDeltaV2Checkpoint._clean(x) for x in v]
+        if isinstance(v, dict):
+            return {
+                k: TestDeltaV2Checkpoint._clean(x)
+                for k, x in v.items()
+                if x is not None
+            }
+        return v
+
+    def _mk_table(self, spark, t):
+        """Three commits, partitioned; returns the checkpoint version."""
+        from marketdb_spark.sources.deltalog import (
+            write_checkpoint,
+            write_delta,
+        )
+
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y")], schema
+            ),
+            t, partition_by=["p"],
+        )
+        write_delta(spark.createDataFrame([(3, "c", "x")], schema), t)
+        write_delta(spark.createDataFrame([(4, "d", "z")], schema), t)
+        return write_checkpoint(t)
+
+    def _classic_rows(self, t, v):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+
+    def _drop_classic(self, t, v):
+        """Remove the classic checkpoint + pointer + covered JSONs, so
+        only the v2 layout can anchor the replay."""
+        log = os.path.join(t, "_delta_log")
+        os.remove(os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+        os.remove(os.path.join(log, "_last_checkpoint"))
+        for i in range(v + 1):
+            p = os.path.join(log, f"{i:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+
+    def test_sidecarless_json_v2_reads_and_streams(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        v = self._mk_table(spark, t)
+        rows = self._classic_rows(t, v)
+        v2 = os.path.join(
+            t, "_delta_log", f"{v:020d}.checkpoint.{self._UUID}.json"
+        )
+        with open(v2, "w") as f:
+            f.write(json.dumps(
+                {"checkpointMetadata": {"version": v}}
+            ) + "\n")
+            for r in rows:
+                act = {
+                    k: self._clean(x) for k, x in r.items() if x is not None
+                }
+                f.write(json.dumps(act) + "\n")
+        self._drop_classic(t, v)
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "z"),
+        ]
+        assert delta_features(t)["streamable"]
+        # appends on top of the v2-anchored snapshot still work (the
+        # table itself declares no v2Checkpoint writer feature)
+        write_delta(
+            spark.createDataFrame([(5, "e", "x")], "k long, v string, p string"),
+            t,
+        )
+        assert read_delta(spark, t).count() == 5
+        # and the streaming source replays snapshot + tail through it
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).count() == 5
+
+    def test_parquet_v2_with_sidecars(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        v = self._mk_table(spark, t)
+        rows = self._classic_rows(t, v)
+        adds = [r["add"] for r in rows if r.get("add")]
+        [meta] = [r["metaData"] for r in rows if r.get("metaData")]
+        [proto] = [r["protocol"] for r in rows if r.get("protocol")]
+        assert len(adds) >= 2  # split across two sidecars below
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        side_schema = pa.schema(
+            [("add", add_t), ("remove", pa.struct([("path", pa.string())]))]
+        )
+        sdir = os.path.join(t, "_delta_log", "_sidecars")
+        os.makedirs(sdir)
+
+        def sidecar(name, subset):
+            data = [
+                {"add": {
+                    "path": a["path"],
+                    "partitionValues": self._clean(a["partitionValues"]),
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
+                    "dataChange": True,
+                }}
+                for a in subset
+            ]
+            pq.write_table(
+                pa.Table.from_pylist(data, schema=side_schema),
+                os.path.join(sdir, name),
+            )
+
+        sidecar("s1.parquet", adds[:1])
+        sidecar("s2.parquet", adds[1:])
+        main_schema = pa.schema([
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int64()),
+                ("minWriterVersion", pa.int64()),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ])),
+        ])
+        main = [
+            {"protocol": {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": proto["minWriterVersion"],
+            }},
+            {"metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": self._clean(meta["partitionColumns"]),
+                "configuration": self._clean(meta["configuration"]) or {},
+            }},
+            {"checkpointMetadata": {"version": v}},
+            {"sidecar": {"path": "s1.parquet", "sizeInBytes": 1}},
+            {"sidecar": {"path": "s2.parquet", "sizeInBytes": 1}},
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(main, schema=main_schema),
+            os.path.join(
+                t, "_delta_log", f"{v:020d}.checkpoint.{self._UUID}.parquet"
+            ),
+        )
+        self._drop_classic(t, v)
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [
+            (1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "z"),
+        ]
+
+    def test_v2_guards(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        v = self._mk_table(spark, t)
+        rows = self._classic_rows(t, v)
+        log = os.path.join(t, "_delta_log")
+
+        def write_v2(lines, name=None):
+            p = os.path.join(
+                log, name or f"{v:020d}.checkpoint.{self._UUID}.json"
+            )
+            with open(p, "w") as f:
+                for line in lines:
+                    f.write(json.dumps(line) + "\n")
+            return p
+
+        acts = [
+            {k: self._clean(x) for k, x in r.items() if x is not None}
+            for r in rows
+        ]
+        # wrong checkpointMetadata.version: corrupt, loud
+        p = write_v2([{"checkpointMetadata": {"version": v + 7}}] + acts)
+        self._drop_classic(t, v)
+        with pytest.raises(ValueError, match="checkpointMetadata.version"):
+            read_delta(spark, t)
+        # no checkpointMetadata at all: malformed, loud
+        write_v2(acts)
+        with pytest.raises(ValueError, match="no checkpointMetadata"):
+            read_delta(spark, t)
+        # referenced sidecar missing: loud, never a partial file set
+        write_v2(
+            [{"checkpointMetadata": {"version": v}}]
+            + acts
+            + [{"sidecar": {"path": "nope.parquet", "sizeInBytes": 1}}]
+        )
+        with pytest.raises(ValueError, match="missing sidecar"):
+            read_delta(spark, t)
+        os.remove(p)
+        # an unrecognized checkpoint spelling still raises at discovery
+        weird = os.path.join(log, f"{v:020d}.checkpoint.weird.parquet")
+        with open(weird, "w") as f:
+            f.write("x")
+        with pytest.raises(ValueError, match="unsupported checkpoint"):
+            read_delta(spark, t)
+
+    def test_v2checkpoint_feature_split(self, spark, tmp_path):
+        """readerFeatures ['v2Checkpoint'] is consumable; the WRITER
+        obligation is not implemented, so commits to a v7 table
+        declaring the feature raise instead of leaving stale v2
+        checkpoints behind."""
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }}) + "\n")
+        assert [tuple(r) for r in read_delta(spark, t).collect()] == [
+            (1, "a")
+        ]
+        assert delta_features(t)["unsupported"] == []
+        with pytest.raises(ValueError, match="writerFeatures"):
+            write_delta(
+                spark.createDataFrame([(2, "b")], "k long, v string"), t
+            )
 
 
 class TestDeltaOptimize:
