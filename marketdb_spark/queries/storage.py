@@ -1184,6 +1184,78 @@ def store_delta_colmap_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_dv_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline DELETION VECTORS under the hash gate (PROTOCOL.md
+    "Deletion Vectors"; VERDICT r10 item 4 — the sourcing attempt that
+    landed): orders are staged as ONE file sorted by o_orderkey, so the
+    parquet row position of each row is its orderkey rank; the
+    positions of rows with ``o_orderkey % 7 = 0`` become an inline DV
+    (Z85 over MAGIC + 64-bit portable RoaringBitmap,
+    sources/deltadv.py) committed protocol-correctly (v3/v7
+    deletionVectors, remove + re-add) by our own fixture writer.
+    read_delta then applies the DV via `_metadata.row_index` — the
+    aggregation is hash-equal to the predicate-equivalent oracle iff
+    the bit format round-trips AND the row-position filter drops
+    exactly the deleted rows. The codec spec vectors (ZeroMQ Z85
+    "HelloWorld", RoaringFormatSpec run/array/bitmap containers) and
+    every guard are pinned by tests/test_sources.py::
+    TestDeletionVectors."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadv import commit_inline_dv
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_dv_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(
+            orders.coalesce(1).sortWithinPartitions("o_orderkey"), t
+        )
+        [rel] = delta_live_files(t)
+        positions = [
+            r[0]
+            for r in spark.read.parquet(f"{t}/{rel}")
+            .select(F.col("_metadata.row_index"), "o_orderkey")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .collect()
+        ]
+        commit_inline_dv(t, rel, positions)
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_v2ckpt",
     oracle="""
     SELECT o_orderpriority,

@@ -236,13 +236,16 @@ class _Snapshot(_t.NamedTuple):
     """The replayed table state at one version. ``part_cols`` are the
     LOGICAL partition-column names (metaData.partitionColumns); with
     column mapping active, ``live``'s partitionValues are keyed by
-    PHYSICAL names per the protocol's column-mapping rules."""
+    PHYSICAL names per the protocol's column-mapping rules. ``dvs``
+    maps the subset of live paths that carry an INLINE deletion vector
+    to its descriptor (on-disk DVs raise during replay)."""
 
     schema_json: str
     part_cols: list
     live: dict
     config: dict
     protocol: dict
+    dvs: dict = {}
 
 
 # Reader features this engine can consume under protocol v3
@@ -250,9 +253,11 @@ class _Snapshot(_t.NamedTuple):
 # (_v2_checkpoint_rows) but deliberately absent from
 # _SUPPORTED_WRITER_FEATURES: a writer on a v2Checkpoint table is
 # obliged to maintain v2 checkpoints, which this engine does not write.
-# Deletion vectors, timestampNtz etc. stay loud errors — wrong rows
-# are worse.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint"}
+# deletionVectors is READ-supported for INLINE descriptors only
+# (sources/deltadv.py; on-disk 'u'/'p' DVs raise per-add at scan time)
+# and likewise write-ungranted. timestampNtz etc. stay loud errors —
+# wrong rows are worse.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint", "deletionVectors"}
 
 
 def _check_reader_protocol(proto: dict, where: str) -> None:
@@ -638,22 +643,25 @@ def _replay(table: str, version: int | None) -> _Snapshot:
     schema_json: str | None = None
     part_cols: list[str] = []
     live: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     config: dict = {}
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
 
     def _see_add(a: dict) -> None:
-        if a.get("deletionVector"):
-            # a DV-carrying add must never be read as a full file —
-            # the protocol gate normally catches this first (DVs need
-            # reader v3), but a malformed log must not slip through
-            raise ValueError(
-                f"add action in {table} carries a deletionVector; "
-                f"this reader does not decode deletion vectors"
-            )
+        path = _decode_path(a["path"])
+        dv = a.get("deletionVector")
+        if dv:
+            # INLINE DVs decode (sources/deltadv.py); on-disk DVs raise
+            # by name at scan time — record the descriptor either way so
+            # the file is never read as a full file
+            dv = dict(dv) if isinstance(dv, list) else dv
+            dvs[path] = dv
+        else:
+            dvs.pop(path, None)  # a plain re-add clears the file's DV
         pv = a.get("partitionValues") or {}
         # checkpoint schema stores partitionValues as map<string,string>;
         # pyarrow's to_pylist renders maps as (key, value) tuple lists
-        live[_decode_path(a["path"])] = dict(pv) if isinstance(pv, list) else pv
+        live[path] = dict(pv) if isinstance(pv, list) else pv
 
     # Start from the newest checkpoint at-or-before `version`, if any —
     # a checkpoint-only table (JSON commits expired by log retention) is
@@ -702,7 +710,9 @@ def _replay(table: str, version: int | None) -> _Snapshot:
                 elif "add" in action:
                     _see_add(action["add"])
                 elif "remove" in action:
-                    live.pop(_decode_path(action["remove"]["path"]), None)
+                    gone = _decode_path(action["remove"]["path"])
+                    live.pop(gone, None)
+                    dvs.pop(gone, None)
                 elif "protocol" in action:
                     protocol = {
                         k: v
@@ -712,7 +722,7 @@ def _replay(table: str, version: int | None) -> _Snapshot:
                     _check_reader_protocol(protocol, table)
     if schema_json is None:
         raise ValueError(f"no metaData action found in {table}/{_LOG}")
-    return _Snapshot(schema_json, part_cols, live, config, protocol)
+    return _Snapshot(schema_json, part_cols, live, config, protocol, dvs)
 
 
 def delta_live_files(table: str, version: int | None = None) -> list[str]:
@@ -772,12 +782,14 @@ def delta_features(table: str) -> dict:
 
     ``unsupported`` names every feature outside this reader's documented
     scope (module docstring): a minReaderVersion above 3, any declared
-    readerFeature not in _SUPPORTED_READER_FEATURES (deletion vectors,
-    timestampNtz...), a deletion-vector flag in the table
-    configuration, and unreadable checkpoint layouts. Column mapping
-    (name AND id modes) and v2/UUID checkpoints are supported and not
-    listed. Empty list ⇒ the batch reader and deltastream source can
-    consume the table."""
+    readerFeature not in _SUPPORTED_READER_FEATURES (timestampNtz...),
+    a deletion-vector flag in the table configuration (PARTIAL support:
+    inline DVs batch-read via sources/deltadv.py, but on-disk DVs, the
+    streaming legs, and every write path refuse — so the table is not
+    fully consumable and the flag stays listed), and unreadable
+    checkpoint layouts. Column mapping (name AND id modes) and v2/UUID
+    checkpoints are supported and not listed. Empty list ⇒ the batch
+    reader and deltastream source can consume the table."""
     proto: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     conf: dict = {}
     unsupported: list[str] = []
@@ -1007,9 +1019,52 @@ def _scan_files(
     if extra_fields:
         data_schema = T.StructType(data_schema.fields + extra_fields)
         renames = renames + [F.col(f.name) for f in extra_fields]
+
+    dvs = getattr(snap, "dvs", None) or {}
+
+    def read_group(rels: list[str]) -> DataFrame:
+        """One logical scan over a group of files, deletion vectors
+        applied: files WITHOUT a DV read as one multi-path scan; each
+        DV-carrying file reads with its per-file parquet row position
+        (`_metadata.row_index`, delta-spark's own DV filter column) and
+        anti-joins the decoded deleted positions (broadcast — inline
+        DVs are small by construction; a file-DV deployment would ship
+        the bitmap bytes to executors instead)."""
+        from marketdb_spark.sources.deltadv import decode_dv
+
+        plain = [os.path.join(table, r) for r in rels if r not in dvs]
+        grp: list[DataFrame] = []
+        if plain:
+            grp.append(
+                spark.read.schema(data_schema).parquet(*plain).select(renames)
+            )
+        for rel in rels:
+            if rel not in dvs:
+                continue
+            positions = decode_dv(dvs[rel], table, rel)
+            df = (
+                spark.read.schema(data_schema)
+                .parquet(os.path.join(table, rel))
+                .select(
+                    *renames,
+                    F.col("_metadata.row_index").alias("__dv_ri"),
+                )
+            )
+            pos_df = spark.createDataFrame(
+                [(int(i),) for i in positions], "__dv_ri long"
+            )
+            grp.append(
+                df.join(F.broadcast(pos_df), "__dv_ri", "left_anti").drop(
+                    "__dv_ri"
+                )
+            )
+        out = grp[0]
+        for g in grp[1:]:
+            out = out.unionByName(g)
+        return out
+
     if not part_cols:
-        paths = [os.path.join(table, p) for p in files]
-        return spark.read.schema(data_schema).parquet(*paths).select(renames)
+        return read_group(list(files))
     # group files by partition tuple; union one literal-annotated read
     # per group (partition cardinality bounds the union width).
     # partitionValues are keyed by PHYSICAL names under column mapping
@@ -1018,16 +1073,16 @@ def _scan_files(
     by_part: dict[tuple, list[str]] = {}
     for path, pvals in files.items():
         key = tuple(pvals.get(pv_key[c], pvals.get(c)) for c in part_cols)
-        by_part.setdefault(key, []).append(os.path.join(table, path))
+        by_part.setdefault(key, []).append(path)
     types = {f.name: f.dataType for f in logical.fields}
     parts = []
     # NULL partition values sort last (a plain tuple sort would raise
     # TypeError comparing None to str)
-    for key, paths in sorted(
+    for key, rels in sorted(
         by_part.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*paths).select(renames)
+        df = read_group(rels)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -2004,6 +2059,15 @@ def write_checkpoint(
     if version is None:
         version = latest
     snap = _replay(table, version)
+    if getattr(snap, "dvs", None):
+        # a classic checkpoint row cannot drop the deletionVector
+        # descriptor without resurrecting deleted rows for every
+        # downstream reader — refuse rather than corrupt
+        raise ValueError(
+            f"cannot checkpoint {table}: live files carry deletion "
+            f"vectors and this writer does not persist DV descriptors "
+            f"in checkpoints"
+        )
     schema_json, part_cols, live = snap.schema_json, snap.part_cols, snap.live
 
     # per-app txn high-water marks visible at `version`

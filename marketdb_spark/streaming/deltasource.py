@@ -513,7 +513,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         fl = self._units.get(unit)
         if fl is None:
             if self._snap is not None and unit == self._snap:
-                live = _replay(self.table, unit).live
+                snap = _replay(self.table, unit)
+                if getattr(snap, "dvs", None):
+                    raise ValueError(
+                        f"deltastream: the initial snapshot of "
+                        f"{self.table} carries deletion vectors; the "
+                        f"streaming source does not apply DVs — use "
+                        f"batch read_delta (which does) or start from "
+                        f"a DV-free version"
+                    )
+                live = snap.live
                 fl = [
                     (
                         rel,
@@ -812,7 +821,14 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         if self._snap is not None and unit == self._snap:
             # fresh stream: the current snapshot arrives as INSERTS
             # (delta-spark's initial CDF batch), capped like any unit
-            live = _replay(self.table, unit).live
+            snap = _replay(self.table, unit)
+            if getattr(snap, "dvs", None):
+                raise ValueError(
+                    f"deltacdf: the initial snapshot of {self.table} "
+                    f"carries deletion vectors; the streaming source "
+                    f"does not apply DVs — use batch read_delta"
+                )
+            live = snap.live
             fl = [
                 (
                     rel,

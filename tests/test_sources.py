@@ -1804,10 +1804,12 @@ class TestDeltaLogEdges:
                 f.write(json.dumps(a) + "\n")
         feats = delta_features(alien)
         assert not feats["streamable"]
-        # DV is the blocker; columnMapping (name mode) is SUPPORTED now —
-        # neither the readerFeature nor the configuration mode is listed
-        assert "readerFeature:deletionVectors" in feats["unsupported"]
+        # the DV CONFIG flag is the (partial-support) blocker — inline
+        # DVs batch-read, but on-disk DVs and the streaming/writer legs
+        # don't; the readerFeature itself is consumable and NOT listed,
+        # and columnMapping (name mode) is fully supported
         assert "deletionVectors" in feats["unsupported"]
+        assert not any("readerFeature:" in u for u in feats["unsupported"])
         assert not any("columnMapping" in u for u in feats["unsupported"])
         assert not any("minReaderVersion" in u for u in feats["unsupported"])
         # a CORRUPT v2/UUID checkpoint (empty file, no checkpointMetadata):
@@ -2423,9 +2425,10 @@ class TestDeltaColumnMapping:
         with pytest.raises(Exception, match="[Ff]ield [Ii]d|FIELD_ID"):
             read_delta(spark, t).collect()
 
-    def test_dv_carrying_add_raises(self, spark, tmp_path):
-        """Belt and braces below the protocol gate: an add action with a
-        deletionVector descriptor must never be read as a full file."""
+    def test_on_disk_dv_add_raises(self, spark, tmp_path):
+        """An add with an ON-DISK ('u'/'p') deletion vector must never
+        be read as a full file: inline DVs decode (TestDeletionVectors),
+        the file-framed variants raise by name at scan time."""
         from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
@@ -2446,7 +2449,7 @@ class TestDeltaColumnMapping:
                     },
                 }
             }) + "\n")
-        with pytest.raises(ValueError, match="deletionVector"):
+        with pytest.raises(ValueError, match="storageType 'u'"):
             read_delta(spark, t)
 
 
@@ -3617,6 +3620,180 @@ class TestDeltaV2Checkpoint:
             write_delta(
                 spark.createDataFrame([(2, "b")], "k long, v string"), t
             )
+
+
+class TestDeletionVectors:
+    """Inline deletion vectors (sources/deltadv.py): the Z85 / roaring
+    codecs against their public spec vectors, the reader roundtrip
+    through a protocol-correct DV commit, and every documented guard
+    (on-disk DVs, corrupt descriptors, checkpoint/stream/writer legs)."""
+
+    def test_z85_spec_vector(self):
+        """ZeroMQ RFC 32's published test vector pins the alphabet and
+        block coding — the one part of the format with an official
+        byte-exact example."""
+        from marketdb_spark.sources.deltadv import z85_decode, z85_encode
+
+        raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert z85_encode(raw) == "HelloWorld"
+        assert z85_decode("HelloWorld") == raw
+        with pytest.raises(ValueError, match="not \\*4"):
+            z85_encode(b"abc")
+        with pytest.raises(ValueError, match="invalid Z85"):
+            z85_decode('"""""')
+
+    def test_roaring_roundtrip_array_bitmap_buckets(self):
+        """Writer arrays + bitmap containers and multi-bucket 64-bit
+        keys round-trip; magic and truncation guards raise."""
+        import random
+
+        from marketdb_spark.sources.deltadv import (
+            deserialize_dv,
+            serialize_dv,
+        )
+
+        rng = random.Random(11)
+        rows = sorted(
+            set(rng.sample(range(200_000), 7000))  # forces a bitmap ctr
+            | {0, 65535, 65536}                    # container boundaries
+            | {(3 << 32) | 7, (3 << 32) | 8}       # high 64-bit bucket
+        )
+        assert deserialize_dv(serialize_dv(rows)) == rows
+        assert deserialize_dv(serialize_dv([])) == []
+        with pytest.raises(ValueError, match="magic"):
+            deserialize_dv(b"\x00" * 16)
+
+    def test_roaring_run_container_and_cookie_12347(self):
+        """The reader must also decode what OTHER writers emit: the
+        run-container cookie (12347) with the run bitset and
+        [start, length-1] run pairs — hand-built per RoaringFormatSpec."""
+        import struct
+
+        from marketdb_spark.sources.deltadv import DV_MAGIC, deserialize_dv
+
+        rb32 = (
+            struct.pack("<I", 12347)      # SERIAL_COOKIE, count-1=0
+            + b"\x01"                     # run bitset: container 0 is run
+            + struct.pack("<HH", 0, 4)    # key 0, cardinality-1 = 4
+            + struct.pack("<H", 1)        # one run
+            + struct.pack("<HH", 10, 4)   # values 10..14
+        )
+        data = (
+            struct.pack("<I", DV_MAGIC)
+            + struct.pack("<Q", 1)
+            + struct.pack("<I", 0)
+            + rb32
+        )
+        assert deserialize_dv(data) == [10, 11, 12, 13, 14]
+
+    def test_reader_applies_inline_dv(self, spark, tmp_path):
+        """The acid test: a protocol-correct inline-DV commit against a
+        live file drops exactly those row POSITIONS on read; time travel
+        below the DV commit still sees every row; a second DV on the
+        same file REPLACES the first (remove+re-add semantics)."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = (
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k")
+        )
+        write_delta(df, t)
+        [rel] = delta_live_files(t)
+        v = commit_inline_dv(t, rel, [1, 3, 5])
+        assert v == 1
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 4, 6, 7, 8, 9,
+        ]
+        assert read_delta(spark, t, version=0).count() == 10
+        commit_inline_dv(t, rel, [0])  # replaces, not unions
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            1, 2, 3, 4, 5, 6, 7, 8, 9,
+        ]
+
+    def test_inline_dv_on_partitioned_table(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(i, "x" if i < 4 else "y") for i in range(8)], "k long, p string"
+        ).repartition(1, "p")
+        write_delta(
+            df.sortWithinPartitions("k"), t, partition_by=["p"]
+        )
+        [xfile] = [f for f in delta_live_files(t) if f.startswith("p=x")]
+        commit_inline_dv(t, xfile, [0, 2])  # positions within the x file
+        got = sorted((r.k, r.p) for r in read_delta(spark, t).collect())
+        assert got == [(1, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "y"), (7, "y")]
+
+    def test_dv_guards(self, spark, tmp_path):
+        """Corrupt descriptors raise (cardinality mismatch, truncated
+        payload); checkpointing a DV table refuses (a classic checkpoint
+        row would silently drop the DV); appends refuse via the writer
+        gate (deletionVectors is not a granted writer feature); the
+        streaming source refuses a DV-carrying snapshot."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        df = spark.range(6).selectExpr("id AS k").coalesce(1)
+        write_delta(df.sortWithinPartitions("k"), t)
+        [rel] = delta_live_files(t)
+        commit_inline_dv(t, rel, [2])
+        # corrupt: patch the committed descriptor's cardinality
+        log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+        lines = [json.loads(x) for x in open(log) if x.strip()]
+        for a in lines:
+            if "add" in a:
+                a["add"]["deletionVector"]["cardinality"] = 99
+        t2 = str(tmp_path / "tbl2")
+        import shutil as _sh
+
+        _sh.copytree(t, t2)
+        with open(os.path.join(t2, "_delta_log", f"{1:020d}.json"), "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(ValueError, match="cardinality"):
+            read_delta(spark, t2).collect()
+        # checkpoint refuses rather than resurrecting deleted rows
+        with pytest.raises(ValueError, match="deletion"):
+            write_checkpoint(t)
+        # writer gate: the DV commit upgraded the protocol to v7 with a
+        # feature this engine has no writer support for
+        with pytest.raises(ValueError, match="writerFeatures"):
+            write_delta(spark.range(1).selectExpr("id AS k"), t)
+        # streaming refuses the DV-carrying snapshot at planning
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        with pytest.raises(Exception, match="deletion vector"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
 
 class TestDeltaOptimize:
