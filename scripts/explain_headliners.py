@@ -71,15 +71,19 @@ HEADLINERS = {
     "graph_pagerank_dedup": "3 fixed-point rounds, each one edges⋈ranks "
     "hash join + one groupBy(dst) — no driver data motion, no BNLJ; "
     "integer div arithmetic keeps the oracle bit-exact",
-    "sim_knn_graph": "bucketed kNN candidates (corpus²/#buckets, never "
-    "all-pairs); per-source top-k window; mutual check = one self-join "
-    "of the edge list on the reversed key",
+    "sim_knn_graph": "ADAPTIVE occupancy-capped LSH candidates (bucket "
+    "width scales log2 with the corpus count via a scalar subquery; "
+    "over-cap buckets re-key on extra hyperplanes → candidate pairs "
+    "grow linearly, never corpus²/2^const); per-source top-k window; "
+    "mutual check = one self-join of the edge list on the reversed key",
     "ts_changepoint_cusum": "order-dependent CUSUM recurrence as the "
     "Kadane max-subarray identity: three window passes sharing ONE "
     "user_id exchange, exact BIGINT arithmetic",
     "dedup_semantic_pairs": "SemDeDup: map-only kmeans assignment "
-    "(centroids as literals) → within-cluster pair join on cluster_id "
-    "(corpus²/k bound) with per-vector norms hoisted out of the join",
+    "(centroids via scalar subquery) → within-cluster pair join on "
+    "cluster_id (corpus²/k bound, k = ceil(N/64) DATA-DRIVEN so the "
+    "bound is linear in N) with per-vector norms hoisted out of the "
+    "join",
     "corpus_mixture_weights": "single corpus scan: two-phase strata "
     "aggregation, then totals from an empty-partition window over the "
     "|strata|-row frame — no scalar-subquery re-scans",

@@ -2184,8 +2184,11 @@ class TestDeltaStreamAdmission:
             )
 
     def test_mid_stream_protocol_upgrade_raises(self, spark, tmp_path):
-        """An external writer bumping minReaderVersion (deletion vectors
-        / column mapping) mid-tail must raise, not emit deleted rows."""
+        """An external writer declaring an unconsumable feature mid-tail
+        must raise, not misread new files; a DV-CARRYING add raises
+        per-add even though the deletionVectors readerFeature itself is
+        consumable (the batch reader applies inline DVs, the stream
+        does not)."""
         from marketdb_spark.sources.deltalog import write_delta
         from marketdb_spark.streaming.deltasource import (
             _commit_path,
@@ -2201,7 +2204,7 @@ class TestDeltaStreamAdmission:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["deletionVectors"],
+                            "readerFeatures": ["timestampNtz"],
                         }
                     }
                 )
@@ -2222,6 +2225,32 @@ class TestDeltaStreamAdmission:
             )
         with pytest.raises(ValueError, match="readerFeatures"):
             _tail_adds(t, 1)
+        # DV-carrying tail add: the per-add gate raises regardless of
+        # the (consumable) feature declaration
+        t2 = str(tmp_path / "tbl2")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t2)
+        with open(_commit_path(t2, 1), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": "x.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "dataChange": True,
+                            "deletionVector": {
+                                "storageType": "i",
+                                "pathOrInlineDv": "abcde",
+                                "sizeInBytes": 4,
+                                "cardinality": 1,
+                            },
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with pytest.raises(ValueError, match="deletion-vector"):
+            _tail_adds(t2, 1)
         # a columnMapping-only feature set passes the PROTOCOL gate (the
         # metaData gate still guards the actual remap); v4 never does
         with open(_commit_path(t, 2), "w") as f:
