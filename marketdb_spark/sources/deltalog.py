@@ -453,9 +453,12 @@ def _field_id(field: T.StructField) -> int:
 _FID_VERIFIED: set[tuple] = set()
 
 
-def _require_field_ids(table: str, rels) -> None:
-    """Preflight id-mode data files: every footer must carry parquet
-    field ids. Spark's field-id matcher errors on flat schemas but
+def _require_field_ids(table: str, rels, required: set[int]) -> None:
+    """Preflight id-mode data files: every footer must carry each field
+    id the read schema will ask for (``required`` — the TOP-LEVEL data
+    columns' delta.columnMapping.ids; extra non-table columns like the
+    CDF stager's _change_type legitimately have none and resolve by
+    name). Spark's field-id matcher errors on flat schemas but
     NULL-FILLS nested ones when a file lacks ids (observed on 4.x) —
     silently wrong rows, so we verify footers ourselves. Driver-side,
     one pyarrow footer read (~ms) per file, cached for the process
@@ -469,15 +472,18 @@ def _require_field_ids(table: str, rels) -> None:
         key = (full, st.st_size, st.st_mtime_ns)
         if key in _FID_VERIFIED:
             continue
-        sch = pq.read_schema(full)
-        if any(
-            (f.metadata or {}).get(b"PARQUET:field_id") is None
-            for f in sch
-        ):
+        present = {
+            int(fid)
+            for f in pq.read_schema(full)
+            for fid in [(f.metadata or {}).get(b"PARQUET:field_id")]
+            if fid is not None
+        }
+        missing = sorted(required - present)
+        if missing:
             raise ValueError(
                 f"id-mode table {table}: data file {rel} carries no "
-                f"parquet field ids — cannot resolve columns by id "
-                f"(refusing to null-fill)"
+                f"parquet field ids for {missing} — cannot resolve "
+                f"columns by id (refusing to null-fill)"
             )
         _FID_VERIFIED.add(key)
 
@@ -977,7 +983,11 @@ def _scan_files(
         # but null-fills nested ones — wrong rows, so we don't rely on
         # it).
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        _require_field_ids(table, files)
+        _require_field_ids(
+            table,
+            files,
+            {_field_id(f) for f in schema.fields if f.name not in part_cols},
+        )
     if mapped:
         # name mode: data files store columns under the per-field
         # PHYSICAL names in the schemaString metadata — read with the
@@ -2362,7 +2372,9 @@ def optimize_delta(
         return None
     if with_ids:
         _require_field_ids(
-            table, [p for paths in todo.values() for p in paths]
+            table,
+            [p for paths in todo.values() for p in paths],
+            {_field_id(f) for f in schema.fields if f.name not in part_cols},
         )
 
     # rewrite each loose partition into one file; the read-coalesce is

@@ -2507,6 +2507,85 @@ class TestDeltaCDF:
         )
         assert only2 == [(1, "delete"), (3, "delete"), (9, "insert")]
 
+    def test_cdf_with_id_mode_mapping(self, spark, tmp_path):
+        """CDF composes with column-mapping ID mode exactly as with name
+        mode: _change_data files are staged under physical names WITH
+        field ids, DML attributes changes, and read_change_feed replays
+        the logical surface — even after every data AND cdc file is
+        rewritten with garbage column names (ids intact)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y")], "k long, v string, p string"
+            ),
+            t,
+            partition_by=["p"],
+            enable_cdf=True,
+            column_mapping="id",
+        )
+        delete_delta(spark, t, "k = 2")
+        # mangle every parquet under the table (data + _change_data):
+        # id-carrying columns get garbage names (resolved BY ID); the
+        # cdc files' _change_type has no id and resolves BY NAME, so its
+        # name must survive — exactly the mixed contract of a real
+        # id-mode CDF table
+        for root, _dirs, names in os.walk(t):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                p0 = os.path.join(root, n)
+                tbl = pq.read_table(p0)
+                nf = [
+                    pa.field(
+                        f"g{i}"
+                        if (f.metadata or {}).get(b"PARQUET:field_id")
+                        else f.name,
+                        f.type,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for i, f in enumerate(tbl.schema)
+                ]
+                pq.write_table(pa.table(tbl.columns, schema=pa.schema(nf)), p0)
+        cf = read_change_feed(spark, t, 0)
+        got = sorted((r.k, r._change_type, r._commit_version) for r in cf.collect())
+        assert got == [
+            (1, "insert", 0), (2, "delete", 1), (2, "insert", 0),
+        ]
+        # the streaming CDF leg resolves by field id too
+        from marketdb_spark.streaming.deltasource import (
+            read_delta_cdf_stream,
+        )
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_cdf_stream(spark, t, startingVersion=0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sgot = sorted(
+            (r.k, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert sgot == got
+
     def test_derived_deletes_and_vacuum_interplay(self, spark, tmp_path):
         """A foreign data-removing commit WITHOUT cdc files derives its
         deletes by reading the removed file; once vacuum has reclaimed
