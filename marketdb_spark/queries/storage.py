@@ -1184,6 +1184,85 @@ def store_delta_colmap_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_ntz",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def store_delta_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampNtz table feature under the hash gate (PROTOCOL.md
+    "Timestamp without timezone"; round 11): orders' o_orderdate is a
+    native TIMESTAMP_NTZ column (parquet isAdjustedToUTC=false), so
+    writing it to Delta requires the FEATURE-form protocol — asserted
+    inline: v3/v7 with timestampNtz in reader AND writer features, the
+    table streamable per delta_features. Read back, filter and
+    month-bucket the NTZ column — hash-equal to the plain orders oracle
+    (DuckDB's TIMESTAMP is naive, exactly NTZ semantics) iff the NTZ
+    values survive the Delta round trip bit-exactly with no session-TZ
+    shift in either direction. The feature-blind-writer guard (NTZ into
+    an undeclared table raises) is pinned by
+    tests/test_sources.py::TestDeltaTimestampNtz."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import (
+        delta_features,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp_ntz"
+    work = tempfile.mkdtemp(prefix="store_ntz_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(orders, t)
+        with open(_os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            [proto] = [
+                _json.loads(line)["protocol"]
+                for line in f
+                if "protocol" in line
+            ]
+        assert proto["minReaderVersion"] == 3
+        assert "timestampNtz" in proto["readerFeatures"]
+        assert "timestampNtz" in proto["writerFeatures"]
+        feats = delta_features(t)
+        assert feats["streamable"] and feats["unsupported"] == []
+        back = read_delta(spark, t)
+        assert dict(back.dtypes)["o_orderdate"] == "timestamp_ntz"
+        out = (
+            back.filter(
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+            )
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate"))
+                .cast("timestamp_ntz")
+                .alias("order_month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_dv_scan",
     oracle="""
     SELECT o_orderpriority,

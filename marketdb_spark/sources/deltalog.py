@@ -255,9 +255,17 @@ class _Snapshot(_t.NamedTuple):
 # obliged to maintain v2 checkpoints, which this engine does not write.
 # deletionVectors is READ-supported for INLINE descriptors only
 # (sources/deltadv.py; on-disk 'u'/'p' DVs raise per-add at scan time)
-# and likewise write-ungranted. timestampNtz etc. stay loud errors —
+# and likewise write-ungranted. Anything else stays a loud error —
 # wrong rows are worse.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "v2Checkpoint",
+    "deletionVectors",
+    # TIMESTAMP_NTZ is a native Spark type: the schemaString round-trips
+    # through StructType.fromJson and parquet stores INT64
+    # isAdjustedToUTC=false — nothing engine-side to add
+    "timestampNtz",
+}
 
 
 def _check_reader_protocol(proto: dict, where: str) -> None:
@@ -306,6 +314,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     "generatedColumns",
     "identityColumns",
+    "timestampNtz",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -556,6 +565,20 @@ def _strip_field_metadata(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _contains_ntz(dt: T.DataType) -> bool:
+    """True when the type tree contains TIMESTAMP_NTZ anywhere — the
+    delta timestampNtz table feature applies (reader 3 / writer 7)."""
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_ntz(dt.keyType) or _contains_ntz(dt.valueType)
+    return False
+
+
 def _merge_schemas(
     table_schema: T.StructType, df_schema: T.StructType
 ) -> T.StructType:
@@ -788,7 +811,7 @@ def delta_features(table: str) -> dict:
 
     ``unsupported`` names every feature outside this reader's documented
     scope (module docstring): a minReaderVersion above 3, any declared
-    readerFeature not in _SUPPORTED_READER_FEATURES (timestampNtz...),
+    readerFeature not in _SUPPORTED_READER_FEATURES,
     a deletion-vector flag in the table configuration (PARTIAL support:
     inline DVs batch-read via sources/deltadv.py, but on-disk DVs, the
     streaming legs, and every write path refuse — so the table is not
@@ -1626,6 +1649,19 @@ def write_delta(
                 f"{table}: schema evolution under column mapping is out "
                 f"of this writer's scope"
             )
+        if _contains_ntz(df.schema) and "timestampNtz" not in set(
+            (existing.protocol or {}).get("readerFeatures") or []
+        ):
+            # appending/evolving a TIMESTAMP_NTZ column into a table
+            # whose protocol never declared the feature would leave
+            # feature-blind readers misinterpreting the column — the
+            # upgrade belongs to table CREATE, not a side effect
+            raise ValueError(
+                f"{table}'s protocol does not declare timestampNtz; "
+                f"writing TIMESTAMP_NTZ columns into an existing table "
+                f"without the feature is unsupported (recreate the "
+                f"table)"
+            )
         mapped_schema = (
             T.StructType.fromJson(json.loads(existing.schema_json))
             if cmode in ("name", "id")
@@ -1841,7 +1877,20 @@ def write_delta(
             if latest < 0:
                 # column mapping needs reader 2 / writer 5, CDF writer 4
                 # (writer versions are cumulative per the protocol)
-                if cmode in ("name", "id"):
+                if _contains_ntz(df.schema):
+                    # timestampNtz is FEATURE-form only: v3/v7 listing
+                    # every feature the table actually uses
+                    rf = ["timestampNtz"] + (
+                        ["columnMapping"] if cmode in ("name", "id") else []
+                    )
+                    wf = list(rf) + (["changeDataFeed"] if cdf_on else [])
+                    proto = {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf),
+                        "writerFeatures": sorted(wf),
+                    }
+                elif cmode in ("name", "id"):
                     proto = {"minReaderVersion": 2, "minWriterVersion": 5}
                 elif cdf_on:
                     proto = {"minReaderVersion": 1, "minWriterVersion": 4}

@@ -3875,6 +3875,102 @@ class TestDeletionVectors:
                 q.stop()
 
 
+class TestDeltaTimestampNtz:
+    """timestampNtz table feature: create-time protocol emission,
+    round trip, the feature-blind-writer guard, and the streaming leg
+    (TIMESTAMP_NTZ is a native Spark type; parquet stores INT64
+    isAdjustedToUTC=false, so no session-TZ shift in either lane)."""
+
+    def _ntz_df(self, spark, n=3):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            "id",
+            F.expr(
+                "timestamp_ntz'2026-03-01 12:00:00' + "
+                "make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0)"
+            ).alias("ts"),
+        )
+
+    def test_create_roundtrip_and_features(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(self._ntz_df(spark), t)
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            [proto] = [
+                json.loads(l)["protocol"] for l in f if "protocol" in l
+            ]
+        assert proto == {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }
+        back = read_delta(spark, t)
+        assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+        assert back.count() == 3
+        feats = delta_features(t)
+        assert feats["streamable"] and feats["unsupported"] == []
+        # appends compose (protocol already granted)
+        write_delta(self._ntz_df(spark), t)
+        assert read_delta(spark, t).count() == 6
+
+    def test_ntz_composes_with_cdf_and_mapping(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            self._ntz_df(spark), t, enable_cdf=True, column_mapping="name"
+        )
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            [proto] = [
+                json.loads(l)["protocol"] for l in f if "protocol" in l
+            ]
+        assert proto["readerFeatures"] == ["columnMapping", "timestampNtz"]
+        assert proto["writerFeatures"] == [
+            "changeDataFeed", "columnMapping", "timestampNtz",
+        ]
+        assert read_delta(spark, t).count() == 3
+
+    def test_ntz_into_undeclared_table_raises(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.range(2).select("id"), t)
+        with pytest.raises(ValueError, match="timestampNtz"):
+            write_delta(self._ntz_df(spark), t, merge_schema=True)
+        with pytest.raises(ValueError, match="timestampNtz"):
+            write_delta(self._ntz_df(spark), t, mode="overwrite")
+
+    def test_ntz_table_streams(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        write_delta(self._ntz_df(spark), t)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = read_delta_stream(spark, t)
+        assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(str(r.ts) for r in spark.read.parquet(out).collect())
+        want = sorted(str(r.ts) for r in read_delta(spark, t).collect())
+        assert got == want and len(got) == 3
+
+
 class TestDeltaOptimize:
     """OPTIMIZE / small-file compaction (sources/deltalog.optimize_delta):
     remove+add with dataChange:false, live set shrinks, rows and history
