@@ -58,6 +58,7 @@ from marketdb_spark.sources.deltalog import (
     _Snapshot,
     _check_writer_protocol,
     _checkpoint_versions,
+    _enforce_write_obligations,
     _commit_info,
     _field_id,
     _log_entries,
@@ -122,6 +123,11 @@ def _stage_logical(
     partition columns. ``extra_cols`` ride through verbatim (the CDF
     stager's ``_change_type``)."""
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    if not prefix:
+        # data files only (CDF frames carry preimages that predate the
+        # batch): DML-rewritten and merge-inserted rows must satisfy the
+        # table's CHECK constraints / invariants like any other write
+        _enforce_write_obligations(df.select(*[f.name for f in schema.fields]), snap, table)
     cmode = _mapping_mode(snap.config, table)
     with_ids = cmode == "id"
     cols = []
@@ -168,8 +174,9 @@ def _commit_dml(
         latest = _latest_version(table)
         cur = _replay(table, None)
         # writer-protocol gate (mirror of the reader gate): unknown
-        # writerFeatures / defined constraints raise; removing files
-        # from an appendOnly table is forbidden
+        # writerFeatures / generated columns raise; removing files
+        # from an appendOnly table is forbidden (constraints/invariants
+        # were enforced on the staged rows in _stage_logical)
         _check_writer_protocol(
             cur, table, data_removing=bool(matched_rels)
         )

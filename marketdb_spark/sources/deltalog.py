@@ -319,8 +319,10 @@ _SUPPORTED_WRITER_FEATURES = {
 
 # Schema field-metadata keys that carry writer obligations this engine
 # does not evaluate: writing around them would corrupt invariants other
-# readers rely on, so their presence blocks writes.
-_WRITER_OBLIGATION_META = ("delta.invariants", "delta.generationExpression")
+# readers rely on, so their presence blocks writes. (delta.invariants
+# is NOT here — column invariants are ENFORCED at write time, see
+# _enforce_write_obligations.)
+_WRITER_OBLIGATION_META = ("delta.generationExpression",)
 
 
 def _check_writer_protocol(
@@ -332,15 +334,17 @@ def _check_writer_protocol(
 
     Raises on: minWriterVersion above 7; v7 without writerFeatures
     (malformed per the protocol) or with features outside
-    _SUPPORTED_WRITER_FEATURES; any DEFINED CHECK constraint
-    (``delta.constraints.*`` config, writer v3), column invariant
-    (``delta.invariants`` field metadata, writer v2), generated column
+    _SUPPORTED_WRITER_FEATURES; any generated column
     (``delta.generationExpression``, writer v4) or identity column
     (``delta.identity.*``, writer v6) — obligations this writer does not
     evaluate, at ANY legacy writer version since v2-6 imply them; and
     ``delta.appendOnly=true`` when the operation removes data
     (delta-spark's DeltaUnsupportedOperationException for DML on
-    append-only tables)."""
+    append-only tables). CHECK constraints (``delta.constraints.*``
+    config, writer v3) and column invariants (``delta.invariants``
+    field metadata, writer v2) do NOT block writes: they are ENFORCED
+    row-by-row at write time (_enforce_write_obligations), exactly the
+    writer obligation the protocol assigns."""
     v = int((snap.protocol or {}).get("minWriterVersion") or 1)
     if v > 7:
         raise ValueError(
@@ -362,14 +366,6 @@ def _check_writer_protocol(
                 f"{sorted(_SUPPORTED_WRITER_FEATURES)})"
             )
     cfg = snap.config or {}
-    constraints = sorted(
-        k for k in cfg if k.startswith("delta.constraints.")
-    )
-    if constraints:
-        raise ValueError(
-            f"cannot write {where}: CHECK constraints {constraints} are "
-            f"defined and this writer does not enforce them"
-        )
     offenders: list[str] = []
 
     def _walk(fields: list, prefix: str) -> None:
@@ -400,6 +396,79 @@ def _check_writer_protocol(
         raise ValueError(
             f"{where} is append-only (delta.appendOnly=true): "
             f"data-removing operations are forbidden"
+        )
+
+
+def _write_obligations(snap: _Snapshot) -> list[tuple[str, str]]:
+    """(label, sql_expr) for every CHECK constraint
+    (``delta.constraints.<name>`` table config, writer v3) and column
+    invariant (``delta.invariants`` field metadata at any nesting
+    level, writer v2 — the value is delta's
+    ``{"expression": {"expression": "<sql>"}}`` JSON, tolerating a bare
+    SQL string) the table declares."""
+    out: list[tuple[str, str]] = []
+    for k in sorted(snap.config or {}):
+        if k.startswith("delta.constraints."):
+            out.append(
+                (f"CHECK constraint {k[len('delta.constraints.'):]}",
+                 snap.config[k])
+            )
+
+    def _walk(fields, prefix: str) -> None:
+        for f in fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if inv:
+                expr = inv
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except (ValueError, TypeError, KeyError):
+                    pass
+                out.append((f"invariant on column {prefix}{f.name}", expr))
+            dt = f.dataType
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            if isinstance(dt, T.StructType):
+                _walk(dt.fields, f"{prefix}{f.name}.")
+
+    _walk(T.StructType.fromJson(json.loads(snap.schema_json)).fields, "")
+    return out
+
+
+def _enforce_write_obligations(
+    df: DataFrame, snap: _Snapshot, where: str
+) -> None:
+    """Enforce the table's CHECK constraints and column invariants on a
+    LOGICAL-schema batch about to be written — the delta writer-v2/v3
+    obligation (delta-spark's InvariantViolationException): a row
+    violates when the expression evaluates to FALSE (NULL satisfies,
+    standard SQL CHECK semantics). One extra pass over the batch, only
+    on tables that declare obligations; delta-spark fuses the check
+    into the write projection — same cost class, kept separate here
+    for clarity. Raises naming the constraint and one violating row."""
+    obligations = _write_obligations(snap)
+    if not obligations:
+        return
+    flags = [
+        F.expr(expr).cast("boolean").alias(f"__ob{i}")
+        for i, (_lbl, expr) in enumerate(obligations)
+    ]
+    viol_any = None
+    for i in range(len(obligations)):
+        this = F.col(f"__ob{i}") == F.lit(False)
+        viol_any = this if viol_any is None else (viol_any | this)
+    bad = (
+        df.select(*df.columns, *flags).filter(viol_any).limit(1).collect()
+    )
+    if bad:
+        row = bad[0]
+        broken = [
+            f"{lbl} ({expr!r})"
+            for i, (lbl, expr) in enumerate(obligations)
+            if row[f"__ob{i}"] is False
+        ]
+        vals = {c: row[c] for c in df.columns}
+        raise ValueError(
+            f"write to {where} violates {'; '.join(broken)}: row {vals}"
         )
 
 
@@ -1682,6 +1751,11 @@ def write_delta(
     else:
         cmode, mapped_schema = "none", None
         cdf_on = bool(enable_cdf)
+    if existing is not None:
+        # CHECK constraints / column invariants: enforced on the batch
+        # BEFORE staging (fail fast, no orphan files); new tables have
+        # no obligations (this writer offers no constraint DDL)
+        _enforce_write_obligations(df, existing, table)
     if mapped_schema is not None:
         with_ids = cmode == "id"
         phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}

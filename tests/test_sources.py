@@ -4215,9 +4215,11 @@ class TestDeltaVacuum:
 class TestWriterProtocolGate:
     """_check_writer_protocol — the writer-side mirror of the reader gate
     (PROTOCOL.md "Table Features" / "Writer Version Requirements"):
-    unknown writerFeatures, defined CHECK constraints / invariants /
-    generated / identity columns, and appendOnly all block writes BEFORE
-    a commit could violate obligations other readers rely on."""
+    unknown writerFeatures, generated / identity columns, and appendOnly
+    block writes BEFORE a commit could violate obligations other readers
+    rely on; CHECK constraints and column invariants are ENFORCED
+    row-by-row instead (the writer v2/v3 obligation) — valid batches
+    commit, violating batches raise naming the constraint."""
 
     def _mk(self, spark, t):
         from marketdb_spark.sources.deltalog import write_delta
@@ -4327,8 +4329,13 @@ class TestWriterProtocolGate:
         )
         assert read_delta(spark, t).count() == 4
 
-    def test_defined_check_constraint_blocks(self, spark, tmp_path):
-        from marketdb_spark.sources.deltalog import write_delta
+    def test_check_constraint_enforced(self, spark, tmp_path):
+        """A defined CHECK constraint no longer blocks the writer — it
+        is ENFORCED: valid rows commit, a violating batch raises naming
+        the constraint and a violating row, NULL satisfies (SQL CHECK
+        semantics), and DML rewrites are held to the same rule."""
+        from marketdb_spark.sources.deltadml import update_delta
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
         self._mk(spark, t)
@@ -4336,13 +4343,25 @@ class TestWriterProtocolGate:
             t,
             [self._meta(t, config={"delta.constraints.positive": "k > 0"})],
         )
-        with pytest.raises(ValueError, match="CHECK constraints"):
+        write_delta(
+            spark.createDataFrame([(3, "c")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="CHECK constraint positive"):
             write_delta(
-                spark.createDataFrame([(3, "c")], "k long, v string"), t
+                spark.createDataFrame([(-3, "x")], "k long, v string"), t
             )
+        # NULL satisfies a CHECK per SQL
+        write_delta(
+            spark.createDataFrame([(None, "n")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="CHECK constraint positive"):
+            update_delta(spark, t, "v = 'a'", {"k": "-9"})
+        update_delta(spark, t, "v = 'a'", {"k": "10"})
+        got = {r.v: r.k for r in read_delta(spark, t).collect()}
+        assert got["a"] == 10 and got["c"] == 3 and got["n"] is None
 
-    def test_defined_invariant_blocks(self, spark, tmp_path):
-        from marketdb_spark.sources.deltalog import write_delta
+    def test_invariant_enforced(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
         self._mk(spark, t)
@@ -4352,6 +4371,33 @@ class TestWriterProtocolGate:
                 {"name": "k", "type": "long", "nullable": True,
                  "metadata": {"delta.invariants":
                               '{"expression":{"expression":"k > 0"}}'}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        self._add_commit(t, [self._meta(t, schema_json=json.dumps(schema))])
+        write_delta(
+            spark.createDataFrame([(3, "c")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="invariant on column k"):
+            write_delta(
+                spark.createDataFrame([(0, "x")], "k long, v string"), t
+            )
+        assert read_delta(spark, t).count() == 3
+
+    def test_generated_column_still_blocks(self, spark, tmp_path):
+        """Generated columns stay a refusal — this writer cannot compute
+        the generation expression, and writing around it corrupts the
+        column for every reader."""
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.generationExpression": "id + 1"}},
                 {"name": "v", "type": "string", "nullable": True,
                  "metadata": {}},
             ],
