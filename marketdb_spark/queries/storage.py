@@ -1184,6 +1184,92 @@ def store_delta_colmap_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_zorder",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    WHERE l_partkey <= 200 AND l_suppkey <= 20
+    """,
+)
+def store_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY under the hash gate (delta-spark's
+    ``OPTIMIZE ... ZORDER BY (l_partkey, l_suppkey)``;
+    sources/deltalog.optimize_delta zorder_by + sources/zorder.py's
+    Morton interleave): lineitem lands as six unclustered files, one
+    z-ordering OPTIMIZE folds them into one Morton-clustered file
+    (dataChange:false — a tailing stream skips it; zOrderBy recorded in
+    commitInfo — both asserted inline, plus the clustering itself:
+    adjacent-row |Δl_partkey| far below the shuffled baseline). The
+    two-column range predicate then aggregates hash-equal to the plain
+    oracle — content is invariant under re-layout, which is exactly the
+    contract. At scale the payoff is data skipping: every z-ordered
+    column's per-file min/max is tight simultaneously, so this
+    predicate prunes to a handful of files where a single-column sort
+    prunes on one column only."""
+    import os as _os
+    import shutil
+    import statistics
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from marketdb_spark.sources.deltalog import (
+        delta_history,
+        delta_live_files,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_zorder_opt_")
+    t = f"{work}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(li.repartition(6), t)
+        assert len(delta_live_files(t)) == 6
+        v = optimize_delta(spark, t, zorder_by=["l_partkey", "l_suppkey"])
+        assert v == 1
+        [f] = delta_live_files(t)
+        data = pq.read_table(
+            _os.path.join(t, f), columns=["l_partkey"]
+        ).to_pylist()
+        dx = statistics.mean(
+            abs(data[i + 1]["l_partkey"] - data[i]["l_partkey"])
+            for i in range(len(data) - 1)
+        )
+        spread = max(d["l_partkey"] for d in data) - min(
+            d["l_partkey"] for d in data
+        )
+        assert dx < spread / 4, (dx, spread)  # clustered, not shuffled
+        hist = delta_history(t)[0]
+        assert hist["operationParameters"]["zOrderBy"] == (
+            '["l_partkey", "l_suppkey"]'
+        )
+        out = (
+            read_delta(spark, t)
+            .filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 20))
+            .agg(
+                dsum("l_extendedprice", scale=6).alias("sum_price"),
+                F.count("*").alias("n_rows"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_ntz",
     oracle="""
     SELECT date_trunc('month', o_orderdate) AS order_month,

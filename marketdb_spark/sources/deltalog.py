@@ -318,11 +318,13 @@ _SUPPORTED_WRITER_FEATURES = {
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
-# does not evaluate: writing around them would corrupt invariants other
+# does not evaluate: writing around them would corrupt state other
 # readers rely on, so their presence blocks writes. (delta.invariants
-# is NOT here — column invariants are ENFORCED at write time, see
-# _enforce_write_obligations.)
-_WRITER_OBLIGATION_META = ("delta.generationExpression",)
+# and delta.generationExpression are NOT here — invariants are ENFORCED
+# at write time and generated columns are VALIDATED value-for-value,
+# see _enforce_write_obligations; identity columns stay blocked — their
+# high-water-mark bookkeeping is genuinely not implemented.)
+_WRITER_OBLIGATION_META = ()
 
 
 def _check_writer_protocol(
@@ -334,17 +336,19 @@ def _check_writer_protocol(
 
     Raises on: minWriterVersion above 7; v7 without writerFeatures
     (malformed per the protocol) or with features outside
-    _SUPPORTED_WRITER_FEATURES; any generated column
-    (``delta.generationExpression``, writer v4) or identity column
-    (``delta.identity.*``, writer v6) — obligations this writer does not
-    evaluate, at ANY legacy writer version since v2-6 imply them; and
-    ``delta.appendOnly=true`` when the operation removes data
-    (delta-spark's DeltaUnsupportedOperationException for DML on
-    append-only tables). CHECK constraints (``delta.constraints.*``
-    config, writer v3) and column invariants (``delta.invariants``
-    field metadata, writer v2) do NOT block writes: they are ENFORCED
-    row-by-row at write time (_enforce_write_obligations), exactly the
-    writer obligation the protocol assigns."""
+    _SUPPORTED_WRITER_FEATURES; any identity column
+    (``delta.identity.*``, writer v6) — high-water-mark bookkeeping
+    this writer does not implement, at ANY legacy writer version since
+    v6 implies it; and ``delta.appendOnly=true`` when the operation
+    removes data (delta-spark's DeltaUnsupportedOperationException for
+    DML on append-only tables). CHECK constraints
+    (``delta.constraints.*``, writer v3), column invariants
+    (``delta.invariants``, writer v2) and generated columns
+    (``delta.generationExpression``, writer v4) do NOT block writes:
+    constraints/invariants are ENFORCED row-by-row and generated
+    columns VALIDATED value-for-value against their expression
+    (_enforce_write_obligations) — delta-spark's own behavior when the
+    caller supplies the column explicitly."""
     v = int((snap.protocol or {}).get("minWriterVersion") or 1)
     if v > 7:
         raise ValueError(
@@ -416,7 +420,8 @@ def _write_obligations(snap: _Snapshot) -> list[tuple[str, str]]:
 
     def _walk(fields, prefix: str) -> None:
         for f in fields:
-            inv = (f.metadata or {}).get("delta.invariants")
+            md = f.metadata or {}
+            inv = md.get("delta.invariants")
             if inv:
                 expr = inv
                 try:
@@ -424,6 +429,17 @@ def _write_obligations(snap: _Snapshot) -> list[tuple[str, str]]:
                 except (ValueError, TypeError, KeyError):
                     pass
                 out.append((f"invariant on column {prefix}{f.name}", expr))
+            gen = md.get("delta.generationExpression")
+            if gen and not prefix:
+                # generated column: the supplied value must EQUAL the
+                # generation expression (null-safe — delta validates the
+                # same equality when the column is provided explicitly)
+                out.append(
+                    (
+                        f"generation expression of column {f.name}",
+                        f"{f.name} <=> ({gen})",
+                    )
+                )
             dt = f.dataType
             if isinstance(dt, T.ArrayType):
                 dt = dt.elementType
@@ -2413,7 +2429,10 @@ def clean_log(table: str) -> list[str]:
 
 
 def optimize_delta(
-    spark: SparkSession, table: str, min_files: int = 2
+    spark: SparkSession,
+    table: str,
+    min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE (small-file compaction): rewrite every partition whose
     live set holds ≥ ``min_files`` files into ONE file, committed as a
@@ -2423,6 +2442,16 @@ def optimize_delta(
     reader of the table skips it instead of re-emitting rows
     (PROTOCOL.md Add/Remove "dataChange"). Returns the committed
     version, or None when every partition is already compact.
+
+    ``zorder_by`` (delta-spark's ``OPTIMIZE ... ZORDER BY (cols)``):
+    every partition rewrites REGARDLESS of file count (re-clustering
+    changes layout even for one file), rows sorted by the Morton
+    interleave of the named data columns (sources/zorder.py — one
+    min/max pass per partition for the bucket ranges, then a sort;
+    the same cost class as any clustered write). Data-skipping readers
+    then prune on the tight per-file ranges of every z-ordered column
+    at once. Recorded in commitInfo as ``zOrderBy``, still
+    ``dataChange: false``.
 
     This completes the table lifecycle next to write_checkpoint/
     clean_log the way HBase region compaction completes the reference's
@@ -2448,8 +2477,30 @@ def optimize_delta(
     from marketdb_spark.sources.snapshot import CommitConflict
 
     snap = _replay(table, None)
+    # writer gate: OPTIMIZE reads files RAW (no DV application) and
+    # re-adds their bytes — on a table with writer features this engine
+    # has no grant for (deletionVectors above all: a blind compaction
+    # would resurrect deleted rows AND drop the descriptor) it must
+    # refuse before touching anything
+    _check_writer_protocol(snap, table)
+    if getattr(snap, "dvs", None):
+        raise ValueError(
+            f"cannot OPTIMIZE {table}: live files carry deletion "
+            f"vectors and compaction would resurrect deleted rows"
+        )
     part_cols, live = snap.part_cols, snap.live
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    if zorder_by:
+        bad = [
+            c for c in zorder_by
+            if c in part_cols
+            or c not in {f.name for f in schema.fields}
+        ]
+        if bad:
+            raise ValueError(
+                f"zorder_by columns {bad} must be non-partition data "
+                f"columns of {table}"
+            )
     # compaction never renames: under column mapping the files are read
     # AND rewritten with their physical column names — add.partitionValues
     # and the Hive-style dirs stay keyed by physical names per the
@@ -2486,10 +2537,11 @@ def optimize_delta(
         pv = pvals or {}
         key = tuple(pv.get(stage_key[c], pv.get(c)) for c in part_cols)
         by_part.setdefault(key, []).append(path)
+    threshold = 1 if zorder_by else max(int(min_files), 2)
     todo = {
         key: sorted(paths)
         for key, paths in by_part.items()
-        if len(paths) >= max(int(min_files), 2)
+        if len(paths) >= threshold
     }
     if not todo:
         return None
@@ -2521,6 +2573,44 @@ def optimize_delta(
             df = spark.read.schema(data_schema).parquet(
                 *[os.path.join(table, p) for p in paths]
             )
+            if zorder_by:
+                # z-cluster within the partition: bucket ranges from one
+                # min/max pass, Morton interleave, one sorted file. The
+                # read speaks PHYSICAL names under column mapping — map
+                # the logical zorder names through.
+                from marketdb_spark.sources.zorder import (
+                    bucketize,
+                    interleave_bits,
+                )
+
+                phys_by_logical = {
+                    f.name: (_physical_name(f) if mapped else f.name)
+                    for f in schema.fields
+                }
+                zphys = [phys_by_logical[c] for c in zorder_by]
+                ranges = df.agg(
+                    *[F.min(c).cast("double").alias(f"lo_{i}")
+                      for i, c in enumerate(zphys)],
+                    *[F.max(c).cast("double").alias(f"hi_{i}")
+                      for i, c in enumerate(zphys)],
+                ).first()
+
+                def _rng(i):
+                    lo, hi = ranges[f"lo_{i}"], ranges[f"hi_{i}"]
+                    return (0.0, 0.0) if lo is None or hi is None else (lo, hi)
+
+                z = interleave_bits(
+                    [
+                        bucketize(F.col(c), *_rng(i))
+                        for i, c in enumerate(zphys)
+                    ]
+                )
+                df = (
+                    df.withColumn("__z", z)
+                    .coalesce(1)
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
             out_dir = os.path.join(tmp, _uuid.uuid4().hex)
             df.coalesce(1).write.parquet(out_dir)
             [one] = [
@@ -2559,7 +2649,10 @@ def optimize_delta(
                     f"removed rewritten files or changed the partitioning"
                 )
             version = latest + 1
-            actions = [_commit_info("OPTIMIZE", {"auto": False})]
+            op_params: dict = {"auto": False}
+            if zorder_by:
+                op_params["zOrderBy"] = list(zorder_by)
+            actions = [_commit_info("OPTIMIZE", op_params)]
             for p in removes:
                 actions.append(
                     {

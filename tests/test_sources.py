@@ -3859,6 +3859,12 @@ class TestDeletionVectors:
         # feature this engine has no writer support for
         with pytest.raises(ValueError, match="writerFeatures"):
             write_delta(spark.range(1).selectExpr("id AS k"), t)
+        # OPTIMIZE refuses: blind compaction would resurrect deleted
+        # rows (the writer gate rejects the v7 deletionVectors grant)
+        from marketdb_spark.sources.deltalog import optimize_delta
+
+        with pytest.raises(ValueError, match="writerFeatures|deletion"):
+            optimize_delta(spark, t)
         # streaming refuses the DV-carrying snapshot at planning
         out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         q = (
@@ -4016,6 +4022,54 @@ class TestDeltaOptimize:
         # own multi-file set (optimize never deletes bytes)
         assert delta_live_files(t, version=2) == before
         assert read_delta(spark, t, version=2).count() == 5
+
+    def test_zorder_clusters_rows(self, spark, tmp_path):
+        """OPTIMIZE ZORDER BY: every partition rewrites into one file
+        with rows Morton-clustered on the named columns — adjacent rows
+        are close in x (data-skipping's precondition), the row multiset
+        is unchanged, commitInfo records zOrderBy, and the commit stays
+        dataChange:false (a tailing stream skips it). Guards: partition
+        or unknown columns refuse."""
+        import random
+        import statistics
+
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        rng = random.Random(3)
+        rows = [
+            (rng.randrange(1000), rng.randrange(1000), i)
+            for i in range(4000)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long, id long")
+        write_delta(df.repartition(6), t)
+        assert len(delta_live_files(t)) == 6
+        v = optimize_delta(spark, t, zorder_by=["x", "y"])
+        assert v == 1 and len(delta_live_files(t)) == 1
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == sorted(rows)
+        # clustering evidence: mean adjacent |Δx| in FILE ORDER is far
+        # below the ~333 uniform-random baseline
+        import pyarrow.parquet as pq
+
+        data = pq.read_table(
+            os.path.join(t, delta_live_files(t)[0])
+        ).to_pylist()
+        dx = statistics.mean(
+            abs(data[i + 1]["x"] - data[i]["x"])
+            for i in range(len(data) - 1)
+        )
+        assert dx < 80, dx
+        hist = delta_history(t)[0]
+        assert hist["operationParameters"]["zOrderBy"] == '["x", "y"]'
+        with pytest.raises(ValueError, match="non-partition data"):
+            optimize_delta(spark, t, zorder_by=["nope"])
 
     def test_commit_actions_carry_datachange_false(self, spark, tmp_path):
         import json as _json
@@ -4385,10 +4439,39 @@ class TestWriterProtocolGate:
             )
         assert read_delta(spark, t).count() == 3
 
-    def test_generated_column_still_blocks(self, spark, tmp_path):
-        """Generated columns stay a refusal — this writer cannot compute
-        the generation expression, and writing around it corrupts the
-        column for every reader."""
+    def test_generated_column_validated(self, spark, tmp_path):
+        """Generated columns: a supplied value equal to the generation
+        expression commits (delta validates the same when the column is
+        provided explicitly); a mismatch raises naming the column. The
+        equality is null-safe."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {
+                     "delta.generationExpression": "concat('u', k)"}},
+            ],
+        }
+        self._add_commit(t, [self._meta(t, schema_json=json.dumps(schema))])
+        write_delta(
+            spark.createDataFrame([(3, "u3")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="generation expression"):
+            write_delta(
+                spark.createDataFrame([(4, "WRONG")], "k long, v string"), t
+            )
+        assert read_delta(spark, t).count() == 3
+
+    def test_identity_column_still_blocks(self, spark, tmp_path):
+        """Identity columns stay a refusal: their high-water-mark
+        bookkeeping is genuinely not implemented, and writing around it
+        breaks the sequence for every other writer."""
         from marketdb_spark.sources.deltalog import write_delta
 
         t = str(tmp_path / "tbl")
@@ -4397,7 +4480,9 @@ class TestWriterProtocolGate:
             "type": "struct",
             "fields": [
                 {"name": "k", "type": "long", "nullable": True,
-                 "metadata": {"delta.generationExpression": "id + 1"}},
+                 "metadata": {"delta.identity.start": 1,
+                              "delta.identity.step": 1,
+                              "delta.identity.allowExplicitInsert": False}},
                 {"name": "v", "type": "string", "nullable": True,
                  "metadata": {}},
             ],
