@@ -246,6 +246,7 @@ class _Snapshot(_t.NamedTuple):
     config: dict
     protocol: dict
     dvs: dict = {}
+    domains: dict = {}
 
 
 # Reader features this engine can consume under protocol v3
@@ -265,6 +266,9 @@ _SUPPORTED_READER_FEATURES = {
     # through StructType.fromJson and parquet stores INT64
     # isAdjustedToUTC=false — nothing engine-side to add
     "timestampNtz",
+    # a no-op for readers by definition: the feature only obliges
+    # VACUUM to run the writer-protocol gate first (vacuum_delta does)
+    "vacuumProtocolCheck",
 }
 
 
@@ -315,6 +319,11 @@ _SUPPORTED_WRITER_FEATURES = {
     "generatedColumns",
     "identityColumns",
     "timestampNtz",
+    # domain metadata is PRESERVED: replay tracks the latest action per
+    # domain and write_checkpoint re-emits live domains, so clean_log
+    # never strips a foreign writer's domains (the v7 obligation)
+    "domainMetadata",
+    "vacuumProtocolCheck",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -758,6 +767,7 @@ def _replay(table: str, version: int | None) -> _Snapshot:
     part_cols: list[str] = []
     live: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
     config: dict = {}
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
 
@@ -795,6 +805,9 @@ def _replay(table: str, version: int | None) -> _Snapshot:
             add = row.get("add")
             if add and add.get("path"):
                 _see_add(add)
+            dom = row.get("domainMetadata")
+            if dom and dom.get("domain"):
+                domains[dom["domain"]] = dict(dom)
             meta = row.get("metaData")
             if meta and meta.get("schemaString"):
                 schema_json = meta["schemaString"]
@@ -827,6 +840,12 @@ def _replay(table: str, version: int | None) -> _Snapshot:
                     gone = _decode_path(action["remove"]["path"])
                     live.pop(gone, None)
                     dvs.pop(gone, None)
+                elif "domainMetadata" in action:
+                    dom = action["domainMetadata"]
+                    if dom.get("domain"):
+                        # latest action wins; removed=true stays as a
+                        # tombstone until a checkpoint drops it
+                        domains[dom["domain"]] = dict(dom)
                 elif "protocol" in action:
                     protocol = {
                         k: v
@@ -836,7 +855,9 @@ def _replay(table: str, version: int | None) -> _Snapshot:
                     _check_reader_protocol(protocol, table)
     if schema_json is None:
         raise ValueError(f"no metaData action found in {table}/{_LOG}")
-    return _Snapshot(schema_json, part_cols, live, config, protocol, dvs)
+    return _Snapshot(
+        schema_json, part_cols, live, config, protocol, dvs, domains
+    )
 
 
 def delta_live_files(table: str, version: int | None = None) -> list[str]:
@@ -971,6 +992,19 @@ def delta_features(table: str) -> dict:
         "configuration": conf,
         "unsupported": unsupported,
         "streamable": not unsupported,
+    }
+
+
+def delta_domain_metadata(table: str) -> dict:
+    """The table's LIVE domain metadata (PROTOCOL.md "Domain Metadata"):
+    {domain: configuration-string} for every domain whose latest action
+    is not a removal. Foreign writers (clustering, row tracking, Sharing)
+    park state here; replay tracks it and write_checkpoint preserves it
+    across clean_log, so this surface is retention-safe."""
+    return {
+        name: dom.get("configuration")
+        for name, dom in (getattr(_replay(table, None), "domains", None) or {}).items()
+        if not dom.get("removed")
     }
 
 
@@ -2295,6 +2329,16 @@ def write_checkpoint(
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     from urllib.parse import quote
@@ -2359,6 +2403,22 @@ def write_checkpoint(
                 "metaData": None,
                 "add": None,
                 "txn": {"appId": app, "version": v},
+            }
+        )
+    # the latest domainMetadata per domain rides into the checkpoint
+    # (PROTOCOL.md "Domain Metadata": checkpoints must carry live
+    # domains; removed=true tombstones MAY be dropped — we drop them)
+    for name in sorted(getattr(snap, "domains", None) or {}):
+        dom = snap.domains[name]
+        if dom.get("removed"):
+            continue
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": dom["domain"],
+                    "configuration": dom.get("configuration"),
+                    "removed": False,
+                }
             }
         )
     n_parts = (
@@ -2711,7 +2771,12 @@ def vacuum_delta(
     data). Pass 0 only when writers are quiesced."""
     import time as _time
 
-    live_set = set(_replay(table, None).live)
+    snap = _replay(table, None)
+    # vacuumProtocolCheck's whole point: VACUUM must run the writer
+    # gate before deleting bytes (an unknown writer feature could imply
+    # files referenced outside add actions)
+    _check_writer_protocol(snap, table)
+    live_set = set(snap.live)
     cutoff = _time.time() - min_file_age_seconds
     deleted: list[str] = []
     for root, _dirs, files in os.walk(table):

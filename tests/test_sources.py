@@ -3881,6 +3881,88 @@ class TestDeletionVectors:
                 q.stop()
 
 
+class TestDomainMetadata:
+    """domainMetadata (PROTOCOL.md "Domain Metadata", writer v7):
+    replay tracks the latest action per domain, removal tombstones
+    hide domains, checkpoints PRESERVE live domains across clean_log
+    (the actual writer obligation — dropping a foreign clustering
+    domain would corrupt that writer's state), and the granted
+    features unblock writes and vacuum."""
+
+    def _mk_with_domains(self, spark, t):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["domainMetadata", "vacuumProtocolCheck"],
+            }}) + "\n")
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": '{"cols":["k"]}', "removed": False,
+            }}) + "\n")
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "tmp.scratch", "configuration": "x",
+                "removed": False,
+            }}) + "\n")
+        with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "tmp.scratch", "configuration": None,
+                "removed": True,
+            }}) + "\n")
+
+    def test_lifecycle_and_checkpoint_preservation(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            delta_domain_metadata,
+            read_delta,
+            vacuum_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk_with_domains(spark, t)
+        # latest-wins + removal tombstone
+        assert delta_domain_metadata(t) == {
+            "delta.clustering": '{"cols":["k"]}'
+        }
+        # granted features: appends and vacuum proceed
+        write_delta(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+        vacuum_delta(t, min_file_age_seconds=0)
+        # checkpoint carries the live domain, drops the tombstone;
+        # clean_log then removes every covered JSON commit — the domain
+        # must SURVIVE (a checkpoint that dropped it would corrupt the
+        # foreign writer's state)
+        v = write_checkpoint(t)
+        rows = pq.read_table(os.path.join(
+            t, "_delta_log", f"{v:020d}.checkpoint.parquet"
+        )).to_pylist()
+        doms = [r["domainMetadata"] for r in rows if r.get("domainMetadata")]
+        assert [d["domain"] for d in doms] == ["delta.clustering"]
+        clean_log(t)
+        assert delta_domain_metadata(t) == {
+            "delta.clustering": '{"cols":["k"]}'
+        }
+        assert read_delta(spark, t).count() == 2
+
+    def test_vacuum_gate_on_unknown_writer_feature(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import vacuum_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking"],
+            }}) + "\n")
+        with pytest.raises(ValueError, match="writerFeatures"):
+            vacuum_delta(t, min_file_age_seconds=0)
+
+
 class TestDeltaTimestampNtz:
     """timestampNtz table feature: create-time protocol emission,
     round trip, the feature-blind-writer guard, and the streaming leg

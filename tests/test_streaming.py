@@ -2204,7 +2204,7 @@ class TestDeltaStreamAdmission:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["timestampNtz"],
+                            "readerFeatures": ["typeWidening"],
                         }
                     }
                 )
