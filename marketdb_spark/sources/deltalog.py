@@ -324,6 +324,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # never strips a foreign writer's domains (the v7 obligation)
     "domainMetadata",
     "vacuumProtocolCheck",
+    # honored in _publish_commit: once the previous commit carries an
+    # inCommitTimestamp, every commit we publish continues the chain
+    # monotonically (max(now, prev+1)) — the feature's one writer rule
+    "inCommitTimestamp",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -1008,12 +1012,29 @@ def delta_domain_metadata(table: str) -> dict:
     }
 
 
+def _info_ts(info: dict | None) -> int | None:
+    """A commitInfo's authoritative timestamp: inCommitTimestamp when
+    present (the in-commit-timestamps table feature — monotone by
+    construction and immune to file-mtime drift), else the classic
+    commitInfo.timestamp."""
+    if not info:
+        return None
+    if info.get("inCommitTimestamp") is not None:
+        return int(info["inCommitTimestamp"])
+    if info.get("timestamp") is not None:
+        return int(info["timestamp"])
+    return None
+
+
 def delta_version_at(table: str, timestamp_ms: int) -> int:
     """``timestampAsOf`` resolution (delta-spark semantics): the greatest
     RETAINED version whose commit timestamp is ≤ ``timestamp_ms``. A
     commit's timestamp is its commitInfo.timestamp when recorded (our
     writer and delta-spark both record one), else the commit file's
-    mtime. A timestamp before the earliest retained commit raises —
+    mtime; a commit carrying ``inCommitTimestamp`` (the
+    in-commit-timestamps feature) resolves by IT, never the mtime the
+    feature exists to replace. A timestamp before the earliest retained
+    commit raises —
     clean_log'd history cannot be time-traveled to, exactly as in
     delta-spark; a timestamp past the newest commit resolves to it.
 
@@ -1030,9 +1051,8 @@ def delta_version_at(table: str, timestamp_ms: int) -> int:
                 line = line.strip()
                 if not line:
                     continue
-                info = json.loads(line).get("commitInfo")
-                if info is not None and info.get("timestamp") is not None:
-                    ts = int(info["timestamp"])
+                ts = _info_ts(json.loads(line).get("commitInfo"))
+                if ts is not None:
                     break
         if ts is None:
             ts = int(os.path.getmtime(path) * 1000)
@@ -1548,7 +1568,7 @@ def delta_history(table: str) -> list[dict]:
         out.append(
             {
                 "version": v,
-                "timestamp": info.get("timestamp"),
+                "timestamp": _info_ts(info),
                 "operation": info.get("operation"),
                 "operationParameters": info.get("operationParameters") or {},
                 "n_adds": n_adds,
@@ -1557,6 +1577,28 @@ def delta_history(table: str) -> list[dict]:
             }
         )
     return out[::-1]
+
+
+def _prev_in_commit_ts(table: str, version: int) -> int | None:
+    """The inCommitTimestamp of the newest retained JSON commit below
+    ``version``, or None when there is none (feature not active, or
+    history checkpointed away — delta tolerates the chain restarting
+    from the wall clock after retention)."""
+    prev = max(
+        (v for v, _p in _log_entries(table) if v < version), default=None
+    )
+    if prev is None:
+        return None
+    with open(os.path.join(table, _LOG, f"{prev:020d}.json")) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            info = json.loads(line).get("commitInfo")
+            if info is not None:
+                ict = info.get("inCommitTimestamp")
+                return int(ict) if ict is not None else None
+    return None
 
 
 def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
@@ -1570,6 +1612,22 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
     import uuid as _uuid
 
     log_path = os.path.join(table, _LOG, f"{version:020d}.json")
+    # in-commit timestamps (the inCommitTimestamp table feature): once
+    # the PRECEDING retained commit carries one, every later commit
+    # must too, monotonically — patch our commitInfo with
+    # max(now, prev + 1) before publishing. One small file read at the
+    # single choke point every commit writer already goes through.
+    prev_ict = _prev_in_commit_ts(table, version)
+    if prev_ict is not None:
+        import time as _time
+
+        for a in actions:
+            info = a.get("commitInfo")
+            if info is not None:
+                info["inCommitTimestamp"] = max(
+                    int(_time.time() * 1000), prev_ict + 1
+                )
+                break
     tmp_log = os.path.join(table, _LOG, f".tmp_{_uuid.uuid4().hex}.json")
     with open(tmp_log, "w") as f:
         for a in actions:

@@ -3963,6 +3963,77 @@ class TestDomainMetadata:
             vacuum_delta(t, min_file_age_seconds=0)
 
 
+class TestInCommitTimestamps:
+    """inCommitTimestamp (the in-commit-timestamps table feature):
+    timestamp resolution prefers it over commitInfo.timestamp and file
+    mtimes everywhere (history, timestampAsOf, streaming
+    startingTimestamp all share the same readers), and once the chain
+    starts, every commit this engine publishes continues it
+    monotonically — even when the wall clock is BEHIND the previous
+    commit's stamp."""
+
+    _FAR = 4_102_444_800_000  # ~year 2100, safely past any test clock
+
+    def _mk_ict(self, spark, t):
+        from marketdb_spark.sources.deltalog import write_delta
+
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["inCommitTimestamp"],
+            }}) + "\n")
+            f.write(json.dumps({"commitInfo": {
+                "operation": "SET TBLPROPERTIES", "timestamp": 1000,
+                "inCommitTimestamp": self._FAR,
+            }}) + "\n")
+
+    def test_resolution_and_monotone_continuation(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            delta_version_at,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk_ict(spark, t)
+        # the ict feature is a granted writer feature: appends work,
+        # and the new commit's stamp is prev+1 (clock is behind FAR)
+        write_delta(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+        hist = delta_history(t)
+        assert hist[0]["timestamp"] == self._FAR + 1
+        assert hist[1]["timestamp"] == self._FAR
+        # DML commits continue the chain through the same choke point
+        delete_delta(spark, t, "k = 1")
+        assert delta_history(t)[0]["timestamp"] == self._FAR + 2
+        # timestampAsOf resolves by ict, never mtime (files were written
+        # 'now', decades before FAR)
+        assert delta_version_at(t, self._FAR) == 1
+        assert delta_version_at(t, self._FAR + 1) == 2
+        assert delta_version_at(t, self._FAR + 9) == 3
+        assert read_delta(spark, t).count() == 1
+
+    def test_classic_tables_unaffected(self, spark, tmp_path):
+        """Without the feature, commits carry no inCommitTimestamp and
+        resolution keeps the classic commitInfo.timestamp path."""
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        write_delta(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as f:
+            infos = [
+                json.loads(l)["commitInfo"] for l in f if "commitInfo" in l
+            ]
+        assert infos and "inCommitTimestamp" not in infos[0]
+        assert all(h["timestamp"] is not None for h in delta_history(t))
+
+
 class TestDeltaTimestampNtz:
     """timestampNtz table feature: create-time protocol emission,
     round trip, the feature-blind-writer guard, and the streaming leg
