@@ -265,10 +265,36 @@ _DRIVER_CHECKED_R10 = frozenset({
     "win_topk_orders_per_customer",
 })
 
+# Round-11 window (CORRECTNESS_r11.json): all 50 green — including all five
+# queries added in round 11 (store_delta_colmap_id, store_delta_zorder,
+# store_delta_ntz, store_delta_dv_scan, store_delta_v2ckpt) plus
+# re-attestations of the stalest r3-r4 rows (sim_*, mm_*, scalar_*, set_*
+# families).
+_DRIVER_CHECKED_R11 = frozenset({
+    "dedup_canonical_docs", "dedup_cluster_docs", "dedup_contamination",
+    "dedup_embedding_pairs", "dedup_simhash", "dedup_verified_pairs",
+    "embed_random_projection", "json_props_extract", "mm_audio_meta",
+    "mm_decode_features", "mm_meta_stats", "pipeline_clean_corpus",
+    "pivot_status_by_flag", "q04_order_priority", "scalar_array_map_funcs",
+    "scalar_bitwise_funcs", "scalar_datetime_funcs", "scalar_hash_funcs",
+    "scalar_math_conditional", "scalar_string_funcs", "set_dropdup_events",
+    "set_except_all_keys", "set_except_keys", "set_intersect_all_keys",
+    "sim_bucket_topk", "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_buckets",
+    "sim_norm_stats", "sort_global_topk", "stats_moments",
+    "store_delta_colmap_id", "store_delta_dv_scan", "store_delta_ntz",
+    "store_delta_v2ckpt", "store_delta_zorder", "stream_asof_enrich",
+    "stream_dedup_union", "stream_interval_join", "stream_ohlc_bars",
+    "stream_session_windows", "stream_tumbling_hourly",
+    "text_bigram_counts", "ts_autocorr_lag1", "ts_ewma",
+    "ts_resample_ffill", "ts_zscore_outliers", "udaf_weighted_avg_price",
+    "udtf_text_parts", "win_range_frame",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
     | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09 | _DRIVER_CHECKED_R10
+    | _DRIVER_CHECKED_R11
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
@@ -299,6 +325,7 @@ _ROUND_WINDOWS = (
     _DRIVER_CHECKED_R01_R02, _DRIVER_CHECKED_R03, _DRIVER_CHECKED_R04,
     _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
     _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09, _DRIVER_CHECKED_R10,
+    _DRIVER_CHECKED_R11,
 )
 
 
