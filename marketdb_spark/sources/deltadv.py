@@ -24,15 +24,19 @@ implemented independently here and cross-validated by round-trip tests:
    authoritatively truncates after decoding (delta's Base85 codec
    convention — decode takes the expected output length).
 
-SCOPE (documented, loud): inline ("i") deletion vectors decode; on-disk
-("u"/"p") DVs still raise by name — their content shares this exact
-format, but validating the file wrapper (version byte, big-endian
-length + CRC-32 frame) against a real Databricks-written artifact is
-not possible in this environment, and wrong rows are worse than a loud
-error. The encoder here exists so the decoder is testable end-to-end
-through the real reader: tests round-trip descriptors written by this
-module through ``read_delta`` and compare against predicate-equivalent
-oracles.
+SCOPE: all three storage types decode — inline ("i"), and the on-disk
+variants ("u" relative / "p" absolute) through the file storage format
+PROTOCOL.md specifies in the same "Deletion Vectors" section (a
+format-version byte, then per DV a big-endian dataSize, the
+MAGIC+roaring payload, and a big-endian CRC-32 of the payload; "u"
+paths derive from ``<prefix><Z85-of-UUID>`` →
+``<table>/<prefix>/deletion_vector_<uuid>.bin``). Every framing field
+is verified and a mismatch raises by name — wrong rows are worse than
+a loud error. The encoders here (inline descriptor + multi-frame DV
+file) exist so the decoders are testable end-to-end through the real
+reader: tests round-trip descriptors written by this module through
+``read_delta`` and compare against predicate-equivalent oracles, and
+corrupt version/size/CRC fixtures pin each guard.
 
 Reference anchor: this replaces the r7-r10 blanket raise at
 deltalog._see_add for the inline case; the reference system has no
@@ -246,30 +250,132 @@ def encode_inline_dv(rows) -> dict:
     }
 
 
-def decode_dv(desc: dict, table: str, path: str) -> list[int]:
-    """Deleted row indexes for one add action's descriptor. Inline
-    only; on-disk DVs raise by name (module docstring: the wrapper
-    framing is unvalidated against a real artifact — no guessing)."""
+# -- on-disk DV files (PROTOCOL.md "Deletion Vector File Storage Format") --
+#
+# A DV FILE starts with a single format-version byte (currently 1),
+# followed by one frame per stored deletion vector:
+#   <dataSize: 4-byte BIG-endian int32>
+#   <data: dataSize bytes — the same MAGIC + 64-bit portable roaring
+#    blob the inline encoding carries>
+#   <checksum: 4-byte BIG-endian CRC-32 of data>
+# The descriptor's ``offset`` points at a frame's dataSize field and
+# ``sizeInBytes`` must equal that dataSize. storageType "u" derives the
+# file path RELATIVE to the table root — pathOrInlineDv is
+# ``<random prefix (optional)><20-char Z85 of the 16-byte UUID>`` and
+# the file is ``<table>/<prefix>/deletion_vector_<uuid>.bin``;
+# storageType "p" carries an absolute path. Every framing field is
+# verified (version byte, size match, CRC) — a mismatch raises by name,
+# never a silently-wrong row set.
+
+DV_FILE_FORMAT_VERSION = 1
+
+
+def dv_file_path(desc: dict, table: str) -> str:
+    """Absolute path of the DV file an on-disk ('u'/'p') descriptor
+    references."""
     st = desc.get("storageType")
-    if st != "i":
+    raw = desc.get("pathOrInlineDv") or ""
+    if st == "p":
+        return raw[len("file:"):] if raw.startswith("file:") else raw
+    if st != "u":
+        raise ValueError(f"not an on-disk deletion vector: {st!r}")
+    if len(raw) < 20:
+        raise ValueError(
+            f"storageType 'u' pathOrInlineDv {raw!r} is shorter than a "
+            f"Z85-encoded UUID (20 chars)"
+        )
+    prefix, enc = raw[:-20], raw[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    return (
+        os.path.join(table, prefix, name)
+        if prefix
+        else os.path.join(table, name)
+    )
+
+
+def _read_dv_frame(
+    full: str, offset: int, size: int, table: str, path: str
+) -> bytes:
+    """One verified DV frame from an on-disk DV file: format-version
+    byte, big-endian size (must equal the descriptor's sizeInBytes),
+    payload, big-endian CRC-32."""
+    import zlib
+
+    where = f"deletion vector file {full} (for {path} in {table})"
+    try:
+        f = open(full, "rb")
+    except FileNotFoundError:
+        raise ValueError(f"{where}: file does not exist") from None
+    with f:
+        head = f.read(1)
+        if not head or head[0] != DV_FILE_FORMAT_VERSION:
+            raise ValueError(
+                f"{where}: format version "
+                f"{head[0] if head else '<empty>'} (expected "
+                f"{DV_FILE_FORMAT_VERSION})"
+            )
+        f.seek(offset)
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            raise ValueError(f"{where}: truncated at frame header")
+        data_size = int.from_bytes(hdr, "big")
+        if data_size != size:
+            raise ValueError(
+                f"{where}: frame dataSize {data_size} != descriptor "
+                f"sizeInBytes {size}"
+            )
+        data = f.read(data_size)
+        if len(data) < data_size:
+            raise ValueError(f"{where}: truncated frame payload")
+        crc_raw = f.read(4)
+        if len(crc_raw) < 4:
+            raise ValueError(f"{where}: truncated frame checksum")
+        crc = int.from_bytes(crc_raw, "big")
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(
+                f"{where}: CRC-32 mismatch (stored {crc}, computed "
+                f"{zlib.crc32(data) & 0xFFFFFFFF})"
+            )
+    return data
+
+
+def decode_dv(desc: dict, table: str, path: str) -> list[int]:
+    """Deleted row indexes for one add action's descriptor — all three
+    storage types: inline ('i', Z85 payload in the descriptor itself),
+    'u' (UUID-named DV file relative to the table root) and 'p'
+    (absolute-path DV file), the latter two through the verified file
+    framing above."""
+    st = desc.get("storageType")
+    if st in ("u", "p"):
+        offset = desc.get("offset")
+        raw = _read_dv_frame(
+            dv_file_path(desc, table),
+            int(offset) if offset is not None else 1,
+            int(desc["sizeInBytes"]),
+            table,
+            path,
+        )
+    elif st == "i":
+        raw = z85_decode(desc["pathOrInlineDv"])
+        size = int(desc.get("sizeInBytes") or len(raw))
+        if size > len(raw):
+            raise ValueError(
+                f"inline deletion vector for {path} in {table}: "
+                f"sizeInBytes {size} exceeds decoded payload {len(raw)}"
+            )
+        raw = raw[:size]
+    else:
         raise ValueError(
             f"add action for {path} in {table} carries a deletion vector "
-            f"with storageType {st!r}; only INLINE ('i') deletion "
-            f"vectors are decoded (on-disk DV file framing is out of "
-            f"validated scope — refusing to guess)"
+            f"with unknown storageType {st!r} (known: 'i' inline, 'u' "
+            f"relative file, 'p' absolute file)"
         )
-    raw = z85_decode(desc["pathOrInlineDv"])
-    size = int(desc.get("sizeInBytes") or len(raw))
-    if size > len(raw):
-        raise ValueError(
-            f"inline deletion vector for {path} in {table}: sizeInBytes "
-            f"{size} exceeds decoded payload {len(raw)}"
-        )
-    rows = deserialize_dv(raw[:size])
+    rows = deserialize_dv(raw)
     card = desc.get("cardinality")
     if card is not None and int(card) != len(rows):
         raise ValueError(
-            f"inline deletion vector for {path} in {table}: cardinality "
+            f"deletion vector for {path} in {table}: cardinality "
             f"{card} != decoded {len(rows)} rows"
         )
     return rows
@@ -278,18 +384,22 @@ def decode_dv(desc: dict, table: str, path: str) -> list[int]:
 # -- protocol-correct fixture writer ----------------------------------------
 
 
-def commit_inline_dv(table: str, rel_path: str, rows) -> int:
-    """Commit an inline deletion vector against one live file — the
-    round-trip half of the decoder's validation: remove(path) +
-    add(path, deletionVector=…) in one commit, with the protocol
-    upgraded to v3/v7 declaring the deletionVectors feature, exactly
-    the action sequence delta-spark's DELETE-with-DV writes.
+def _commit_dv(table: str, descs: dict) -> int:
+    """Publish one DELETE commit carrying a deletion-vector descriptor
+    per live file (``descs``: rel_path → descriptor): remove(path) +
+    add(path, deletionVector=…) pairs, protocol upgraded to v3/v7
+    declaring deletionVectors — exactly the action sequence
+    delta-spark's DELETE-with-DV writes.
 
-    Fixture scope, documented: refuses column-mapped and CDF tables
-    (their features would need to join the emitted lists), and — like
-    any foreign DV writer — leaves a table OUR writer gate then refuses
-    to modify (deletionVectors is not a supported writer feature).
-    Returns the committed version."""
+    Fixture scope, documented: refuses column-mapped tables (their
+    feature would need to join the emitted lists and the physical-name
+    bookkeeping is out of scope), and — like any foreign DV writer —
+    leaves a table OUR writer gate then refuses to modify
+    (deletionVectors is not a supported writer feature). CDF tables ARE
+    accepted — the commit deliberately records NO cdc files, the exact
+    foreign shape read_change_feed's DV gate must catch — with
+    changeDataFeed joining the emitted writerFeatures as delta-spark
+    would. Returns the committed version."""
     from marketdb_spark.sources.deltalog import (
         _LOG,
         _commit_info,
@@ -301,50 +411,56 @@ def commit_inline_dv(table: str, rel_path: str, rows) -> int:
     snap = _replay(table, None)
     if _mapping_mode(snap.config, table) != "none":
         raise ValueError(
-            "commit_inline_dv: column-mapped tables are out of this "
-            "fixture writer's scope"
-        )
-    if str(snap.config.get("delta.enableChangeDataFeed", "")).lower() == "true":
-        raise ValueError(
-            "commit_inline_dv: CDF tables are out of this fixture "
+            "commit_dv: column-mapped tables are out of this fixture "
             "writer's scope"
         )
-    if rel_path not in snap.live:
-        raise ValueError(f"{rel_path} is not a live file of {table}")
-    desc = encode_inline_dv(rows)
-    desc["uniqueId"] = f"i{_uuid.uuid4().hex}"
-    pvals = snap.live[rel_path]
+    cdf_on = (
+        str(snap.config.get("delta.enableChangeDataFeed", "")).lower()
+        == "true"
+    )
+    for rel_path in descs:
+        if rel_path not in snap.live:
+            raise ValueError(f"{rel_path} is not a live file of {table}")
     now = int(time.time() * 1000)
-    full = os.path.join(table, rel_path)
-    actions = [
-        _commit_info("DELETE", {"deletionVector": "inline"}),
+    actions: list[dict] = [
+        _commit_info("DELETE", {"deletionVector": "true"}),
         {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
-        },
-        {
-            "remove": {
-                "path": rel_path,
-                "deletionTimestamp": now,
-                "dataChange": True,
-                "partitionValues": pvals,
-            }
-        },
-        {
-            "add": {
-                "path": rel_path,
-                "partitionValues": pvals,
-                "size": os.path.getsize(full),
-                "modificationTime": now,
-                "dataChange": True,
-                "deletionVector": desc,
+                "writerFeatures": (
+                    ["changeDataFeed", "deletionVectors"]
+                    if cdf_on
+                    else ["deletionVectors"]
+                ),
             }
         },
     ]
+    for rel_path, desc in descs.items():
+        pvals = snap.live[rel_path]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel_path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel_path,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(table, rel_path)),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            }
+        )
     version = max(
         [
             int(n.split(".")[0])
@@ -356,3 +472,63 @@ def commit_inline_dv(table: str, rel_path: str, rows) -> int:
     while not _publish_commit(table, version, actions):
         version += 1
     return version
+
+
+def commit_inline_dv(table: str, rel_path: str, rows) -> int:
+    """Commit an INLINE deletion vector against one live file — the
+    round-trip half of the inline decoder's validation. Scope and
+    action shape: see _commit_dv."""
+    return _commit_dv(table, {rel_path: encode_inline_dv(rows)})
+
+
+def write_dv_file(
+    table: str, rel_rows: dict, prefix: str = "ab", absolute: bool = False
+) -> dict:
+    """Write ONE on-disk deletion-vector FILE holding a frame per entry
+    of ``rel_rows`` (rel_path → row positions), per the protocol's file
+    storage format: a format-version byte, then per DV a big-endian
+    dataSize, the MAGIC+roaring payload, and a big-endian CRC-32.
+    Returns rel_path → descriptor (storageType 'u' with the
+    Z85-of-UUID + prefix path encoding, or 'p' with the absolute path
+    when ``absolute``). The multi-frame layout is exactly how
+    delta-spark packs several files' DVs of one DELETE into one
+    ``deletion_vector_<uuid>.bin``."""
+    import zlib
+
+    u = _uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    dirp = os.path.join(table, prefix) if prefix else table
+    os.makedirs(dirp, exist_ok=True)
+    full = os.path.join(dirp, name)
+    buf = bytearray([DV_FILE_FORMAT_VERSION])
+    descs: dict = {}
+    for rel_path, rows in rel_rows.items():
+        data = serialize_dv(rows)
+        offset = len(buf)
+        buf += len(data).to_bytes(4, "big")
+        buf += data
+        buf += (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+        descs[rel_path] = {
+            "storageType": "p" if absolute else "u",
+            "pathOrInlineDv": (
+                full if absolute else prefix + z85_encode(u.bytes)
+            ),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(set(int(r) for r in rows)),
+        }
+    with open(full, "wb") as f:
+        f.write(buf)
+    return descs
+
+
+def commit_ondisk_dv(
+    table: str, rel_rows: dict, prefix: str = "ab", absolute: bool = False
+) -> int:
+    """Commit ON-DISK ('u', or 'p' when ``absolute``) deletion vectors
+    against live files — one shared DV file, one frame per entry of
+    ``rel_rows`` (rel_path → row positions). Scope and action shape:
+    see _commit_dv."""
+    return _commit_dv(
+        table, write_dv_file(table, rel_rows, prefix, absolute)
+    )

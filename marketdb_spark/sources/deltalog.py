@@ -143,13 +143,15 @@ def _checkpoints(table: str) -> dict[int, list[str]]:
             f"unsupported checkpoint layout {sorted(unsupported)} "
             f"(classic, multi-part and v2/UUID layouts are readable)"
         )
-    for v, cands in v2.items():
-        out.setdefault(v, [max(cands)])
+    # classic (single- or complete multi-part) wins over v2/UUID at the
+    # same version — no sidecar hop — so multi-part sets resolve FIRST
     for (v, total), parts in multi.items():
         if set(parts) == set(range(1, total + 1)):
             # a single-part checkpoint at the same version is equivalent
             # (both fully describe the snapshot); keep whichever came
             out.setdefault(v, [parts[i] for i in range(1, total + 1)])
+    for v, cands in v2.items():
+        out.setdefault(v, [max(cands)])
     return out
 
 
@@ -237,8 +239,8 @@ class _Snapshot(_t.NamedTuple):
     LOGICAL partition-column names (metaData.partitionColumns); with
     column mapping active, ``live``'s partitionValues are keyed by
     PHYSICAL names per the protocol's column-mapping rules. ``dvs``
-    maps the subset of live paths that carry an INLINE deletion vector
-    to its descriptor (on-disk DVs raise during replay)."""
+    maps the subset of live paths that carry a deletion vector (inline
+    or on-disk) to its descriptor; decode happens at scan time."""
 
     schema_json: str
     part_cols: list
@@ -254,10 +256,10 @@ class _Snapshot(_t.NamedTuple):
 # (_v2_checkpoint_rows) but deliberately absent from
 # _SUPPORTED_WRITER_FEATURES: a writer on a v2Checkpoint table is
 # obliged to maintain v2 checkpoints, which this engine does not write.
-# deletionVectors is READ-supported for INLINE descriptors only
-# (sources/deltadv.py; on-disk 'u'/'p' DVs raise per-add at scan time)
-# and likewise write-ungranted. Anything else stays a loud error —
-# wrong rows are worse.
+# deletionVectors is READ-supported for all three storage types —
+# inline 'i' plus the on-disk 'u'/'p' file framing (sources/deltadv.py,
+# every framing field verified) — but write-ungranted. Anything else
+# stays a loud error — wrong rows are worse.
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "v2Checkpoint",
@@ -469,8 +471,10 @@ def _enforce_write_obligations(
     """Enforce the table's CHECK constraints and column invariants on a
     LOGICAL-schema batch about to be written — the delta writer-v2/v3
     obligation (delta-spark's InvariantViolationException): a row
-    violates when the expression evaluates to FALSE (NULL satisfies,
-    standard SQL CHECK semantics). One extra pass over the batch, only
+    violates unless the expression evaluates to TRUE — NULL is a
+    violation too, matching delta-spark's CheckDeltaInvariant and the
+    PROTOCOL.md requirement that the expression "evaluate to true",
+    stricter than standard SQL CHECK. One extra pass over the batch, only
     on tables that declare obligations; delta-spark fuses the check
     into the write projection — same cost class, kept separate here
     for clarity. Raises naming the constraint and one violating row."""
@@ -483,7 +487,8 @@ def _enforce_write_obligations(
     ]
     viol_any = None
     for i in range(len(obligations)):
-        this = F.col(f"__ob{i}") == F.lit(False)
+        # NULL or FALSE both violate (must be TRUE per PROTOCOL.md)
+        this = ~F.col(f"__ob{i}").eqNullSafe(F.lit(True))
         viol_any = this if viol_any is None else (viol_any | this)
     bad = (
         df.select(*df.columns, *flags).filter(viol_any).limit(1).collect()
@@ -493,7 +498,7 @@ def _enforce_write_obligations(
         broken = [
             f"{lbl} ({expr!r})"
             for i, (lbl, expr) in enumerate(obligations)
-            if row[f"__ob{i}"] is False
+            if row[f"__ob{i}"] is not True
         ]
         vals = {c: row[c] for c in df.columns}
         raise ValueError(
@@ -554,6 +559,56 @@ def _field_id(field: T.StructField) -> int:
     return int(fid)
 
 
+def _schema_field_ids(fields) -> set[int]:
+    """Every delta.columnMapping.id carried by ``fields`` — ALL nesting
+    levels, since nested struct fields have ids of their own and must
+    resolve by id exactly like top-level columns (array element / map
+    key+value types are not StructFields and carry no ids)."""
+    out: set[int] = set()
+
+    def _walk(dt: T.DataType) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                out.add(_field_id(f))
+                _walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            _walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            _walk(dt.keyType)
+            _walk(dt.valueType)
+
+    for f in fields:
+        out.add(_field_id(f))
+        _walk(f.dataType)
+    return out
+
+
+def _arrow_field_ids(schema) -> set[int]:
+    """Every PARQUET:field_id in an arrow/parquet footer schema, all
+    nesting levels (struct children, list value fields, map key/item)."""
+    import pyarrow as pa
+
+    out: set[int] = set()
+
+    def _walk(field) -> None:
+        fid = (field.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out.add(int(fid))
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                _walk(t.field(i))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            _walk(t.value_field)
+        elif pa.types.is_map(t):
+            _walk(t.key_field)
+            _walk(t.item_field)
+
+    for f in schema:
+        _walk(f)
+    return out
+
+
 # id-mode file footers already verified to carry field ids, keyed by
 # (path, size, mtime_ns) — delta data files are immutable once committed
 # (new content ⇒ new path), the stat key catches in-place corruption too
@@ -562,15 +617,15 @@ _FID_VERIFIED: set[tuple] = set()
 
 def _require_field_ids(table: str, rels, required: set[int]) -> None:
     """Preflight id-mode data files: every footer must carry each field
-    id the read schema will ask for (``required`` — the TOP-LEVEL data
-    columns' delta.columnMapping.ids; extra non-table columns like the
-    CDF stager's _change_type legitimately have none and resolve by
-    name). Spark's field-id matcher errors on flat schemas but
-    NULL-FILLS nested ones when a file lacks ids (observed on 4.x) —
-    silently wrong rows, so we verify footers ourselves. Driver-side,
-    one pyarrow footer read (~ms) per file, cached for the process
-    lifetime; a real deployment would fold this into the stats/skipping
-    footer pass."""
+    id the read schema will ask for (``required`` — the data columns'
+    delta.columnMapping.ids at EVERY nesting level; extra non-table
+    columns like the CDF stager's _change_type legitimately have none
+    and resolve by name). Spark's field-id matcher errors on flat
+    schemas but NULL-FILLS nested ones when a file lacks ids (observed
+    on 4.x) — silently wrong rows, so we verify footers ourselves,
+    nested fields included. Driver-side, one pyarrow footer read (~ms)
+    per file, cached for the process lifetime; a real deployment would
+    fold this into the stats/skipping footer pass."""
     import pyarrow.parquet as pq
 
     for rel in rels:
@@ -579,12 +634,7 @@ def _require_field_ids(table: str, rels, required: set[int]) -> None:
         key = (full, st.st_size, st.st_mtime_ns)
         if key in _FID_VERIFIED:
             continue
-        present = {
-            int(fid)
-            for f in pq.read_schema(full)
-            for fid in [(f.metadata or {}).get(b"PARQUET:field_id")]
-            if fid is not None
-        }
+        present = _arrow_field_ids(pq.read_schema(full))
         missing = sorted(required - present)
         if missing:
             raise ValueError(
@@ -779,9 +829,9 @@ def _replay(table: str, version: int | None) -> _Snapshot:
         path = _decode_path(a["path"])
         dv = a.get("deletionVector")
         if dv:
-            # INLINE DVs decode (sources/deltadv.py); on-disk DVs raise
-            # by name at scan time — record the descriptor either way so
-            # the file is never read as a full file
+            # DVs (inline AND on-disk) decode at scan time
+            # (sources/deltadv.py) — record the descriptor so the file
+            # is never read as a full file
             dv = dict(dv) if isinstance(dv, list) else dv
             dvs[path] = dv
         else:
@@ -923,9 +973,11 @@ def delta_features(table: str) -> dict:
     scope (module docstring): a minReaderVersion above 3, any declared
     readerFeature not in _SUPPORTED_READER_FEATURES,
     a deletion-vector flag in the table configuration (PARTIAL support:
-    inline DVs batch-read via sources/deltadv.py, but on-disk DVs, the
-    streaming legs, and every write path refuse — so the table is not
-    fully consumable and the flag stays listed), and unreadable
+    batch reads decode all three DV storage types and the streaming
+    snapshot legs apply them (sources/deltadv.py), but a TAILED commit
+    adding a DV-carrying file raises — its row-level change needs a DV
+    diff — and checkpoint/OPTIMIZE refuse; so the table is not fully
+    consumable and the flag stays listed), and unreadable
     checkpoint layouts. Column mapping (name AND id modes) and v2/UUID
     checkpoints are supported and not listed. Empty list ⇒ the batch
     reader and deltastream source can consume the table."""
@@ -1148,7 +1200,9 @@ def _scan_files(
         _require_field_ids(
             table,
             files,
-            {_field_id(f) for f in schema.fields if f.name not in part_cols},
+            _schema_field_ids(
+                [f for f in schema.fields if f.name not in part_cols]
+            ),
         )
     if mapped:
         # name mode: data files store columns under the per-field
@@ -1199,9 +1253,13 @@ def _scan_files(
         applied: files WITHOUT a DV read as one multi-path scan; each
         DV-carrying file reads with its per-file parquet row position
         (`_metadata.row_index`, delta-spark's own DV filter column) and
-        anti-joins the decoded deleted positions (broadcast — inline
-        DVs are small by construction; a file-DV deployment would ship
-        the bitmap bytes to executors instead)."""
+        anti-joins the decoded deleted positions — broadcast, built
+        through Arrow (a DV is bounded by its file's row count, and the
+        bitmap bytes are read once driver-side; a 1000-executor
+        deployment would ship descriptors and decode executor-side,
+        same plan shape)."""
+        import pandas as _pd
+
         from marketdb_spark.sources.deltadv import decode_dv
 
         plain = [os.path.join(table, r) for r in rels if r not in dvs]
@@ -1214,6 +1272,13 @@ def _scan_files(
             if rel not in dvs:
                 continue
             positions = decode_dv(dvs[rel], table, rel)
+            if not positions:  # cardinality-0 DV: the file reads whole
+                grp.append(
+                    spark.read.schema(data_schema)
+                    .parquet(os.path.join(table, rel))
+                    .select(renames)
+                )
+                continue
             df = (
                 spark.read.schema(data_schema)
                 .parquet(os.path.join(table, rel))
@@ -1223,7 +1288,7 @@ def _scan_files(
                 )
             )
             pos_df = spark.createDataFrame(
-                [(int(i),) for i in positions], "__dv_ri long"
+                _pd.DataFrame({"__dv_ri": _pd.array(positions, dtype="int64")})
             )
             grp.append(
                 df.join(F.broadcast(pos_df), "__dv_ri", "left_anti").drop(
@@ -1323,11 +1388,17 @@ def read_change_feed(
     stamps = {
         r["version"]: r["timestamp"] for r in delta_history(table)
     }
+    # Historical commits must be read as they were THEN: the to_version
+    # snapshot's deletion vectors never apply to earlier versions'
+    # files, so the derivation scans below get a DV-stripped snapshot
+    # (cdc files are standalone — DV descriptors never attach to them).
+    snap_nodv = snap._replace(dvs={})
     out: DataFrame | None = None
     for v in range(from_version, to_version + 1):
         cdcs: dict[str, dict] = {}
         adds: dict[str, dict] = {}
         removed: dict[str, dict] = {}
+        dv_carriers: list[str] = []
         with open(entries[v]) as f:
             for line in f:
                 line = line.strip()
@@ -1342,12 +1413,16 @@ def read_change_feed(
                 elif "add" in action:
                     a = action["add"]
                     if a.get("dataChange") is not False:
+                        if a.get("deletionVector"):
+                            dv_carriers.append(_decode_path(a["path"]))
                         adds[_decode_path(a["path"])] = (
                             a.get("partitionValues") or {}
                         )
                 elif "remove" in action:
                     r = action["remove"]
                     if r.get("dataChange") is not False:
+                        if r.get("deletionVector"):
+                            dv_carriers.append(_decode_path(r["path"]))
                         removed[_decode_path(r["path"])] = (
                             r.get("partitionValues") or {}
                         )
@@ -1358,6 +1433,18 @@ def read_change_feed(
                 spark, table, snap, cdcs, extra_fields=[_CHANGE_TYPE]
             )
         elif adds or removed:
+            # a DV-carrying add/remove is a ROW-LEVEL change (file minus
+            # vector); deriving its insert/delete rows needs a DV diff
+            # against the prior version — raise by name rather than
+            # emit whole-file changes (mirrors the streaming CDF gate,
+            # streaming/deltasource.py)
+            if dv_carriers:
+                raise ValueError(
+                    f"cannot derive changes for version {v} of {table}: "
+                    f"actions on {sorted(set(dv_carriers))} carry "
+                    f"deletion vectors and the commit recorded no cdc "
+                    f"files (row-level changes need a DV diff)"
+                )
             # derivation reads the action files themselves — adds whose
             # files a LATER overwrite+vacuum reclaimed are just as gone
             # as vacuumed removes; raise by name, never under-report
@@ -1375,15 +1462,15 @@ def read_change_feed(
             pieces = []
             if adds:
                 pieces.append(
-                    _scan_files(spark, table, snap, adds).withColumn(
+                    _scan_files(spark, table, snap_nodv, adds).withColumn(
                         "_change_type", F.lit("insert")
                     )
                 )
             if removed:
                 pieces.append(
-                    _scan_files(spark, table, snap, removed).withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+                    _scan_files(
+                        spark, table, snap_nodv, removed
+                    ).withColumn("_change_type", F.lit("delete"))
                 )
             part = pieces[0]
             for p in pieces[1:]:
@@ -1579,26 +1666,46 @@ def delta_history(table: str) -> list[dict]:
     return out[::-1]
 
 
-def _prev_in_commit_ts(table: str, version: int) -> int | None:
-    """The inCommitTimestamp of the newest retained JSON commit below
-    ``version``, or None when there is none (feature not active, or
-    history checkpointed away — delta tolerates the chain restarting
-    from the wall clock after retention)."""
+def _ict_state(table: str, version: int) -> tuple[bool, int | None]:
+    """Whether the in-commit-timestamp chain is ACTIVE for the commit
+    about to be published at ``version``, plus the newest retained prior
+    stamp (None when no prior stamp survives — the chain restarts from
+    the wall clock, which delta tolerates after log retention).
+
+    Gate order: the newest retained JSON commit's stamp decides on the
+    cheap common path; when NO prior JSON commit is retained
+    (write_checkpoint + clean_log removed them all), the CHECKPOINTED
+    table state decides — ``delta.enableInCommitTimestamps`` or the
+    ``inCommitTimestamp`` writer feature — so the feature's writer
+    obligation ("every commit after enablement carries a stamp")
+    survives log cleanup instead of silently lapsing."""
     prev = max(
         (v for v, _p in _log_entries(table) if v < version), default=None
     )
-    if prev is None:
-        return None
-    with open(os.path.join(table, _LOG, f"{prev:020d}.json")) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            info = json.loads(line).get("commitInfo")
-            if info is not None:
-                ict = info.get("inCommitTimestamp")
-                return int(ict) if ict is not None else None
-    return None
+    if prev is not None:
+        with open(os.path.join(table, _LOG, f"{prev:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                info = json.loads(line).get("commitInfo")
+                if info is not None:
+                    ict = info.get("inCommitTimestamp")
+                    if ict is not None:
+                        return True, int(ict)
+                    return False, None
+        return False, None
+    if version == 0:
+        return False, None
+    try:
+        snap = _replay(table, version - 1)
+    except ValueError:
+        return False, None
+    active = (
+        snap.config.get("delta.enableInCommitTimestamps") == "true"
+        or "inCommitTimestamp" in (snap.protocol.get("writerFeatures") or ())
+    )
+    return active, None
 
 
 def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
@@ -1613,20 +1720,23 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> bool:
 
     log_path = os.path.join(table, _LOG, f"{version:020d}.json")
     # in-commit timestamps (the inCommitTimestamp table feature): once
-    # the PRECEDING retained commit carries one, every later commit
-    # must too, monotonically — patch our commitInfo with
-    # max(now, prev + 1) before publishing. One small file read at the
-    # single choke point every commit writer already goes through.
-    prev_ict = _prev_in_commit_ts(table, version)
-    if prev_ict is not None:
+    # the chain is active — preceding retained commit carries one, or
+    # the checkpointed table state declares the feature — every commit
+    # we publish continues it monotonically: max(now, prev + 1), wall
+    # clock alone when no prior stamp is retained. One small file read
+    # at the single choke point every commit writer already goes
+    # through (a log replay only on the rare all-JSON-cleaned path).
+    ict_active, prev_ict = _ict_state(table, version)
+    if ict_active:
         import time as _time
 
+        stamp = int(_time.time() * 1000)
+        if prev_ict is not None:
+            stamp = max(stamp, prev_ict + 1)
         for a in actions:
             info = a.get("commitInfo")
             if info is not None:
-                info["inCommitTimestamp"] = max(
-                    int(_time.time() * 1000), prev_ict + 1
-                )
+                info["inCommitTimestamp"] = stamp
                 break
     tmp_log = os.path.join(table, _LOG, f".tmp_{_uuid.uuid4().hex}.json")
     with open(tmp_log, "w") as f:
@@ -2667,7 +2777,9 @@ def optimize_delta(
         _require_field_ids(
             table,
             [p for paths in todo.values() for p in paths],
-            {_field_id(f) for f in schema.fields if f.name not in part_cols},
+            _schema_field_ids(
+                [f for f in schema.fields if f.name not in part_cols]
+            ),
         )
 
     # rewrite each loose partition into one file; the read-coalesce is

@@ -60,7 +60,8 @@ stream's pinned state raises instead of misreading new files with the
 old schema. Column-mapped tables stream natively in BOTH modes: data
 files and partitionValues speak physical names, the emitted schema is
 logical (mapping metadata stripped), nested struct fields are renamed
-executor-side on the Arrow buffers, and id mode resolves data columns
+executor-side on the Arrow buffers (positionally in name mode, by the
+nested PARQUET:field_id in id mode), and id mode resolves data columns
 by the file's parquet field id (PARQUET:field_id metadata).
 
 ``startingVersion`` / ``startingTimestamp`` (delta-spark parity) skip
@@ -123,6 +124,13 @@ except ImportError:  # pragma: no cover - older pyspark
 
     class InputPartition:  # type: ignore[no-redef]
         pass
+
+
+# reserved partitionValues key carrying a file's deletion-vector
+# descriptor (JSON) from the planner to read() — the same tagging
+# device the CDF reader uses (__cdf_*); readers pop it before any
+# partition-value lookup
+_DV_TAG = "__dv_descriptor"
 
 
 class DeltaFilePartition(InputPartition):
@@ -394,6 +402,95 @@ def _arrow_rename(arr, target):
     return arr
 
 
+def _arrow_resolve_by_id(arr, dt: T.DataType, table: str):
+    """Resolve NESTED struct fields by parquet field id (column-mapping
+    id mode): ``dt`` is the PINNED Delta datatype whose StructFields
+    carry delta.columnMapping.id metadata under their LOGICAL names;
+    children are matched against the arrow type's PARQUET:field_id
+    metadata — never positionally — so foreign id-mode files with
+    reordered or physically-renamed nested fields resolve correctly,
+    and a missing nested id raises by name instead of shipping a
+    misattributed column. Zero-copy re-wrap, like _arrow_rename."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if isinstance(dt, T.StructType):
+        if not pa.types.is_struct(t):
+            raise ValueError(
+                f"id-mode table {table}: expected a struct column, file "
+                f"has {t}"
+            )
+        by_id = {}
+        for i in range(t.num_fields):
+            raw = (t.field(i).metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                by_id[int(raw)] = i
+        children, names = [], []
+        for f in dt.fields:
+            fid = _field_id(f)
+            if fid not in by_id:
+                raise ValueError(
+                    f"id-mode table {table}: nested field {f.name!r} "
+                    f"(field id {fid}) carries no matching "
+                    f"PARQUET:field_id in the file's struct — file "
+                    f"written without nested field ids?"
+                )
+            children.append(
+                _arrow_resolve_by_id(arr.field(by_id[fid]), f.dataType, table)
+            )
+            names.append(f.name)
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(children, names=names, mask=mask)
+    if isinstance(dt, T.ArrayType) and (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+    ):
+        values = _arrow_resolve_by_id(arr.values, dt.elementType, table)
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        mask = arr.is_null() if arr.null_count else None
+        return cls.from_arrays(arr.offsets, values, mask=mask)
+    if isinstance(dt, T.MapType) and pa.types.is_map(t):
+        keys = _arrow_resolve_by_id(arr.keys, dt.keyType, table)
+        items = _arrow_resolve_by_id(arr.items, dt.valueType, table)
+        kf = pa.field("key", keys.type, nullable=False)
+        vf = pa.field("value", items.type, nullable=dt.valueContainsNull)
+        entries = pa.StructArray.from_arrays([keys, items], fields=[kf, vf])
+        return pa.Array.from_buffers(
+            pa.map_(kf, vf),
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[entries],
+        )
+    return arr
+
+
+def _apply_dv(tbl, dv_json: str | None, table: str, rel: str):
+    """Drop a file's deletion-vector positions from its arrow table —
+    executor-side, one boolean mask over the row count (positions are
+    file-local row indexes per the protocol). No-op without a tag."""
+    if dv_json is None:
+        return tbl
+    import numpy as np
+    import pyarrow as pa
+
+    from marketdb_spark.sources.deltadv import decode_dv
+
+    positions = decode_dv(json.loads(dv_json), table, rel)
+    if not positions:
+        return tbl
+    if positions[-1] >= tbl.num_rows:
+        raise ValueError(
+            f"deletion vector for {rel} in {table}: position "
+            f"{positions[-1]} is out of range for a {tbl.num_rows}-row "
+            f"file"
+        )
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    mask[np.asarray(positions, dtype=np.int64)] = False
+    return tbl.filter(pa.array(mask))
+
+
 def _contains_struct(dt: T.DataType) -> bool:
     if isinstance(dt, T.StructType):
         return True
@@ -431,9 +528,18 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if self.cmode == "id"
                 else {}
             )
+            # id mode keeps the PINNED datatypes (metadata carries the
+            # nested fields' delta.columnMapping.ids) so read() can
+            # resolve nested struct fields by field id, not position
+            self.pinned_dt = (
+                {f.name: f.dataType for f in pinned.fields}
+                if self.cmode == "id"
+                else {}
+            )
         else:
             self.phys_of = {}
             self.fid_of = {}
+            self.pinned_dt = {}
         self.mode = _parse_mode(options)
         self.max_files = _parse_cap(options, "maxFilesPerTrigger")
         self.max_bytes = _parse_cap(options, "maxBytesPerTrigger")
@@ -514,19 +620,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         if fl is None:
             if self._snap is not None and unit == self._snap:
                 snap = _replay(self.table, unit)
-                if getattr(snap, "dvs", None):
-                    raise ValueError(
-                        f"deltastream: the initial snapshot of "
-                        f"{self.table} carries deletion vectors; the "
-                        f"streaming source does not apply DVs — use "
-                        f"batch read_delta (which does) or start from "
-                        f"a DV-free version"
-                    )
+                # DV-carrying snapshot files are readable: the decoded
+                # positions drop executor-side in read(); the descriptor
+                # rides the partition under a reserved pvals key (the
+                # CDF reader's tagging device). Tail commits that ADD a
+                # DV-carrying file still raise in _tail_adds — that is
+                # a row-level change an append-only tail can't represent.
+                dvs = getattr(snap, "dvs", None) or {}
                 live = snap.live
                 fl = [
                     (
                         rel,
-                        pvals,
+                        (
+                            {**pvals, _DV_TAG: json.dumps(dvs[rel])}
+                            if rel in dvs
+                            else pvals
+                        ),
                         os.path.getsize(os.path.join(self.table, rel))
                         if self.max_bytes is not None
                         else 0,
@@ -653,21 +762,24 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
+        pvals = dict(partition.pvals)
+        dv_json = pvals.pop(_DV_TAG, None)
         tbl = pq.read_table(os.path.join(partition.table, partition.rel))
+        tbl = _apply_dv(tbl, dv_json, partition.table, partition.rel)
         n = tbl.num_rows
         cols, names = [], []
         for f in self.schema.fields:
             phys = self.phys_of.get(f.name, f.name)
             if (
                 f.name in self.part_cols
-                or phys in partition.pvals
-                or f.name in partition.pvals
+                or phys in pvals
+                or f.name in pvals
             ):
                 # partitionValues are keyed by PHYSICAL names under
                 # column mapping (logical otherwise) and are strings per
                 # the protocol; cast to the table-schema type through
                 # arrow
-                raw = partition.pvals.get(phys, partition.pvals.get(f.name))
+                raw = pvals.get(phys, pvals.get(f.name))
                 at = to_arrow_type(f.dataType)
                 const = pa.array([raw] * n, pa.string()).cast(at)
                 cols.append(const)
@@ -676,15 +788,21 @@ class DeltaStreamReader(DataSourceStreamReader):
                     col = _column_by_field_id(
                         tbl, self.fid_of[f.name], f.name, self.table
                     ).combine_chunks()
+                    if _contains_struct(f.dataType):
+                        # nested struct fields resolve by field id too
+                        # (matching the batch lane), never positionally
+                        col = _arrow_resolve_by_id(
+                            col, self.pinned_dt[f.name], self.table
+                        )
                 else:
                     col = tbl.column(phys).combine_chunks()
-                if self.cmode in ("name", "id") and _contains_struct(
-                    f.dataType
-                ):
-                    # nested struct fields rename POSITIONALLY (file
-                    # schema order = schemaString order for delta
-                    # writers); the batch lane resolves nested by id
-                    col = _arrow_rename(col, to_arrow_type(f.dataType))
+                    if self.cmode == "name" and _contains_struct(
+                        f.dataType
+                    ):
+                        # nested struct fields rename POSITIONALLY (file
+                        # schema order = schemaString order for delta
+                        # writers in name mode)
+                        col = _arrow_rename(col, to_arrow_type(f.dataType))
                 cols.append(col)
             names.append(f.name)
         yield from pa.table(dict(zip(names, cols))).to_batches()
@@ -822,17 +940,22 @@ class DeltaCDFStreamReader(DeltaStreamReader):
             # fresh stream: the current snapshot arrives as INSERTS
             # (delta-spark's initial CDF batch), capped like any unit
             snap = _replay(self.table, unit)
-            if getattr(snap, "dvs", None):
-                raise ValueError(
-                    f"deltacdf: the initial snapshot of {self.table} "
-                    f"carries deletion vectors; the streaming source "
-                    f"does not apply DVs — use batch read_delta"
-                )
+            # DV-carrying snapshot files read minus their deleted
+            # positions (descriptor tagged through pvals, applied in
+            # read()); DV adds in TAILED commits still raise — their
+            # row-level changes need a DV diff
+            dvs = getattr(snap, "dvs", None) or {}
             live = snap.live
             fl = [
                 (
                     rel,
-                    self._tag(pvals, "insert", unit),
+                    self._tag(
+                        {**pvals, _DV_TAG: json.dumps(dvs[rel])}
+                        if rel in dvs
+                        else pvals,
+                        "insert",
+                        unit,
+                    ),
                     os.path.getsize(os.path.join(self.table, rel))
                     if self.max_bytes is not None
                     else 0,
@@ -974,9 +1097,11 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         ctype = pvals.pop(_CDF_TAG_TYPE)
         version = pvals.pop(_CDF_TAG_VERSION)
         ts = pvals.pop(_CDF_TAG_TS)
+        dv_json = pvals.pop(_DV_TAG, None)
         tbl = pq.read_table(
             os.path.join(partition.table, partition.rel)
         )
+        tbl = _apply_dv(tbl, dv_json, partition.table, partition.rel)
         n = tbl.num_rows
         cols, names = [], []
         for f in self.schema.fields:
@@ -1010,12 +1135,18 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                         col = _column_by_field_id(
                             tbl, self.fid_of[f.name], f.name, self.table
                         ).combine_chunks()
+                        if _contains_struct(f.dataType):
+                            col = _arrow_resolve_by_id(
+                                col, self.pinned_dt[f.name], self.table
+                            )
                     else:
                         col = tbl.column(phys).combine_chunks()
-                    if self.cmode in ("name", "id") and _contains_struct(
-                        f.dataType
-                    ):
-                        col = _arrow_rename(col, to_arrow_type(f.dataType))
+                        if self.cmode == "name" and _contains_struct(
+                            f.dataType
+                        ):
+                            col = _arrow_rename(
+                                col, to_arrow_type(f.dataType)
+                            )
                     cols.append(col)
             names.append(f.name)
         yield from pa.table(dict(zip(names, cols))).to_batches()

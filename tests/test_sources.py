@@ -1757,6 +1757,32 @@ class TestDeltaLogEdges:
         [only] = _checkpoints(t)[0]
         assert only.endswith(f"{0:020d}.checkpoint.parquet")
 
+    def test_classic_checkpoint_preferred_over_v2_at_same_version(
+        self, spark, tmp_path
+    ):
+        """When a version has BOTH a complete classic layout (single- or
+        multi-part) and a v2/UUID checkpoint, the classic one is chosen
+        — no sidecar hop. Selection-only check: _checkpoints never opens
+        the files."""
+        from marketdb_spark.sources.deltalog import _checkpoints
+
+        t = str(tmp_path / "tbl")
+        log = os.path.join(t, "_delta_log")
+        os.makedirs(log)
+        u = "80a083e8-7026-4e79-81be-64bd76c43a11"
+        names = [
+            f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+            f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+            f"{3:020d}.checkpoint.{u}.json",
+            f"{5:020d}.checkpoint.parquet",
+            f"{5:020d}.checkpoint.{u}.parquet",
+        ]
+        for n in names:
+            open(os.path.join(log, n), "w").close()
+        picked = _checkpoints(t)
+        assert [os.path.basename(p) for p in picked[3]] == names[:2]
+        assert [os.path.basename(p) for p in picked[5]] == [names[3]]
+
     def test_delta_features_introspection(self, spark, tmp_path):
         """delta_features reports the unsupported-feature list WITHOUT
         raising, so users learn a table is unconsumable before starting
@@ -2419,16 +2445,48 @@ class TestDeltaColumnMapping:
         assert all(
             (f.metadata or {}).get(b"PARQUET:field_id") for f in raw
         )
-        # ids stripped: loud failure (Spark's field-id matcher), no
-        # silent null-fill
+        # NESTED ids stripped (top-level intact): the footer preflight
+        # must catch it — Spark's field-id matcher would NULL-FILL the
+        # nested struct fields instead of erroring
+        for rel in delta_live_files(t):
+            p0 = os.path.join(t, rel)
+            tb = pq.read_table(p0)
+            cols, nf = [], []
+            for i, f in enumerate(tb.schema):
+                col = tb.column(i).combine_chunks()
+                if pa.types.is_struct(f.type):
+                    kf = [
+                        pa.field(
+                            f.type.field(j).name,
+                            f.type.field(j).type,
+                            f.type.field(j).nullable,
+                        )  # metadata (the nested field id) dropped
+                        for j in range(f.type.num_fields)
+                    ]
+                    mask = col.is_null() if col.null_count else None
+                    col = pa.StructArray.from_arrays(
+                        [col.field(j) for j in range(f.type.num_fields)],
+                        fields=kf,
+                        mask=mask,
+                    )
+                    ft = col.type
+                else:
+                    ft = f.type
+                cols.append(col)
+                nf.append(pa.field(f.name, ft, f.nullable, f.metadata))
+            pq.write_table(pa.table(cols, schema=pa.schema(nf)), p0)
+        with pytest.raises(ValueError, match="field ids"):
+            read_delta(spark, t).collect()
+        # ALL ids stripped: loud failure too, no silent null-fill
         rename_all(lambda f: None)
         with pytest.raises(Exception, match="[Ff]ield [Ii]d|FIELD_ID"):
             read_delta(spark, t).collect()
 
-    def test_on_disk_dv_add_raises(self, spark, tmp_path):
-        """An add with an ON-DISK ('u'/'p') deletion vector must never
-        be read as a full file: inline DVs decode (TestDeletionVectors),
-        the file-framed variants raise by name at scan time."""
+    def test_on_disk_dv_malformed_descriptor_raises(self, spark, tmp_path):
+        """An on-disk ('u') descriptor whose pathOrInlineDv is too short
+        to hold a Z85 UUID raises by name at scan time — never a full
+        (or guessed) file read. Valid on-disk DVs decode:
+        TestDeletionVectors."""
         from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
@@ -2449,7 +2507,7 @@ class TestDeltaColumnMapping:
                     },
                 }
             }) + "\n")
-        with pytest.raises(ValueError, match="storageType 'u'"):
+        with pytest.raises(ValueError, match="Z85-encoded UUID"):
             read_delta(spark, t)
 
 
@@ -2458,6 +2516,50 @@ class TestDeltaCDF:
     _change_data files from data-removing commits, read_change_feed
     over version ranges, derivation rules for commits without cdc
     files, and the documented raises."""
+
+    def test_deletion_vector_commits_gate_the_feed(self, spark, tmp_path):
+        """A foreign inline-DV row-level delete on a CDF table: ranges
+        that EXCLUDE the DV commit derive the historical inserts as full
+        files (the to_version snapshot's DVs never filter earlier
+        versions), and ranges that INCLUDE it raise by name — deriving
+        its row-level changes needs a DV diff; emitting whole-file
+        changes would be silently wrong rows."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = (
+            spark.range(4)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k")
+        )
+        write_delta(df, t, enable_cdf=True)
+        write_delta(
+            spark.range(1).selectExpr(
+                "id + 9 AS k", "CAST(id AS STRING) AS v"
+            ),
+            t,
+        )
+        rel = max(
+            delta_live_files(t),
+            key=lambda r: os.path.getsize(os.path.join(t, r)),
+        )  # the 4-row v0 file
+        assert commit_inline_dv(t, rel, [1, 2]) == 2
+        # history below the DV commit reads as it was THEN: all 4 rows
+        # of v0 plus v1's append, no retroactive DV filtering
+        cf = read_change_feed(spark, t, 0, 1)
+        assert sorted(r.k for r in cf.collect()) == [0, 1, 2, 3, 9]
+        assert set(r._change_type for r in cf.collect()) == {"insert"}
+        # the DV commit itself cannot be derived without a DV diff
+        with pytest.raises(ValueError, match="deletion vector"):
+            read_change_feed(spark, t, 0, 2).collect()
+        with pytest.raises(ValueError, match="deletion vector"):
+            read_change_feed(spark, t, 2, 2).collect()
 
     def test_insert_append_overwrite_roundtrip(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
@@ -3822,7 +3924,7 @@ class TestDeletionVectors:
         payload); checkpointing a DV table refuses (a classic checkpoint
         row would silently drop the DV); appends refuse via the writer
         gate (deletionVectors is not a granted writer feature); the
-        streaming source refuses a DV-carrying snapshot."""
+        streaming snapshot leg applies the DV."""
         from marketdb_spark.sources.deltadv import commit_inline_dv
         from marketdb_spark.sources.deltalog import (
             delta_live_files,
@@ -3865,7 +3967,9 @@ class TestDeletionVectors:
 
         with pytest.raises(ValueError, match="writerFeatures|deletion"):
             optimize_delta(spark, t)
-        # streaming refuses the DV-carrying snapshot at planning
+        # the streaming SNAPSHOT leg APPLIES the DV (a tailed commit
+        # adding a DV-carrying file still raises — its row-level change
+        # needs a DV diff; pinned in tests/test_streaming.py)
         out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         q = (
             read_delta_stream(spark, t)
@@ -3874,11 +3978,162 @@ class TestDeletionVectors:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        with pytest.raises(Exception, match="deletion vector"):
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
+            0, 1, 3, 4, 5,
+        ]
+
+    def test_reader_applies_ondisk_dv_u_and_p(self, spark, tmp_path):
+        """On-disk deletion vectors round-trip through the real reader
+        in BOTH path encodings — 'u' (prefix + Z85-of-UUID, relative to
+        the table root) and 'p' (absolute path) — with one multi-frame
+        DV FILE shared by two data files, exactly how delta-spark packs
+        one DELETE's vectors; time travel below the DV commit still
+        sees every row."""
+        from marketdb_spark.sources.deltadv import commit_ondisk_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(i, "x" if i < 4 else "y") for i in range(8)], "k long, p string"
+        ).repartition(1, "p")
+        write_delta(df.sortWithinPartitions("k"), t, partition_by=["p"])
+        [xf] = [f for f in delta_live_files(t) if f.startswith("p=x")]
+        [yf] = [f for f in delta_live_files(t) if f.startswith("p=y")]
+        # one DV file, two frames: positions within each data file
+        v = commit_ondisk_dv(t, {xf: [0, 2], yf: [3]})
+        assert v == 1
+        got = sorted((r.k, r.p) for r in read_delta(spark, t).collect())
+        assert got == [(1, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "y")]
+        assert read_delta(spark, t, version=0).count() == 8
+        # absolute-path ('p') descriptors replace the 'u' ones
+        t2 = str(tmp_path / "tbl2")
+        write_delta(
+            spark.range(5).selectExpr("id AS k").coalesce(1)
+            .sortWithinPartitions("k"),
+            t2,
+        )
+        [rel] = delta_live_files(t2)
+        commit_ondisk_dv(t2, {rel: [0, 4]}, absolute=True)
+        assert sorted(r.k for r in read_delta(spark, t2).collect()) == [
+            1, 2, 3,
+        ]
+
+    def test_ondisk_dv_framing_guards(self, spark, tmp_path):
+        """Every field of the DV file framing is verified: format
+        version byte, frame dataSize vs descriptor sizeInBytes, CRC-32,
+        file existence — and an unknown storageType raises by name."""
+        from marketdb_spark.sources.deltadv import (
+            commit_ondisk_dv,
+            dv_file_path,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(6).selectExpr("id AS k").coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+        )
+        [rel] = delta_live_files(t)
+        commit_ondisk_dv(t, {rel: [2, 5]})
+        log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log) if x.strip()]
+        [desc] = [
+            a["add"]["deletionVector"] for a in actions if "add" in a
+        ]
+        dvf = dv_file_path(desc, t)
+        blob = open(dvf, "rb").read()
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 1, 3, 4,
+        ]
+
+        def rewrite(b: bytes) -> None:
+            with open(dvf, "wb") as f:
+                f.write(b)
+
+        # format-version byte
+        rewrite(bytes([9]) + blob[1:])
+        with pytest.raises(ValueError, match="format version"):
+            read_delta(spark, t).collect()
+        # CRC-32 over the payload
+        off = int(desc["offset"])
+        corrupted = bytearray(blob)
+        corrupted[off + 4 + 2] ^= 0xFF
+        rewrite(bytes(corrupted))
+        with pytest.raises(ValueError, match="CRC-32"):
+            read_delta(spark, t).collect()
+        rewrite(blob)
+        # frame dataSize != descriptor sizeInBytes
+        desc_bad = {**desc, "sizeInBytes": int(desc["sizeInBytes"]) + 1}
+        with open(log, "w") as f:
+            for a in actions:
+                if "add" in a:
+                    a = {"add": {**a["add"], "deletionVector": desc_bad}}
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(ValueError, match="dataSize"):
+            read_delta(spark, t).collect()
+        # unknown storageType
+        desc_x = {**desc, "storageType": "x"}
+        with open(log, "w") as f:
+            for a in actions:
+                if "add" in a:
+                    a = {"add": {**a["add"], "deletionVector": desc_x}}
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(ValueError, match="unknown storageType"):
+            read_delta(spark, t).collect()
+        # missing DV file
+        with open(log, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.remove(dvf)
+        with pytest.raises(ValueError, match="does not exist"):
+            read_delta(spark, t).collect()
+
+    def test_ondisk_dv_streams_in_snapshot(self, spark, tmp_path):
+        """The deltastream snapshot leg applies ON-DISK DVs too (same
+        executor-side position mask as inline)."""
+        from marketdb_spark.sources.deltadv import commit_ondisk_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(7).selectExpr("id AS k").coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+        )
+        [rel] = delta_live_files(t)
+        commit_ondisk_dv(t, {rel: [0, 3, 6]})
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
+            1, 2, 4, 5,
+        ]
 
 
 class TestDomainMetadata:
@@ -4014,6 +4269,36 @@ class TestInCommitTimestamps:
         assert delta_version_at(t, self._FAR + 1) == 2
         assert delta_version_at(t, self._FAR + 9) == 3
         assert read_delta(spark, t).count() == 1
+
+    def test_chain_survives_checkpoint_and_log_cleanup(
+        self, spark, tmp_path
+    ):
+        """The writer obligation ("every commit after enablement carries
+        a stamp") must not lapse when write_checkpoint + clean_log remove
+        every prior JSON commit: the gate reads the CHECKPOINTED table
+        state (the inCommitTimestamp writer feature), and the chain
+        restarts from the wall clock — delta tolerates that after
+        retention; a MISSING stamp it treats as corruption."""
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk_ict(spark, t)
+        write_delta(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+        assert write_checkpoint(t) == 2
+        removed = clean_log(t)
+        assert removed  # all JSON commits below the checkpoint are gone
+        write_delta(spark.createDataFrame([(3, "c")], "k long, v string"), t)
+        with open(os.path.join(t, "_delta_log", f"{3:020d}.json")) as f:
+            [info] = [
+                json.loads(l)["commitInfo"] for l in f if "commitInfo" in l
+            ]
+        assert info.get("inCommitTimestamp") is not None
+        # wall-clock restart: a fresh epoch-ms stamp, not a stale replay
+        assert info["inCommitTimestamp"] > 1_600_000_000_000
 
     def test_classic_tables_unaffected(self, spark, tmp_path):
         """Without the feature, commits carry no inCommitTimestamp and
@@ -4539,8 +4824,10 @@ class TestWriterProtocolGate:
     def test_check_constraint_enforced(self, spark, tmp_path):
         """A defined CHECK constraint no longer blocks the writer — it
         is ENFORCED: valid rows commit, a violating batch raises naming
-        the constraint and a violating row, NULL satisfies (SQL CHECK
-        semantics), and DML rewrites are held to the same rule."""
+        the constraint and a violating row, NULL violates too
+        (delta-spark's CheckDeltaInvariant requires the expression to
+        evaluate to TRUE, stricter than SQL CHECK), and DML rewrites
+        are held to the same rule."""
         from marketdb_spark.sources.deltadml import update_delta
         from marketdb_spark.sources.deltalog import read_delta, write_delta
 
@@ -4557,15 +4844,19 @@ class TestWriterProtocolGate:
             write_delta(
                 spark.createDataFrame([(-3, "x")], "k long, v string"), t
             )
-        # NULL satisfies a CHECK per SQL
-        write_delta(
-            spark.createDataFrame([(None, "n")], "k long, v string"), t
-        )
+        # NULL violates too: PROTOCOL.md requires the expression to
+        # evaluate to TRUE and delta-spark rejects NULL results — a
+        # batch this writer accepted but delta-spark would refuse is
+        # exactly the cross-tool divergence the gate exists to prevent
+        with pytest.raises(ValueError, match="CHECK constraint positive"):
+            write_delta(
+                spark.createDataFrame([(None, "n")], "k long, v string"), t
+            )
         with pytest.raises(ValueError, match="CHECK constraint positive"):
             update_delta(spark, t, "v = 'a'", {"k": "-9"})
         update_delta(spark, t, "v = 'a'", {"k": "10"})
         got = {r.v: r.k for r in read_delta(spark, t).collect()}
-        assert got["a"] == 10 and got["c"] == 3 and got["n"] is None
+        assert got["a"] == 10 and got["c"] == 3 and "n" not in got
 
     def test_invariant_enforced(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import read_delta, write_delta

@@ -2024,9 +2024,11 @@ class TestDeltaStreamAdmission:
     def test_id_mode_table_streams_by_field_id(self, spark, tmp_path):
         """An ID-mode column-mapped table streams through the real
         engine resolving data columns by PARQUET FIELD ID: every data
-        file is rewritten with garbage column names (ids intact — the
+        file is rewritten with garbage column names AND its nested
+        struct fields REORDERED + renamed (ids intact — the
         Iceberg-converted shape) and the stream still emits the logical
-        rows, equal to the batch read."""
+        rows, equal to the batch read — nested fields resolve by id,
+        never positionally."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2053,11 +2055,32 @@ class TestDeltaStreamAdmission:
         for rel in delta_live_files(t):
             p0 = os.path.join(t, rel)
             tbl = pq.read_table(p0)
-            nf = [
-                pa.field(f"g{i}", f.type, f.nullable, f.metadata)
-                for i, f in enumerate(tbl.schema)
-            ]
-            pq.write_table(pa.table(tbl.columns, schema=pa.schema(nf)), p0)
+            cols, nf = [], []
+            for i, f in enumerate(tbl.schema):
+                col = tbl.column(i).combine_chunks()
+                if pa.types.is_struct(f.type):
+                    # reversed child order + garbage child names, nested
+                    # PARQUET:field_id metadata intact
+                    order = list(range(f.type.num_fields))[::-1]
+                    kf = [
+                        pa.field(
+                            f"n{j}",
+                            f.type.field(j).type,
+                            f.type.field(j).nullable,
+                            f.type.field(j).metadata,
+                        )
+                        for j in order
+                    ]
+                    mask = col.is_null() if col.null_count else None
+                    col = pa.StructArray.from_arrays(
+                        [col.field(j) for j in order], fields=kf, mask=mask
+                    )
+                    ft = col.type
+                else:
+                    ft = f.type
+                cols.append(col)
+                nf.append(pa.field(f"g{i}", ft, f.nullable, f.metadata))
+            pq.write_table(pa.table(cols, schema=pa.schema(nf)), p0)
         out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         stream = read_delta_stream(spark, t)
         assert stream.schema.fieldNames() == ["k", "deal", "p"]
@@ -2187,8 +2210,9 @@ class TestDeltaStreamAdmission:
         """An external writer declaring an unconsumable feature mid-tail
         must raise, not misread new files; a DV-CARRYING add raises
         per-add even though the deletionVectors readerFeature itself is
-        consumable (the batch reader applies inline DVs, the stream
-        does not)."""
+        consumable (the batch reader and the streaming SNAPSHOT leg
+        apply DVs; a tailed DV add is a row-level change the
+        append-shaped tail cannot represent)."""
         from marketdb_spark.sources.deltalog import write_delta
         from marketdb_spark.streaming.deltasource import (
             _commit_path,
