@@ -425,6 +425,84 @@ def _km_ctes(k: int | str) -> str:
 _KM_CTES = _km_ctes(8)
 
 
+def _km_ctes_two_level(k: int | str) -> str:
+    """The TWO-LEVEL k-means assignment pipeline (kmeans_refine
+    two_level=True): the ⌈√k⌉ hash-ranked centroids are coarse cells,
+    every centroid maps to its nearest coarse cell, and each vector
+    argmins over coarse cells first, then exactly within its cell —
+    O(N·√k) assignment FLOPs instead of the flat O(N·k), the r11-verdict
+    fix for the k ∝ N quadratic. Deterministic at both levels
+    ((d2, cid) lexicographic on identical IEEE folds), so this SQL
+    replays the Spark assignment bit-for-bit."""
+    coarse_pick = """
+      SELECT cid AS ccid, c AS cc FROM (
+        SELECT cid, c,
+               ROW_NUMBER() OVER (ORDER BY
+                 ((cid % 2147483648) * 506952113) % 2147483648, cid)
+                 AS crk,
+               COUNT(*) OVER () AS kk
+        FROM {cents})
+      WHERE crk <= CAST(ceil(sqrt(CAST(kk AS DOUBLE))) AS BIGINT)"""
+    f2c = f"""
+      SELECT cid, c, ccid FROM (
+        SELECT f.cid, f.c, co.ccid,
+               ROW_NUMBER() OVER (PARTITION BY f.cid ORDER BY
+                 {_KM_D2.format(v='f.c', c='co.cc')}, co.ccid) AS rn
+        FROM {{cents}} f CROSS JOIN {{coarse}} co) WHERE rn = 1"""
+    vassign = f"""
+      SELECT id, v, cid FROM (
+        SELECT va.id, va.v, f.cid,
+               ROW_NUMBER() OVER (PARTITION BY va.id ORDER BY
+                 {_KM_D2.format(v='va.v', c='f.c')}, f.cid) AS rn
+        FROM (
+          SELECT id, v, ccid FROM (
+            SELECT p.id, p.v, co.ccid,
+                   ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+                     {_KM_D2.format(v='p.v', c='co.cc')}, co.ccid) AS rn
+            FROM {{pts}} p CROSS JOIN {{coarse}} co) WHERE rn = 1
+        ) va JOIN {{f2c}} f ON f.ccid = va.ccid) WHERE rn = 1"""
+    return f"""pts AS (
+      SELECT vec_id AS id, embedding AS v,
+             ((vec_id % 2147483648) * 506952113) % 2147483648 AS h
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INT) AS cid,
+             list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+      FROM pts
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, id) <= {k}
+    ),
+    co0 AS ({coarse_pick.format(cents='c0')}
+    ),
+    f2c0 AS ({f2c.format(cents='c0', coarse='co0')}
+    ),
+    a1 AS ({vassign.format(pts='pts', coarse='co0', f2c='f2c0')}
+    ),
+    u1 AS (
+      SELECT a.cid, g.i AS dim,
+             SUM(CAST(trunc(CAST(a.v[g.i] AS DOUBLE) * {_KM_SCALE})
+                      AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a1 a, LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY a.cid, g.i
+    ),
+    c1 AS (
+      SELECT cid,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {_KM_SCALE}
+                  ORDER BY dim) AS c
+      FROM u1 GROUP BY cid
+    ),
+    co1 AS ({coarse_pick.format(cents='c1')}
+    ),
+    f2c1 AS ({f2c.format(cents='c1', coarse='co1')}
+    ),
+    assign AS (
+      SELECT id AS vec_id, cid AS cluster_id FROM (
+        {vassign.format(pts='pts', coarse='co1', f2c='f2c1')}
+      )
+    )"""
+
+
 @query(
     "embed_kmeans_clusters",
     oracle=f"""
@@ -626,7 +704,7 @@ _SEM_K_SQL = (
     "dedup_semantic_pairs",
     oracle=f"""
     WITH kparam AS ({_SEM_K_SQL}),
-    {_km_ctes('(SELECT k FROM kparam)')},
+    {_km_ctes_two_level('(SELECT k FROM kparam)')},
     j AS (
       SELECT a.vec_id, a.cluster_id, e.embedding AS v
       FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -657,7 +735,12 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     [8, 4096] — kmeans_refine's k_frame path; the r10 verdict flagged
     the old fixed k=32 as quadratic at scale), keeping expected cluster
     size — the verify unit — constant as the corpus grows; hot clusters
-    split by the skew machinery. Norms are HOISTED to one column per
+    split by the skew machinery. The ASSIGNMENT is two-level
+    (kmeans_refine two_level=True — the r11 verdict flagged the flat
+    O(k·dims)-per-row argmin as an O(N²/64) FLOP quadratic once k ∝ N):
+    ⌈√k⌉ coarse cells first, exact argmin only within the vector's
+    cell — O(N·√k) assignment work, replayed identically by the
+    two-level oracle CTEs. Norms are HOISTED to one column per
     vector before the pair join (each vector scores O(cluster) pairs;
     an inline cosine() would re-fold the norm per pair); the per-pair
     work is the dot fold plus a division by the two precomputed norms —
@@ -682,7 +765,10 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     j = (
-        kmeans_refine(emb, iters=2, dims=64, keep_vec=True, k_frame=kf)
+        kmeans_refine(
+            emb, iters=2, dims=64, keep_vec=True, k_frame=kf,
+            two_level=True,
+        )
         .select(
             F.col("id").alias("vec_id"),
             "cluster_id",

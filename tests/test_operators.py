@@ -300,6 +300,52 @@ class TestKmeans:
         assert len(low_clusters) == 1 and len(high_clusters) == 1
         assert low_clusters != high_clusters
 
+    def test_kmeans_two_level_separates_groups_and_is_deterministic(
+        self, spark
+    ):
+        """two_level=True (coarse-quantized assignment, the r11-verdict
+        quadratic fix) must still separate well-separated clouds, agree
+        with itself across runs, and work through the k_frame
+        (data-driven k) path — the combination dedup_semantic_pairs
+        runs."""
+        from pyspark.sql import functions as F
+
+        from marketdb_spark.operators.similarity import kmeans_refine
+
+        # 4 clouds of 8 points around distant centers, one hash seed per
+        # cloud (same arrangement device as the flat-assignment test):
+        # the 4 smallest-hash ids become the seeds, so cloud membership
+        # is built around them
+        ids = list(range(1, 33))
+        h = sorted(ids, key=lambda i: ((i * 506952113) % (1 << 31), i))
+        seeds, rest = h[:4], [i for i in ids if i not in h[:4]]
+        clouds = [[seeds[c]] + rest[c * 7 : (c + 1) * 7] for c in range(4)]
+        rows = [
+            (i, [c * 100.0 + (i % 8) * 0.01, c * 100.0 + 1.0])
+            for c in range(4)
+            for i in clouds[c]
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kf = df.agg(F.lit(4).cast("long").alias("k"))
+        got = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(
+                df, iters=2, dims=2, k_frame=kf, two_level=True
+            ).collect()
+        }
+        assert len(got) == 32
+        # every cloud lands in exactly one cluster, clouds in distinct ones
+        cloud_clusters = [{got[i] for i in clouds[c]} for c in range(4)]
+        assert all(len(s) == 1 for s in cloud_clusters), got
+        assert len(set.union(*cloud_clusters)) == 4
+        again = {
+            r.id: r.cluster_id
+            for r in kmeans_refine(
+                df, iters=2, dims=2, k_frame=kf, two_level=True
+            ).collect()
+        }
+        assert got == again
+
     def test_centroid_update_no_int64_wrap(self, spark):
         """The centroid update accumulates 2^46-scaled int64 elements; a
         cluster whose scaled sum exceeds 2^63 (here 200 points of value
