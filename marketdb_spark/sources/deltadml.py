@@ -164,10 +164,14 @@ def _commit_dml(
     matched_rels: list[str],
     staged: list[tuple[str, dict]],
     cdc_staged: list[tuple[str, dict]],
+    read_dvs: dict | None = None,
 ) -> int:
     """The shared commit tail: remove every matched file, add every
     staged file (+ cdc actions), with optimize_delta's staleness rule —
-    retry the race only while every matched file is still live."""
+    retry the race only while every matched file is still live AND
+    (``read_dvs``, the deletion vectors the rewrite was READ under)
+    still carries the same DV per matched file — a concurrent DV commit
+    would have soft-deleted rows this rewrite already materialized."""
     from marketdb_spark.sources.snapshot import CommitConflict
 
     for _ in range(5):
@@ -185,11 +189,23 @@ def _commit_dml(
                 f"{op} of {table} is stale: a concurrent commit removed "
                 f"a file this operation rewrote"
             )
+        if read_dvs is not None:
+            cur_dvs_chk = getattr(cur, "dvs", None) or {}
+            if any(
+                cur_dvs_chk.get(p) != read_dvs.get(p)
+                for p in matched_rels
+            ):
+                raise CommitConflict(
+                    f"{op} of {table} is stale: a concurrent commit "
+                    f"changed a rewritten file's deletion vector"
+                )
         actions: list[dict] = [_commit_info(op, params)]
+        cur_dvs = getattr(cur, "dvs", None) or {}
         for p in sorted(matched_rels):
-            actions.append(
-                {"remove": {"path": quote(p, safe="/="), "dataChange": True}}
-            )
+            rm: dict = {"path": quote(p, safe="/="), "dataChange": True}
+            if p in cur_dvs:  # the descriptor rides the tombstone
+                rm["deletionVector"] = cur_dvs[p]
+            actions.append({"remove": rm})
         for rel, pvals in staged:
             full = os.path.join(table, rel)
             actions.append(
@@ -275,6 +291,7 @@ def delete_delta(
             matched_rels,
             staged,
             cdc_staged,
+            read_dvs=getattr(snap, "dvs", None) or {},
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
@@ -358,6 +375,7 @@ def update_delta(
             matched_rels,
             staged,
             cdc_staged,
+            read_dvs=getattr(snap, "dvs", None) or {},
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
@@ -737,6 +755,7 @@ def merge_delta(
             rewrite_rels,
             staged,
             cdc_staged,
+            read_dvs=getattr(snap, "dvs", None) or {},
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
@@ -822,6 +841,7 @@ def restore_delta(
             removes,
             readd_staged,
             cdc_staged,
+            read_dvs=getattr(snap, "dvs", None) or {},
         )
     except BaseException:
         _unstage(table, [r for r, _ in cdc_staged])

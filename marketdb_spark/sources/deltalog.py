@@ -330,6 +330,15 @@ _SUPPORTED_WRITER_FEATURES = {
     # inCommitTimestamp, every commit we publish continues the chain
     # monotonically (max(now, prev+1)) — the feature's one writer rule
     "inCommitTimestamp",
+    # granted via MATERIALIZE-ON-REWRITE (never creates a DV): DML
+    # copy-on-write reads touched files through the DV-applying scan
+    # and stages plain rewrites; OPTIMIZE applies DVs when compacting
+    # (and treats any DV-carrying file as rewrite-eligible — the PURGE
+    # path); write_checkpoint persists descriptors in add rows;
+    # remove actions of DV-carrying files carry the descriptor;
+    # vacuum never deletes deletion_vector_*.bin (it only reclaims
+    # *.parquet, the same conservative rule as _change_data)
+    "deletionVectors",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -973,11 +982,13 @@ def delta_features(table: str) -> dict:
     scope (module docstring): a minReaderVersion above 3, any declared
     readerFeature not in _SUPPORTED_READER_FEATURES,
     a deletion-vector flag in the table configuration (PARTIAL support:
-    batch reads decode all three DV storage types and the streaming
-    snapshot legs apply them (sources/deltadv.py), but a TAILED commit
-    adding a DV-carrying file raises — its row-level change needs a DV
-    diff — and checkpoint/OPTIMIZE refuse; so the table is not fully
-    consumable and the flag stays listed), and unreadable
+    batch reads decode all three DV storage types, the streaming
+    snapshot legs apply them, and the write paths
+    materialize-on-rewrite (sources/deltadv.py, DML/OPTIMIZE/
+    checkpoint) — but this engine never CREATES a DV, and a TAILED
+    commit adding a DV-carrying file raises since its row-level change
+    needs a DV diff; so a DV-producing upstream writer makes the table
+    not fully streamable and the flag stays listed), and unreadable
     checkpoint layouts. Column mapping (name AND id modes) and v2/UUID
     checkpoints are supported and not listed. Empty list ⇒ the batch
     reader and deltastream source can consume the table."""
@@ -1399,6 +1410,7 @@ def read_change_feed(
         adds: dict[str, dict] = {}
         removed: dict[str, dict] = {}
         dv_carriers: list[str] = []
+        removed_dvs: dict[str, dict] = {}
         with open(entries[v]) as f:
             for line in f:
                 line = line.strip()
@@ -1422,7 +1434,11 @@ def read_change_feed(
                     r = action["remove"]
                     if r.get("dataChange") is not False:
                         if r.get("deletionVector"):
-                            dv_carriers.append(_decode_path(r["path"]))
+                            # the tombstone's descriptor IS the file's
+                            # row set at removal time — derivable
+                            removed_dvs[_decode_path(r["path"])] = r[
+                                "deletionVector"
+                            ]
                         removed[_decode_path(r["path"])] = (
                             r.get("partitionValues") or {}
                         )
@@ -1433,11 +1449,15 @@ def read_change_feed(
                 spark, table, snap, cdcs, extra_fields=[_CHANGE_TYPE]
             )
         elif adds or removed:
-            # a DV-carrying add/remove is a ROW-LEVEL change (file minus
+            # a DV-carrying ADD is a ROW-LEVEL change (file minus
             # vector); deriving its insert/delete rows needs a DV diff
             # against the prior version — raise by name rather than
             # emit whole-file changes (mirrors the streaming CDF gate,
-            # streaming/deltasource.py)
+            # streaming/deltasource.py). A DV-carrying REMOVE without a
+            # matching re-add (whole-file DELETE of a soft-deleted
+            # file) IS derivable: the tombstone's descriptor is applied
+            # below, so the delete rows are exactly the rows that were
+            # live at removal time.
             if dv_carriers:
                 raise ValueError(
                     f"cannot derive changes for version {v} of {table}: "
@@ -1467,9 +1487,14 @@ def read_change_feed(
                     )
                 )
             if removed:
+                snap_rm = (
+                    snap._replace(dvs=removed_dvs)
+                    if removed_dvs
+                    else snap_nodv
+                )
                 pieces.append(
                     _scan_files(
-                        spark, table, snap_nodv, removed
+                        spark, table, snap_rm, removed
                     ).withColumn("_change_type", F.lit("delete"))
                 )
             part = pieces[0]
@@ -2220,9 +2245,11 @@ def write_delta(
                     }
                 )
             for p in removes:
-                actions.append(
-                    {"remove": {"path": quote(p, safe="/="), "dataChange": True}}
-                )
+                rm: dict = {"path": quote(p, safe="/="), "dataChange": True}
+                cur_dvs = getattr(cur, "dvs", None) or {}
+                if p in cur_dvs:  # the descriptor rides the tombstone
+                    rm["deletionVector"] = cur_dvs[p]
+                actions.append({"remove": rm})
             for rel, pvals in staged:
                 full = os.path.join(table, rel)
                 actions.append(
@@ -2410,16 +2437,8 @@ def write_checkpoint(
     if version is None:
         version = latest
     snap = _replay(table, version)
-    if getattr(snap, "dvs", None):
-        # a classic checkpoint row cannot drop the deletionVector
-        # descriptor without resurrecting deleted rows for every
-        # downstream reader — refuse rather than corrupt
-        raise ValueError(
-            f"cannot checkpoint {table}: live files carry deletion "
-            f"vectors and this writer does not persist DV descriptors "
-            f"in checkpoints"
-        )
     schema_json, part_cols, live = snap.schema_json, snap.part_cols, snap.live
+    dvs = getattr(snap, "dvs", None) or {}
 
     # per-app txn high-water marks visible at `version`
     txns: dict[str, int] = {}
@@ -2490,6 +2509,22 @@ def write_checkpoint(
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # PROTOCOL.md checkpoint schema: a live file's
+                        # deletion-vector descriptor MUST survive the
+                        # checkpoint, or every post-clean_log reader
+                        # resurrects the deleted rows
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -2560,6 +2595,19 @@ def write_checkpoint(
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": True,
+                    "deletionVector": (
+                        {
+                            "storageType": dvs[path].get("storageType"),
+                            "pathOrInlineDv": dvs[path].get(
+                                "pathOrInlineDv"
+                            ),
+                            "offset": dvs[path].get("offset"),
+                            "sizeInBytes": dvs[path].get("sizeInBytes"),
+                            "cardinality": dvs[path].get("cardinality"),
+                        }
+                        if path in dvs
+                        else None
+                    ),
                 },
                 "txn": None,
             }
@@ -2705,17 +2753,13 @@ def optimize_delta(
     from marketdb_spark.sources.snapshot import CommitConflict
 
     snap = _replay(table, None)
-    # writer gate: OPTIMIZE reads files RAW (no DV application) and
-    # re-adds their bytes — on a table with writer features this engine
-    # has no grant for (deletionVectors above all: a blind compaction
-    # would resurrect deleted rows AND drop the descriptor) it must
-    # refuse before touching anything
+    # writer gate: unknown writer features must refuse before anything
+    # is touched. Deletion vectors are granted: the rewrite below reads
+    # DV-carrying files through the position-mask scan and MATERIALIZES
+    # the deletes — the compacted file drops the descriptor (delta's
+    # REORG/PURGE semantics), never resurrects rows.
     _check_writer_protocol(snap, table)
-    if getattr(snap, "dvs", None):
-        raise ValueError(
-            f"cannot OPTIMIZE {table}: live files carry deletion "
-            f"vectors and compaction would resurrect deleted rows"
-        )
+    dvs = getattr(snap, "dvs", None) or {}
     part_cols, live = snap.part_cols, snap.live
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     if zorder_by:
@@ -2769,7 +2813,10 @@ def optimize_delta(
     todo = {
         key: sorted(paths)
         for key, paths in by_part.items()
-        if len(paths) >= threshold
+        # a DV-carrying file is ALWAYS rewrite-eligible regardless of
+        # the loose-file threshold: compacting it materializes the
+        # soft-deleted rows away (delta's REORG ... APPLY (PURGE))
+        if len(paths) >= threshold or any(p in dvs for p in paths)
     }
     if not todo:
         return None
@@ -2800,9 +2847,44 @@ def optimize_delta(
             # are keyed the way the table keys them: physical under
             # column mapping, logical otherwise
             pvals = dict(zip((stage_key[c] for c in part_cols), key))
-            df = spark.read.schema(data_schema).parquet(
-                *[os.path.join(table, p) for p in paths]
-            )
+            plain = [os.path.join(table, p) for p in paths if p not in dvs]
+            pieces: list[DataFrame] = []
+            if plain:
+                pieces.append(
+                    spark.read.schema(data_schema).parquet(*plain)
+                )
+            for p in paths:
+                # DV-carrying file: read minus its deleted positions
+                # (same `_metadata.row_index` anti-join as _scan_files)
+                # so the compacted file materializes the deletes
+                if p not in dvs:
+                    continue
+                import pandas as _pd
+
+                from marketdb_spark.sources.deltadv import decode_dv
+
+                positions = decode_dv(dvs[p], table, p)
+                base = spark.read.schema(data_schema).parquet(
+                    os.path.join(table, p)
+                )
+                if positions:
+                    pos_df = spark.createDataFrame(
+                        _pd.DataFrame(
+                            {"__dv_ri": _pd.array(positions, dtype="int64")}
+                        )
+                    )
+                    base = (
+                        base.select(
+                            "*",
+                            F.col("_metadata.row_index").alias("__dv_ri"),
+                        )
+                        .join(F.broadcast(pos_df), "__dv_ri", "left_anti")
+                        .drop("__dv_ri")
+                    )
+                pieces.append(base)
+            df = pieces[0]
+            for extra in pieces[1:]:
+                df = df.unionByName(extra)
             if zorder_by:
                 # z-cluster within the partition: bucket ranges from one
                 # min/max pass, Morton interleave, one sorted file. The
@@ -2873,10 +2955,19 @@ def optimize_delta(
             )
             cur = _replay(table, None)
             parts2, live2 = cur.part_cols, cur.live
+            dvs2 = getattr(cur, "dvs", None) or {}
             if parts2 != part_cols or any(p not in live2 for p in removes):
                 raise CommitConflict(
                     f"optimize of {table} is stale: a concurrent commit "
                     f"removed rewritten files or changed the partitioning"
+                )
+            if any(dvs2.get(p) != dvs.get(p) for p in removes):
+                # a concurrent DV commit soft-deleted more rows from a
+                # file this compaction already materialized — committing
+                # would resurrect them
+                raise CommitConflict(
+                    f"optimize of {table} is stale: a concurrent commit "
+                    f"changed a rewritten file's deletion vector"
                 )
             version = latest + 1
             op_params: dict = {"auto": False}
@@ -2884,14 +2975,10 @@ def optimize_delta(
                 op_params["zOrderBy"] = list(zorder_by)
             actions = [_commit_info("OPTIMIZE", op_params)]
             for p in removes:
-                actions.append(
-                    {
-                        "remove": {
-                            "path": quote(p, safe="/="),
-                            "dataChange": False,
-                        }
-                    }
-                )
+                rm = {"path": quote(p, safe="/="), "dataChange": False}
+                if p in dvs:  # the descriptor rides the tombstone
+                    rm["deletionVector"] = dvs[p]
+                actions.append({"remove": rm})
             for rel, pvals in staged:
                 full = os.path.join(table, rel)
                 actions.append(

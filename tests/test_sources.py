@@ -2561,6 +2561,51 @@ class TestDeltaCDF:
         with pytest.raises(ValueError, match="deletion vector"):
             read_change_feed(spark, t, 2, 2).collect()
 
+    def test_remove_with_dv_derives_live_rows(self, spark, tmp_path):
+        """A whole-file DELETE of a DV-carrying file (remove whose
+        tombstone carries the descriptor, no re-add, no cdc — the shape
+        this engine's own DML emits on DV tables without CDF) IS
+        derivable: the delete rows are the file MINUS its vector, never
+        the resurrected full file."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(4)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        commit_inline_dv(t, rel, [1, 2])  # v1: live = 0, 3
+        # hand-craft v2: remove the file, descriptor on the tombstone
+        log1 = os.path.join(t, "_delta_log", f"{1:020d}.json")
+        [desc] = [
+            json.loads(l)["add"]["deletionVector"]
+            for l in open(log1)
+            if '"add"' in l
+        ]
+        with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "operation": "DELETE", "timestamp": 1000,
+            }}) + "\n")
+            f.write(json.dumps({"remove": {
+                "path": rel, "dataChange": True, "partitionValues": {},
+                "deletionVector": desc,
+            }}) + "\n")
+        got = sorted(
+            (r.k, r._change_type)
+            for r in read_change_feed(spark, t, 2, 2).collect()
+        )
+        assert got == [(0, "delete"), (3, "delete")]
+
     def test_insert_append_overwrite_roundtrip(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
             read_change_feed,
@@ -3920,16 +3965,14 @@ class TestDeletionVectors:
         assert got == [(1, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "y"), (7, "y")]
 
     def test_dv_guards(self, spark, tmp_path):
-        """Corrupt descriptors raise (cardinality mismatch, truncated
-        payload); checkpointing a DV table refuses (a classic checkpoint
-        row would silently drop the DV); appends refuse via the writer
-        gate (deletionVectors is not a granted writer feature); the
-        streaming snapshot leg applies the DV."""
+        """Corrupt descriptors raise (cardinality mismatch); the
+        streaming snapshot leg applies the DV. The write-path lifecycle
+        on DV tables (append/checkpoint/OPTIMIZE/DML) is
+        test_dv_table_write_lifecycle."""
         from marketdb_spark.sources.deltadv import commit_inline_dv
         from marketdb_spark.sources.deltalog import (
             delta_live_files,
             read_delta,
-            write_checkpoint,
             write_delta,
         )
         from marketdb_spark.streaming.deltasource import read_delta_stream
@@ -3954,19 +3997,6 @@ class TestDeletionVectors:
                 f.write(json.dumps(a) + "\n")
         with pytest.raises(ValueError, match="cardinality"):
             read_delta(spark, t2).collect()
-        # checkpoint refuses rather than resurrecting deleted rows
-        with pytest.raises(ValueError, match="deletion"):
-            write_checkpoint(t)
-        # writer gate: the DV commit upgraded the protocol to v7 with a
-        # feature this engine has no writer support for
-        with pytest.raises(ValueError, match="writerFeatures"):
-            write_delta(spark.range(1).selectExpr("id AS k"), t)
-        # OPTIMIZE refuses: blind compaction would resurrect deleted
-        # rows (the writer gate rejects the v7 deletionVectors grant)
-        from marketdb_spark.sources.deltalog import optimize_delta
-
-        with pytest.raises(ValueError, match="writerFeatures|deletion"):
-            optimize_delta(spark, t)
         # the streaming SNAPSHOT leg APPLIES the DV (a tailed commit
         # adding a DV-carrying file still raises — its row-level change
         # needs a DV diff; pinned in tests/test_streaming.py)
@@ -3985,6 +4015,82 @@ class TestDeletionVectors:
         assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
             0, 1, 3, 4, 5,
         ]
+
+    def test_dv_table_write_lifecycle(self, spark, tmp_path):
+        """deletionVectors is a GRANTED writer feature via
+        MATERIALIZE-ON-REWRITE (never creates a DV): appends land new
+        files untouched; write_checkpoint PERSISTS descriptors so
+        clean_log never resurrects soft-deleted rows; DML rewrites a
+        DV-carrying file from its LIVE rows and drops the descriptor
+        (the tombstone carries it); OPTIMIZE treats a DV-carrying file
+        as rewrite-eligible below the loose-file threshold (PURGE);
+        vacuum never reclaims deletion_vector_*.bin."""
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltadv import (
+            commit_inline_dv,
+            commit_ondisk_dv,
+            dv_file_path,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            clean_log,
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+            vacuum_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(8).selectExpr("id AS k").coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+        )
+        [rel] = delta_live_files(t)
+        commit_ondisk_dv(t, {rel: [1, 3]})  # v1: live = 0,2,4,5,6,7
+        dvf = dv_file_path(_replay(t, None).dvs[rel], t)
+        # append: allowed, no DV obligation touched
+        write_delta(spark.range(100, 101).selectExpr("id AS k"), t)
+        live_now = [0, 2, 4, 5, 6, 7, 100]
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == live_now
+        # checkpoint persists the descriptor across log cleanup
+        assert write_checkpoint(t) == 2
+        clean_log(t)
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == live_now
+        assert _replay(t, None).dvs  # descriptor survived the checkpoint
+        # DML rewrites the DV-carrying file from its LIVE rows and the
+        # descriptor is gone afterwards
+        delete_delta(spark, t, "k = 4")
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 5, 6, 7, 100,
+        ]
+        assert not _replay(t, None).dvs
+        # the DML tombstone carries the descriptor it removed
+        with open(os.path.join(t, "_delta_log", f"{3:020d}.json")) as f:
+            rms = [
+                json.loads(l)["remove"] for l in f if '"remove"' in l
+            ]
+        assert any(r.get("deletionVector") for r in rms)
+        # fresh inline DV + OPTIMIZE: a single DV-carrying file is
+        # rewrite-eligible below the threshold (PURGE) — the descriptor
+        # is materialized away, counts unchanged
+        big = max(
+            delta_live_files(t),
+            key=lambda r: os.path.getsize(os.path.join(t, r)),
+        )
+        commit_inline_dv(t, big, [0])
+        n = read_delta(spark, t).count()
+        assert n == 5  # one more row soft-deleted from the big file
+        assert optimize_delta(spark, t) is not None
+        assert read_delta(spark, t).count() == n
+        assert not _replay(t, None).dvs
+        # vacuum reclaims the replaced parquet files, never the DV file
+        gone = vacuum_delta(t, min_file_age_seconds=0)
+        assert gone and all(g.endswith(".parquet") for g in gone)
+        assert os.path.exists(dvf)
+        assert sorted(r.k for r in read_delta(spark, t).collect())[-1] == 100
 
     def test_reader_applies_ondisk_dv_u_and_p(self, spark, tmp_path):
         """On-disk deletion vectors round-trip through the real reader
@@ -4754,10 +4860,10 @@ class TestWriterProtocolGate:
         self._add_commit(
             t,
             [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                           "writerFeatures": ["deletionVectors"]}}],
+                           "writerFeatures": ["icebergCompatV2"]}}],
         )
         df = spark.createDataFrame([(3, "c")], "k long, v string")
-        with pytest.raises(ValueError, match="writerFeatures.*deletionVectors"):
+        with pytest.raises(ValueError, match="writerFeatures.*icebergCompatV2"):
             write_delta(df, t)
         with pytest.raises(ValueError, match="writerFeatures"):
             delete_delta(spark, t, "k = 1")
