@@ -1421,6 +1421,79 @@ def store_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_delta_evolve_mapped",
+    oracle="""
+    SELECT m.cmode, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_priced,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS sum_price
+    FROM orders CROSS JOIN (VALUES ('name'), ('id')) m(cmode)
+    GROUP BY m.cmode, o_orderpriority
+    """,
+)
+def store_delta_evolve_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on COLUMN-MAPPED tables under the hash gate
+    (VERDICT r11 item 5): the store_delta_evolve shape replayed on a
+    NAME-mode and an ID-mode table — even-keyed orders land without a
+    price column, odd-keyed orders append with one via
+    ``merge_schema=True``. The evolved column gets a fresh
+    ``col-<uuid>`` physicalName and a field id ABOVE the table's
+    maxColumnId (metaData re-emits with the bumped id), and OLD files
+    still resolve: in id mode the footer preflight admits a missing id
+    above a file's own maximum (ids are monotone, so the file provably
+    predates the column) and the reader null-fills it. Totals per
+    (mode, priority) are hash-equal to the oracle iff BOTH modes
+    evolved without touching, duplicating, or re-attributing a row.
+    Unit pins: tests/test_sources.py::test_mapped_schema_evolution,
+    tests/test_streaming.py (post-evolution stream null-fill)."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_evolve_cm_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = None
+        for cmode in ("name", "id"):
+            t = f"{work}/tbl_{cmode}"
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                t,
+                column_mapping=cmode,
+            )
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 2 == 1),
+                t,
+                merge_schema=True,
+            )
+            part = (
+                read_delta(spark, t)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    F.count("o_totalprice").alias("n_priced"),
+                    dsum("o_totalprice", scale=6).alias("sum_price"),
+                )
+                .withColumn("cmode", F.lit(cmode))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "store_delta_dv_file",
     oracle="""
     SELECT o_orderpriority,

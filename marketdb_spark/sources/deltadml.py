@@ -317,6 +317,16 @@ def update_delta(
     bad = [c for c in set if c not in types]
     if bad:
         raise ValueError(f"UPDATE of unknown columns {bad} on {table}")
+    from marketdb_spark.sources.deltalog import _identity_fields
+
+    bad_id = sorted(
+        {f.name for f in _identity_fields(schema)} & set.keys()
+    )
+    if bad_id:
+        # delta-spark's rule: identity values are sequence-owned
+        raise ValueError(
+            f"UPDATE cannot set identity column(s) {bad_id} on {table}"
+        )
     # updating a PARTITION column is supported: the rewritten rows simply
     # stage into their new Hive dirs with new partitionValues
     cond = F.expr(condition)
@@ -481,6 +491,30 @@ def merge_delta(
 
     snap = _table_state(table)
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    from marketdb_spark.sources.deltalog import _identity_fields
+
+    idents = _identity_fields(schema)
+    if idents and when_not_matched is not None:
+        # a MERGE insert would have to allocate identity values (or
+        # admit explicit ones) with high-water-mark bookkeeping this
+        # DML path does not do — refuse by name; matched-only merges
+        # rewrite existing values and are fine
+        raise ValueError(
+            f"MERGE with when_not_matched='insert' on {table}: identity "
+            f"column(s) {[f.name for f in idents]} need high-water-mark "
+            f"allocation — insert through write_delta, or pass "
+            f"when_not_matched=None"
+        )
+    for clause in (when_matched, when_not_matched_by_source):
+        if idents and isinstance(clause, dict):
+            bad_id = sorted(
+                {f.name for f in idents} & set(clause.keys())
+            )
+            if bad_id:
+                raise ValueError(
+                    f"MERGE cannot set identity column(s) {bad_id} on "
+                    f"{table}"
+                )
     logical_cols = [f.name for f in schema.fields]
     types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
     bad = [k for k in on if k not in logical_cols or k not in source.columns]

@@ -253,9 +253,9 @@ class _Snapshot(_t.NamedTuple):
 
 # Reader features this engine can consume under protocol v3
 # (PROTOCOL.md "Table Features"). v2Checkpoint is READ-supported
-# (_v2_checkpoint_rows) but deliberately absent from
-# _SUPPORTED_WRITER_FEATURES: a writer on a v2Checkpoint table is
-# obliged to maintain v2 checkpoints, which this engine does not write.
+# (_v2_checkpoint_rows) and WRITE-granted: write_checkpoint emits the
+# sidecar-less v2 layout on tables declaring the feature, so the
+# maintain-v2-checkpoints writer obligation is honored.
 # deletionVectors is READ-supported for all three storage types —
 # inline 'i' plus the on-disk 'u'/'p' file framing (sources/deltadv.py,
 # every framing field verified) — but write-ungranted. Anything else
@@ -307,11 +307,11 @@ def _check_reader_protocol(proto: dict, where: str) -> None:
 
 
 # Writer features this engine can honor under protocol v7 (PROTOCOL.md
-# "Table Features"). invariants / checkConstraints / generatedColumns /
-# identityColumns are accepted as FEATURE NAMES only because the artifact
-# scan below independently raises the moment a table actually DEFINES one
-# (delta-spark emits e.g. `invariants` in writerFeatures even on tables
-# with none defined); deletionVectors / rowTracking etc. stay unsupported.
+# "Table Features"). invariants / checkConstraints / generatedColumns are
+# ENFORCED/VALIDATED row-by-row (_enforce_write_obligations);
+# identityColumns allocate above the recorded high water mark and re-emit
+# the bookkeeping (write_delta._apply_identity); rowTracking etc. stay
+# unsupported.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -339,6 +339,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # vacuum never deletes deletion_vector_*.bin (it only reclaims
     # *.parquet, the same conservative rule as _change_data)
     "deletionVectors",
+    # honored in write_checkpoint: tables declaring the feature get the
+    # sidecar-less UUID-named v2 layout (checkpointMetadata marker +
+    # inline actions) instead of a classic checkpoint
+    "v2Checkpoint",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -346,8 +350,9 @@ _SUPPORTED_WRITER_FEATURES = {
 # readers rely on, so their presence blocks writes. (delta.invariants
 # and delta.generationExpression are NOT here — invariants are ENFORCED
 # at write time and generated columns are VALIDATED value-for-value,
-# see _enforce_write_obligations; identity columns stay blocked — their
-# high-water-mark bookkeeping is genuinely not implemented.)
+# see _enforce_write_obligations; delta.identity.* is not here either —
+# write_delta allocates above the recorded high water mark and re-emits
+# the bookkeeping, DML refuses the identity-touching shapes by name.)
 _WRITER_OBLIGATION_META = ()
 
 
@@ -360,12 +365,14 @@ def _check_writer_protocol(
 
     Raises on: minWriterVersion above 7; v7 without writerFeatures
     (malformed per the protocol) or with features outside
-    _SUPPORTED_WRITER_FEATURES; any identity column
-    (``delta.identity.*``, writer v6) — high-water-mark bookkeeping
-    this writer does not implement, at ANY legacy writer version since
-    v6 implies it; and ``delta.appendOnly=true`` when the operation
-    removes data (delta-spark's DeltaUnsupportedOperationException for
-    DML on append-only tables). CHECK constraints
+    _SUPPORTED_WRITER_FEATURES; and ``delta.appendOnly=true`` when the
+    operation removes data (delta-spark's
+    DeltaUnsupportedOperationException for DML on append-only tables).
+    Identity columns (``delta.identity.*``, writer v6) do NOT block:
+    write_delta allocates above the recorded high water mark / checks
+    allowExplicitInsert and re-emits the bookkeeping (_apply_identity);
+    the DML shapes that would mint values without bookkeeping refuse
+    by name in deltadml. CHECK constraints
     (``delta.constraints.*``, writer v3), column invariants
     (``delta.invariants``, writer v2) and generated columns
     (``delta.generationExpression``, writer v4) do NOT block writes:
@@ -400,9 +407,7 @@ def _check_writer_protocol(
         for f in fields:
             md = f.metadata or {}
             for k in md:
-                if k in _WRITER_OBLIGATION_META or k.startswith(
-                    "delta.identity."
-                ):
+                if k in _WRITER_OBLIGATION_META:
                     offenders.append(f"{prefix}{f.name}:{k}")
             dt = f.dataType
             if isinstance(dt, T.ArrayType):
@@ -624,19 +629,32 @@ def _arrow_field_ids(schema) -> set[int]:
 _FID_VERIFIED: set[tuple] = set()
 
 
-def _require_field_ids(table: str, rels, required: set[int]) -> None:
-    """Preflight id-mode data files: every footer must carry each field
-    id the read schema will ask for (``required`` — the data columns'
-    delta.columnMapping.ids at EVERY nesting level; extra non-table
-    columns like the CDF stager's _change_type legitimately have none
-    and resolve by name). Spark's field-id matcher errors on flat
-    schemas but NULL-FILLS nested ones when a file lacks ids (observed
-    on 4.x) — silently wrong rows, so we verify footers ourselves,
-    nested fields included. Driver-side, one pyarrow footer read (~ms)
-    per file, cached for the process lifetime; a real deployment would
-    fold this into the stats/skipping footer pass."""
+def _require_field_ids(table: str, rels, fields) -> None:
+    """Preflight id-mode data files against the data columns' field-id
+    requirements (``fields``: the non-partition StructFields, whose
+    delta.columnMapping.ids at EVERY nesting level the read will ask
+    for; extra non-table columns like the CDF stager's _change_type
+    legitimately have none and resolve by name). Spark's field-id
+    matcher errors on flat schemas but NULL-FILLS nested ones when a
+    file lacks ids (observed on 4.x) — silently wrong rows, so we
+    verify footers ourselves, nested fields included.
+
+    Per-subtree, to admit the SCHEMA-EVOLUTION shape: ids are assigned
+    monotonically and never reused, so a file may legitimately lack a
+    column's ENTIRE subtree when the column's id exceeds every id the
+    file carries (the file provably predates the column — null-fill by
+    design). But a file CARRYING a column's top-level id must carry
+    every nested id under it (the children were assigned in the same
+    walk), and a top-level id at-or-below the file's own maximum must
+    be present — anything else is a malformed file Spark would silently
+    null-fill.
+
+    Driver-side, one pyarrow footer read (~ms) per file, cached for the
+    process lifetime; a real deployment would fold this into the
+    stats/skipping footer pass."""
     import pyarrow.parquet as pq
 
+    groups = [(_field_id(f), _schema_field_ids([f])) for f in fields]
     for rel in rels:
         full = os.path.join(table, rel)
         st = os.stat(full)
@@ -644,13 +662,20 @@ def _require_field_ids(table: str, rels, required: set[int]) -> None:
         if key in _FID_VERIFIED:
             continue
         present = _arrow_field_ids(pq.read_schema(full))
-        missing = sorted(required - present)
-        if missing:
-            raise ValueError(
-                f"id-mode table {table}: data file {rel} carries no "
-                f"parquet field ids for {missing} — cannot resolve "
-                f"columns by id (refusing to null-fill)"
-            )
+        fmax = max(present, default=-1)
+        for top, sub in groups:
+            if top in present:
+                missing = sorted(sub - present)
+            elif top <= fmax:
+                missing = sorted(sub)
+            else:
+                continue  # the file provably predates this column
+            if missing:
+                raise ValueError(
+                    f"id-mode table {table}: data file {rel} carries no "
+                    f"parquet field ids for {missing} — cannot resolve "
+                    f"columns by id (refusing to null-fill)"
+                )
         _FID_VERIFIED.add(key)
 
 
@@ -793,6 +818,93 @@ def _assign_mapping(schema: T.StructType) -> tuple[T.StructType, int]:
         return T.StructField(f.name, walk_dt(f.dataType), f.nullable, md)
 
     return T.StructType([walk_field(f) for f in schema.fields]), counter
+
+
+def _evolve_mapping(
+    mapped: T.StructType, batch: T.StructType, start: int
+) -> tuple[T.StructType, int]:
+    """mergeSchema on a COLUMN-MAPPED table: the table's fields keep
+    their physicalName/id verbatim (old files resolve unchanged), and
+    the batch's NEW fields get fresh ``col-<uuid>`` physical names and
+    sequential ids ABOVE ``start`` (the table's maxColumnId) at every
+    nesting level — ids are never reused per the protocol, so foreign
+    id-mode files written before a column was dropped can never collide
+    with an evolved column. Returns (evolved schema, new max id)."""
+    import uuid as _uuid
+
+    counter = start
+
+    def walk_dt(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([walk_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk_dt(dt.keyType), walk_dt(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def walk_field(f: T.StructField) -> T.StructField:
+        nonlocal counter
+        counter += 1
+        md = dict(f.metadata or {})
+        md[_CM_ID] = counter
+        md[_CM_PHYS] = f"col-{_uuid.uuid4()}"
+        return T.StructField(f.name, walk_dt(f.dataType), f.nullable, md)
+
+    names = {f.name for f in mapped.fields}
+    new_fields = [
+        walk_field(T.StructField(g.name, g.dataType, True))
+        for g in batch.fields
+        if g.name not in names
+    ]
+    return T.StructType(list(mapped.fields) + new_fields), counter
+
+
+_IDENT_HWM = "delta.identity.highWaterMark"
+
+
+def _identity_fields(schema: T.StructType) -> list[T.StructField]:
+    """Top-level fields carrying ``delta.identity.*`` metadata (writer
+    v6 / identityColumns: identity columns are top-level longs per the
+    protocol)."""
+    return [
+        f
+        for f in schema.fields
+        if any(
+            k.startswith("delta.identity.") for k in (f.metadata or {})
+        )
+    ]
+
+
+def _identity_info(schema: T.StructType, df_cols: list[str]) -> list[dict]:
+    """Per identity column: the bookkeeping needed to allocate/admit
+    values — start, step, allowExplicitInsert, the recorded high water
+    mark, and whether the batch supplies the column."""
+    out = []
+    for f in _identity_fields(schema):
+        md = f.metadata or {}
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"malformed identity column {f.name!r}: step is 0"
+            )
+        allow = md.get("delta.identity.allowExplicitInsert", False)
+        hwm = md.get(_IDENT_HWM)
+        out.append(
+            {
+                "name": f.name,
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": step,
+                "allow": str(allow).lower() == "true",
+                "hwm": int(hwm) if hwm is not None else None,
+                "supplied": f.name in df_cols,
+                "nullable": f.nullable,
+            }
+        )
+    return out
 
 
 def _decode_path(raw: str) -> str:
@@ -1211,9 +1323,7 @@ def _scan_files(
         _require_field_ids(
             table,
             files,
-            _schema_field_ids(
-                [f for f in schema.fields if f.name not in part_cols]
-            ),
+            [f for f in schema.fields if f.name not in part_cols],
         )
     if mapped:
         # name mode: data files store columns under the per-field
@@ -1938,6 +2048,7 @@ def write_delta(
     # requested mode. Under name mode the staged files speak PHYSICAL
     # names while this API and the log's partitionColumns stay logical.
     max_id = 0
+    mapped_evolved_from: str | None = None
     if existing is not None:
         cmode = _mapping_mode(existing.config, table)
         cdf_on = (
@@ -1954,12 +2065,6 @@ def write_delta(
                 f"{table}'s column-mapping mode is {cmode!r}; enabling or "
                 f"changing column mapping on an existing table is "
                 f"unsupported (create-time only)"
-            )
-        if merge_schema and cmode != "none":
-            raise ValueError(
-                f"merge_schema is unsupported on the column-mapped table "
-                f"{table}: schema evolution under column mapping is out "
-                f"of this writer's scope"
             )
         if _contains_ntz(df.schema) and "timestampNtz" not in set(
             (existing.protocol or {}).get("readerFeatures") or []
@@ -1982,11 +2087,35 @@ def write_delta(
         if mapped_schema is not None and _strip_field_metadata(
             mapped_schema
         ) != _strip_field_metadata(df.schema):
-            raise ValueError(
-                f"schema mismatch on column-mapped table {table}: schema "
-                f"evolution under column mapping is unsupported (table "
-                f"has {existing.schema_json}, batch has {df.schema.json()})"
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch on column-mapped table {table}: "
+                    f"table has {existing.schema_json}, batch has "
+                    f"{df.schema.json()} (pass merge_schema=True to "
+                    f"evolve)"
+                )
+            # mergeSchema on a mapped table: validate the overlap (type
+            # conflicts raise), then assign fresh physicalNames/ids to
+            # the NEW columns above the table's maxColumnId — old files
+            # resolve unchanged, metaData re-emits with the bumped id
+            _merge_schemas(
+                _t.cast(
+                    T.StructType, _strip_field_metadata(mapped_schema)
+                ),
+                _t.cast(T.StructType, _strip_field_metadata(df.schema)),
             )
+            try:  # belt and braces: a foreign maxColumnId may lag the
+                # actually-assigned ids; never assign below either
+                seen_max = max(_schema_field_ids(mapped_schema.fields))
+            except ValueError:  # name-mode schemaString without ids
+                seen_max = 0
+            start = max(
+                int(existing.config.get(_CM_MAXID) or 0), seen_max
+            )
+            mapped_schema, max_id = _evolve_mapping(
+                mapped_schema, df.schema, start
+            )
+            mapped_evolved_from = existing.schema_json
     elif column_mapping in ("name", "id"):
         cmode = column_mapping
         cdf_on = bool(enable_cdf)
@@ -1994,6 +2123,77 @@ def write_delta(
     else:
         cmode, mapped_schema = "none", None
         cdf_on = bool(enable_cdf)
+    # identity columns (writer v6): the batch either SUPPLIES values
+    # (allowed only with allowExplicitInsert) or OMITS the column and
+    # gets values allocated above the recorded high water mark
+    # (start/step sequence). The new high water mark is computed from
+    # the STAGED files after staging and re-emitted in metaData inside
+    # the commit loop — where a concurrent hwm bump is a CommitConflict
+    # for generated values (they were minted off a stale mark).
+    identity_info: list[dict] = []
+    if existing is not None:
+        identity_info = _identity_info(
+            T.StructType.fromJson(json.loads(existing.schema_json)),
+            df.columns,
+        )
+        if identity_info and cmode != "none":
+            raise ValueError(
+                f"{table}: identity columns on a column-mapped table "
+                f"are out of this writer's scope"
+            )
+        if identity_info and merge_schema:
+            raise ValueError(
+                f"{table}: mergeSchema on an identity-column table is "
+                f"out of this writer's scope"
+            )
+        for info in identity_info:
+            if info["supplied"] and not info["allow"]:
+                raise ValueError(
+                    f"{table}: identity column {info['name']!r} is "
+                    f"GENERATED ALWAYS (allowExplicitInsert is false) — "
+                    f"explicit values are not allowed; omit the column "
+                    f"to have values allocated"
+                )
+        to_gen = [i for i in identity_info if not i["supplied"]]
+        if to_gen:
+            # allocate hwm + step·rank. row_number over a constant
+            # ordering is a single-partition window — delta-spark
+            # allocates per-partition ranges instead; same values,
+            # different physical plan, swap in at real scale
+            from pyspark.sql import Window as _W
+
+            rn = F.row_number().over(
+                _W.orderBy(F.monotonically_increasing_id())
+            )
+            for info in to_gen:
+                base = (
+                    info["hwm"]
+                    if info["hwm"] is not None
+                    else info["start"] - info["step"]
+                )
+                if info["nullable"]:
+                    # try_add is typed nullable, matching the table
+                    # field's nullability for the structural schema
+                    # compare below (when(lit(True), v) folds to
+                    # non-nullable v at analysis on Spark 4)
+                    val = F.try_add(
+                        F.lit(base),
+                        rn.cast("long") * F.lit(info["step"]),
+                    ).cast("long")
+                else:
+                    val = (
+                        F.lit(base)
+                        + rn.cast("long") * F.lit(info["step"])
+                    ).cast("long")
+                df = df.withColumn(info["name"], val)
+            df = df.select(
+                *[
+                    f.name
+                    for f in T.StructType.fromJson(
+                        json.loads(existing.schema_json)
+                    ).fields
+                ]
+            )
     if existing is not None:
         # CHECK constraints / column invariants: enforced on the batch
         # BEFORE staging (fail fast, no orphan files); new tables have
@@ -2004,6 +2204,10 @@ def write_delta(
         phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}
         stage_renames = []
         for f in mapped_schema.fields:
+            if f.name not in df.columns:
+                # mergeSchema evolution: the batch may omit table
+                # columns — readers null-fill them for the staged files
+                continue
             phys_dt = _physical_datatype(f.dataType, with_ids)
             col = F.col(f.name)
             if phys_dt != _strip_field_metadata(f.dataType):
@@ -2025,6 +2229,30 @@ def write_delta(
     staged = _stage_files(stage_df, table, stage_cols)
     names = [rel for rel, _ in staged]
     spark_df = df.sparkSession
+    # identity bookkeeping input: the extreme value actually STAGED
+    # (max for ascending sequences, min for descending) — one footer
+    # -stat-sized scan of the staged files, never a re-run of the
+    # user's plan
+    staged_ident_ext: dict[str, int] = {}
+    if identity_info and staged:
+        ext = (
+            spark_df.read.parquet(
+                *[os.path.join(table, rel) for rel, _ in staged]
+            )
+            .agg(
+                *[
+                    (
+                        F.max(i["name"]) if i["step"] > 0
+                        else F.min(i["name"])
+                    ).alias(i["name"])
+                    for i in identity_info
+                ]
+            )
+            .first()
+        )
+        for i in identity_info:
+            if ext[i["name"]] is not None:
+                staged_ident_ext[i["name"]] = int(ext[i["name"]])
     all_cdc: list[str] = []  # every CDF file staged across retries
 
     try:
@@ -2120,7 +2348,21 @@ def write_delta(
                             f"unsupported"
                         )
                 elif table_schema != df_schema:
-                    if merge_schema:
+                    if merge_schema and mapped_evolved_from is not None:
+                        # the evolved mapped schema (fresh ids above
+                        # maxColumnId) was computed against the
+                        # pre-stage snapshot; a concurrent schema change
+                        # would make the staged files' physical names /
+                        # ids stale — loud conflict, never a guess
+                        if cur.schema_json != mapped_evolved_from:
+                            raise CommitConflict(
+                                f"mergeSchema on {table} is stale: a "
+                                f"concurrent commit changed the mapped "
+                                f"schema while this batch was staging"
+                            )
+                        evolved_schema = mapped_schema
+                        need_meta = True
+                    elif merge_schema:
                         evolved_schema = _merge_schemas(
                             T.StructType.fromJson(json.loads(schema_json)),
                             df.schema,
@@ -2133,6 +2375,55 @@ def write_delta(
                             f"{df.schema.json()} (pass merge_schema=True "
                             f"to evolve)"
                         )
+            # identity bookkeeping (inside the loop: hwm races are real):
+            # generated values were minted off the pre-stage high water
+            # mark — a concurrent bump means duplicates, loud conflict;
+            # supplied values just push the mark outward (never inward)
+            ident_schema_override: str | None = None
+            if identity_info and latest >= 0:
+                cur_schema_i = T.StructType.fromJson(
+                    json.loads(cur.schema_json)
+                )
+                changed = False
+                patched = []
+                for f in cur_schema_i.fields:
+                    md = dict(f.metadata or {})
+                    info = next(
+                        (
+                            i
+                            for i in identity_info
+                            if i["name"] == f.name
+                        ),
+                        None,
+                    )
+                    if info is not None:
+                        cur_hwm = md.get(_IDENT_HWM)
+                        cur_hwm = (
+                            int(cur_hwm) if cur_hwm is not None else None
+                        )
+                        if not info["supplied"] and cur_hwm != info["hwm"]:
+                            raise CommitConflict(
+                                f"identity allocation on {table} is "
+                                f"stale: a concurrent commit moved "
+                                f"{f.name!r}'s high water mark"
+                            )
+                        ext = staged_ident_ext.get(f.name)
+                        if ext is not None:
+                            if cur_hwm is None:
+                                newh = ext
+                            elif info["step"] > 0:
+                                newh = max(cur_hwm, ext)
+                            else:
+                                newh = min(cur_hwm, ext)
+                            if newh != cur_hwm:
+                                md[_IDENT_HWM] = newh
+                                changed = True
+                    patched.append(
+                        T.StructField(f.name, f.dataType, f.nullable, md)
+                    )
+                if changed:
+                    ident_schema_override = T.StructType(patched).json()
+                    need_meta = True
             if txn_app is not None:
                 # re-check inside the loop: a concurrent replay of the
                 # SAME batch may have won an earlier race iteration
@@ -2233,7 +2524,9 @@ def write_delta(
                             "id": _uuid.uuid4().hex,
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": (
-                                evolved_schema.json()
+                                ident_schema_override
+                                if ident_schema_override is not None
+                                else evolved_schema.json()
                                 if evolved_schema is not None
                                 else mapped_schema.json()
                                 if mapped_schema is not None
@@ -2421,8 +2714,14 @@ def write_checkpoint(
     land before the pointer moves, and an incomplete set (writer died
     mid-way) is ignored by readers per the protocol while the previous
     checkpoint + JSON log still cover the range. ``part_size=None``
-    forces single-part. v2 / UUID checkpoint layouts remain a read-side
-    ERROR, never written."""
+    forces single-part.
+
+    Tables declaring the ``v2Checkpoint`` table feature get the V2
+    layout instead — a sidecar-less UUID-named JSON checkpoint whose
+    first action is the required ``checkpointMetadata`` marker — the
+    writer obligation that makes such tables WRITABLE here, not just
+    readable (the file round-trips through _v2_checkpoint_rows and the
+    foreign-layout tests)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2461,6 +2760,72 @@ def write_checkpoint(
                             int(txn["version"]),
                             txns.get(txn["appId"], -1),
                         )
+
+    if "v2Checkpoint" in (
+        set(snap.protocol.get("readerFeatures") or ())
+        | set(snap.protocol.get("writerFeatures") or ())
+    ):
+        # the v2 writer obligation: UUID-named, checkpointMetadata
+        # marker first, every action inline (sidecar-less — sidecars
+        # are an option for huge tables, not a requirement)
+        import uuid as _uuid
+
+        from urllib.parse import quote
+
+        acts: list[dict] = [{"checkpointMetadata": {"version": version}}]
+        acts.append(
+            {
+                "protocol": {
+                    k: v for k, v in snap.protocol.items() if v is not None
+                }
+            }
+        )
+        acts.append(
+            {
+                "metaData": {
+                    "id": "marketdb-spark",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": part_cols,
+                    "configuration": dict(snap.config or {}),
+                }
+            }
+        )
+        for path, pvals in sorted(live.items()):
+            full = os.path.join(table, path)
+            add: dict = {
+                "path": quote(path, safe="/="),
+                "partitionValues": dict(pvals or {}),
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+            }
+            if path in dvs:
+                add["deletionVector"] = dvs[path]
+            acts.append({"add": add})
+        for app, v in sorted(txns.items()):
+            acts.append({"txn": {"appId": app, "version": v}})
+        for name in sorted(getattr(snap, "domains", None) or {}):
+            dom = snap.domains[name]
+            if dom.get("removed"):
+                continue
+            acts.append(
+                {
+                    "domainMetadata": {
+                        "domain": dom["domain"],
+                        "configuration": dom.get("configuration"),
+                        "removed": False,
+                    }
+                }
+            )
+        ck_name = f"{version:020d}.checkpoint.{_uuid.uuid4()}.json"
+        with open(os.path.join(table, _LOG, ck_name), "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+        _advance_checkpoint_pointer(
+            table, version, {"version": version, "size": len(acts)}
+        )
+        return version
 
     ck_schema = pa.schema(
         [
@@ -2661,11 +3026,22 @@ def write_checkpoint(
                 pa.Table.from_pylist(chunk, schema=ck_schema),
                 os.path.join(table, _LOG, name),
             )
-    # _last_checkpoint must stay MONOTONE: an explicit older `version`
-    # (re-materializing a historical checkpoint) must not move the
-    # pointer backwards — after clean_log anchors retention to the
-    # NEWEST checkpoint and deletes intervening JSON commits, a reader
-    # following a rewound pointer could no longer replay to head.
+    record = {"version": version, "size": len(rows)}
+    if n_parts > 1:
+        record["parts"] = n_parts  # protocol's multi-part marker
+    _advance_checkpoint_pointer(table, version, record)
+    return version
+
+
+def _advance_checkpoint_pointer(
+    table: str, version: int, record: dict
+) -> None:
+    """Move ``_last_checkpoint`` — MONOTONE only: an explicit older
+    ``version`` (re-materializing a historical checkpoint) must not
+    move the pointer backwards — after clean_log anchors retention to
+    the NEWEST checkpoint and deletes intervening JSON commits, a
+    reader following a rewound pointer could no longer replay to
+    head."""
     pointer = os.path.join(table, _LOG, "_last_checkpoint")
     recorded = -1
     if os.path.exists(pointer):
@@ -2676,12 +3052,8 @@ def write_checkpoint(
             recorded = -1  # unreadable pointer: rewrite it
     newest_ckpt = max(_checkpoint_versions(table), default=-1)
     if version >= max(recorded, newest_ckpt):
-        record = {"version": version, "size": len(rows)}
-        if n_parts > 1:
-            record["parts"] = n_parts  # protocol's multi-part marker
         with open(pointer, "w") as f:
             json.dump(record, f)
-    return version
 
 
 def clean_log(table: str) -> list[str]:
@@ -2824,9 +3196,7 @@ def optimize_delta(
         _require_field_ids(
             table,
             [p for paths in todo.values() for p in paths],
-            _schema_field_ids(
-                [f for f in schema.fields if f.name not in part_cols]
-            ),
+            [f for f in schema.fields if f.name not in part_cols],
         )
 
     # rewrite each loose partition into one file; the read-coalesce is

@@ -97,6 +97,7 @@ from pyspark.sql import types as T
 
 from marketdb_spark.sources.deltalog import (
     _LOG,
+    _arrow_field_ids,
     _check_reader_protocol,
     _decode_path,
     _field_id,
@@ -340,12 +341,18 @@ def _tail_adds(
 def _column_by_field_id(tbl, fid: int, logical: str, table: str):
     """Resolve a data column by its parquet field id (column-mapping id
     mode): pyarrow surfaces the file's field ids as PARQUET:field_id
-    field metadata. Missing id → loud error, never a null-filled or
-    name-guessed column."""
+    field metadata. A missing id ABOVE the file's own maximum means the
+    file predates the column (ids are assigned monotonically and never
+    reused) — returns None so the caller null-fills, the
+    schema-evolution contract; a missing id at-or-below the maximum is
+    a malformed file → loud error, never a name-guessed column."""
     for i, fld in enumerate(tbl.schema):
         raw = (fld.metadata or {}).get(b"PARQUET:field_id")
         if raw is not None and int(raw) == fid:
             return tbl.column(i)
+    present = _arrow_field_ids(tbl.schema)  # all nesting levels
+    if present and fid > max(present):
+        return None  # file predates the column: null-fill
     raise ValueError(
         f"id-mode table {table}: no parquet column carries field id "
         f"{fid} (logical column {logical!r}) — file written without "
@@ -787,13 +794,22 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if self.cmode == "id":
                     col = _column_by_field_id(
                         tbl, self.fid_of[f.name], f.name, self.table
-                    ).combine_chunks()
-                    if _contains_struct(f.dataType):
-                        # nested struct fields resolve by field id too
-                        # (matching the batch lane), never positionally
-                        col = _arrow_resolve_by_id(
-                            col, self.pinned_dt[f.name], self.table
-                        )
+                    )
+                    if col is None:  # file predates the evolved column
+                        col = pa.nulls(n, to_arrow_type(f.dataType))
+                    else:
+                        col = col.combine_chunks()
+                        if _contains_struct(f.dataType):
+                            # nested struct fields resolve by field id
+                            # too (matching the batch lane), never
+                            # positionally
+                            col = _arrow_resolve_by_id(
+                                col, self.pinned_dt[f.name], self.table
+                            )
+                elif phys not in tbl.schema.names:
+                    # mergeSchema evolution: pre-evolution files lack
+                    # the column entirely — null-fill by design
+                    col = pa.nulls(n, to_arrow_type(f.dataType))
                 else:
                     col = tbl.column(phys).combine_chunks()
                     if self.cmode == "name" and _contains_struct(
@@ -1134,11 +1150,17 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     if self.cmode == "id":
                         col = _column_by_field_id(
                             tbl, self.fid_of[f.name], f.name, self.table
-                        ).combine_chunks()
-                        if _contains_struct(f.dataType):
-                            col = _arrow_resolve_by_id(
-                                col, self.pinned_dt[f.name], self.table
-                            )
+                        )
+                        if col is None:  # pre-evolution file
+                            col = pa.nulls(n, to_arrow_type(f.dataType))
+                        else:
+                            col = col.combine_chunks()
+                            if _contains_struct(f.dataType):
+                                col = _arrow_resolve_by_id(
+                                    col, self.pinned_dt[f.name], self.table
+                                )
+                    elif phys not in tbl.schema.names:
+                        col = pa.nulls(n, to_arrow_type(f.dataType))
                     else:
                         col = tbl.column(phys).combine_chunks()
                         if self.cmode == "name" and _contains_struct(

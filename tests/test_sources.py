@@ -2327,11 +2327,13 @@ class TestDeltaColumnMapping:
                 spark.createDataFrame([(2, "b")], schema), t,
                 column_mapping="id",
             )
-        # schema evolution on a mapped table: refused (append + overwrite)
+        # schema change on a mapped table without merge_schema: refused
+        # (append + overwrite; with merge_schema appends EVOLVE —
+        # test_mapped_schema_evolution)
         other = spark.createDataFrame([(1.5,)], "x double")
-        with pytest.raises(ValueError, match="column mapping"):
+        with pytest.raises(ValueError, match="column-mapped"):
             write_delta(other, t)
-        with pytest.raises(ValueError, match="column mapping"):
+        with pytest.raises(ValueError, match="column-mapped"):
             write_delta(other, t, mode="overwrite")
         # a foreign id-mode log whose schemaString LACKS the required
         # mapping metadata: loud raise, never a guessed column
@@ -2354,6 +2356,75 @@ class TestDeltaColumnMapping:
             }) + "\n")
         with pytest.raises(ValueError, match="lacks"):
             read_delta(spark, t3)
+
+    def test_mapped_schema_evolution(self, spark, tmp_path):
+        """mergeSchema on COLUMN-MAPPED tables (both modes): the new
+        column gets a fresh col-<uuid> physicalName and an id ABOVE the
+        table's maxColumnId, metaData re-emits with the bumped id, OLD
+        files still resolve (new column null-filled — the id-mode
+        footer preflight admits ids above a file's own maximum), a
+        subset batch appends, and a type conflict still raises."""
+        from pyspark.sql import types as T
+
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        for mode in ("name", "id"):
+            t = str(tmp_path / f"tbl_{mode}")
+            write_delta(
+                spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+                t,
+                column_mapping=mode,
+            )
+            write_delta(
+                spark.createDataFrame(
+                    [(3, "c", 30.0)], "k long, v string, w double"
+                ),
+                t,
+                merge_schema=True,
+            )
+            back = read_delta(spark, t)
+            assert back.columns == ["k", "v", "w"]
+            got = sorted(
+                (r.k, r.v, r.w) for r in back.collect()
+            )
+            assert got == [(1, "a", None), (2, "b", None), (3, "c", 30.0)]
+            snap = _replay(t, None)
+            sch = T.StructType.fromJson(json.loads(snap.schema_json))
+            md = {f.name: dict(f.metadata) for f in sch.fields}
+            ids = {
+                n: int(m["delta.columnMapping.id"]) for n, m in md.items()
+            }
+            assert ids["w"] > max(ids["k"], ids["v"])
+            assert md["w"]["delta.columnMapping.physicalName"].startswith(
+                "col-"
+            )
+            assert int(
+                snap.config["delta.columnMapping.maxColumnId"]
+            ) == ids["w"]
+            # staged files speak physical names (never the logical "w")
+            assert all(
+                f.startswith("col-") or "/" not in f
+                for f in delta_live_files(t)
+            )
+            # subset batch (old columns only) appends post-evolution
+            write_delta(
+                spark.createDataFrame([(4, "d")], "k long, v string"),
+                t,
+                merge_schema=True,
+            )
+            assert read_delta(spark, t).count() == 4
+            # type conflict raises
+            with pytest.raises(ValueError, match="type conflict"):
+                write_delta(
+                    spark.createDataFrame([(9, 1)], "k long, v long"),
+                    t,
+                    merge_schema=True,
+                )
 
     def test_id_mode_writer_roundtrip(self, spark, tmp_path):
         """Column mapping ID mode: files carry parquet field ids
@@ -3815,14 +3886,21 @@ class TestDeltaV2Checkpoint:
         with pytest.raises(ValueError, match="unsupported checkpoint"):
             read_delta(spark, t)
 
-    def test_v2checkpoint_feature_split(self, spark, tmp_path):
-        """readerFeatures ['v2Checkpoint'] is consumable; the WRITER
-        obligation is not implemented, so commits to a v7 table
-        declaring the feature raise instead of leaving stale v2
-        checkpoints behind."""
+    def test_v2checkpoint_writer_obligation(self, spark, tmp_path):
+        """A v7 table declaring v2Checkpoint is WRITABLE: commits land
+        normally and write_checkpoint honors the feature's obligation —
+        it emits the sidecar-less UUID-named v2 JSON layout (leading
+        checkpointMetadata marker, every action inline) instead of a
+        classic checkpoint, and the table replays from it alone after
+        clean_log."""
+        import re
+
         from marketdb_spark.sources.deltalog import (
+            clean_log,
             delta_features,
+            last_txn_version,
             read_delta,
+            write_checkpoint,
             write_delta,
         )
 
@@ -3838,14 +3916,37 @@ class TestDeltaV2Checkpoint:
                 "readerFeatures": ["v2Checkpoint"],
                 "writerFeatures": ["v2Checkpoint"],
             }}) + "\n")
-        assert [tuple(r) for r in read_delta(spark, t).collect()] == [
-            (1, "a")
-        ]
         assert delta_features(t)["unsupported"] == []
-        with pytest.raises(ValueError, match="writerFeatures"):
-            write_delta(
-                spark.createDataFrame([(2, "b")], "k long, v string"), t
+        write_delta(
+            spark.createDataFrame([(2, "b")], "k long, v string"), t,
+            txn_app="app", txn_version=7,
+        )
+        assert write_checkpoint(t) == 2
+        [ck] = [
+            n
+            for n in os.listdir(os.path.join(t, "_delta_log"))
+            if re.fullmatch(
+                r"\d{20}\.checkpoint\."
+                r"[0-9a-f\-]{36}\.json", n
             )
+        ]
+        with open(os.path.join(t, "_delta_log", ck)) as f:
+            acts = [json.loads(l) for l in f if l.strip()]
+        assert acts[0] == {"checkpointMetadata": {"version": 2}}
+        assert any("protocol" in a for a in acts)
+        assert sum(1 for a in acts if "add" in a) >= 2  # all live files
+        removed = clean_log(t)
+        assert removed  # JSON commits <= 2 replaced by the v2 file
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == [(1, "a"), (2, "b")]
+        # txn high-water marks survive the v2 checkpoint
+        assert last_txn_version(t, "app") == 7
+        # and the next commit + checkpoint keep working on top of it
+        write_delta(
+            spark.createDataFrame([(3, "c")], "k long, v string"), t
+        )
+        assert write_checkpoint(t) == 3
+        assert read_delta(spark, t).count() == 3
 
 
 class TestDeletionVectors:
@@ -5018,30 +5119,101 @@ class TestWriterProtocolGate:
             )
         assert read_delta(spark, t).count() == 3
 
-    def test_identity_column_still_blocks(self, spark, tmp_path):
-        """Identity columns stay a refusal: their high-water-mark
-        bookkeeping is genuinely not implemented, and writing around it
-        breaks the sequence for every other writer."""
-        from marketdb_spark.sources.deltalog import write_delta
-
-        t = str(tmp_path / "tbl")
-        self._mk(spark, t)
-        schema = {
+    @staticmethod
+    def _ident_schema(start, step, allow, hwm=None):
+        md = {
+            "delta.identity.start": start,
+            "delta.identity.step": step,
+            "delta.identity.allowExplicitInsert": allow,
+        }
+        if hwm is not None:
+            md["delta.identity.highWaterMark"] = hwm
+        return json.dumps({
             "type": "struct",
             "fields": [
                 {"name": "k", "type": "long", "nullable": True,
-                 "metadata": {"delta.identity.start": 1,
-                              "delta.identity.step": 1,
-                              "delta.identity.allowExplicitInsert": False}},
+                 "metadata": md},
                 {"name": "v", "type": "string", "nullable": True,
                  "metadata": {}},
             ],
-        }
-        self._add_commit(t, [self._meta(t, schema_json=json.dumps(schema))])
-        with pytest.raises(ValueError, match="writer obligations"):
+        })
+
+    def test_identity_generated_always(self, spark, tmp_path):
+        """GENERATED ALWAYS identity (allowExplicitInsert=false): an
+        omitted column allocates hwm+step per row and re-emits the high
+        water mark in metaData (the next write continues from it);
+        explicit values refuse; UPDATE/MERGE shapes that would mint
+        values refuse by name."""
+        from marketdb_spark.sources.deltadml import (
+            merge_delta,
+            update_delta,
+        )
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(
+            t,
+            [self._meta(
+                t, schema_json=self._ident_schema(1, 1, False, hwm=2)
+            )],
+        )
+        write_delta(spark.createDataFrame([("c",)], "v string"), t)
+        write_delta(spark.createDataFrame([("d",), ("e",)], "v string"), t)
+        got = {r.v: r.k for r in read_delta(spark, t).collect()}
+        assert got["c"] == 3 and sorted(
+            (got["d"], got["e"])
+        ) == [4, 5]
+        # the mark was re-emitted and picked back up (4,5 not 4,4)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
             write_delta(
-                spark.createDataFrame([(3, "c")], "k long, v string"), t
+                spark.createDataFrame([(9, "x")], "k long, v string"), t
             )
+        with pytest.raises(ValueError, match="identity column"):
+            update_delta(spark, t, "v = 'c'", {"k": "99"})
+        src = spark.createDataFrame([("zz",)], "v string")
+        with pytest.raises(ValueError, match="high-water-mark"):
+            merge_delta(spark, t, src, ["v"])
+        # matched-only merges rewrite existing values: allowed
+        src2 = spark.createDataFrame([("c",)], "v string")
+        assert (
+            merge_delta(
+                spark, t, src2, ["v"],
+                when_matched={"v": "upper(tgt.v)"},
+                when_not_matched=None,
+            )
+            is not None
+        )
+
+    def test_identity_explicit_and_descending(self, spark, tmp_path):
+        """allowExplicitInsert=true admits supplied values and pushes
+        the mark OUTWARD (never inward); omitted columns continue from
+        the pushed mark; a descending sequence (negative step) tracks
+        the MINIMUM."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        self._add_commit(
+            t, [self._meta(t, schema_json=self._ident_schema(5, 5, True))]
+        )
+        write_delta(
+            spark.createDataFrame([(12, "x")], "k long, v string"), t
+        )
+        write_delta(spark.createDataFrame([("y",)], "v string"), t)
+        got = {r.v: r.k for r in read_delta(spark, t).collect()}
+        assert got["x"] == 12 and got["y"] == 17  # hwm 12, then +5
+        # descending
+        t2 = str(tmp_path / "tbl2")
+        self._mk(spark, t2)
+        self._add_commit(
+            t2,
+            [self._meta(t2, schema_json=self._ident_schema(100, -2, False))],
+        )
+        write_delta(spark.createDataFrame([("a2",)], "v string"), t2)
+        write_delta(spark.createDataFrame([("b2",)], "v string"), t2)
+        got2 = {r.v: r.k for r in read_delta(spark, t2).collect()}
+        assert got2["a2"] == 100 and got2["b2"] == 98
 
 
 class TestAdviceRegressions:

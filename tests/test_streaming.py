@@ -2104,6 +2104,46 @@ class TestDeltaStreamAdmission:
         )
         assert got == want and len(got) == 3
 
+    def test_stream_after_mapped_evolution_null_fills(
+        self, spark, tmp_path
+    ):
+        """A stream opened AFTER mergeSchema evolution on an id-mode
+        table: pre-evolution files lack the new column's field id —
+        the reader null-fills (ids are monotone, so a missing id above
+        the file's own maximum means the file predates the column)."""
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            t,
+            column_mapping="id",
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(3, "c", 30.0)], "k long, v string, w double"
+            ),
+            t,
+            merge_schema=True,
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = read_delta_stream(spark, t)
+        assert stream.schema.fieldNames() == ["k", "v", "w"]
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == want == [(1, "a", None), (2, "b", None), (3, "c", 30.0)]
+
     def test_cdf_stream_equals_batch_and_restarts(self, spark, tmp_path):
         """format("deltacdf"): a stream from startingVersion=0 emits the
         same multiset as batch read_change_feed (derived inserts, cdc
