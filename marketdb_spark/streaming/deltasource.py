@@ -999,6 +999,7 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         cdcs: list[tuple[str, dict]] = []
         adds: list[tuple[str, dict]] = []
         removes: list[tuple[str, dict]] = []
+        dv_adds: list[str] = []
         with open(path) as f:
             for line in f:
                 line = line.strip()
@@ -1012,12 +1013,12 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     )
                 elif "add" in action:
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise ValueError(
-                            f"deltacdf: version {version} of {self.table} "
-                            f"adds a deletion-vector-carrying file"
-                        )
                     if a.get("dataChange") is not False:
+                        if a.get("deletionVector"):
+                            # derivable only if the commit recorded cdc
+                            # files (checked after the parse — cdc
+                            # wins, matching batch read_change_feed)
+                            dv_adds.append(_decode_path(a["path"]))
                         adds.append(
                             (
                                 _decode_path(a["path"]),
@@ -1027,12 +1028,14 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                 elif "remove" in action:
                     r = action["remove"]
                     if r.get("dataChange") is not False:
-                        removes.append(
-                            (
-                                _decode_path(r["path"]),
-                                r.get("partitionValues") or {},
-                            )
-                        )
+                        pv = dict(r.get("partitionValues") or {})
+                        if r.get("deletionVector"):
+                            # the tombstone's descriptor IS the file's
+                            # row set at removal time — the delete rows
+                            # derive as file minus vector (read() masks
+                            # the positions, same as the snapshot leg)
+                            pv[_DV_TAG] = json.dumps(r["deletionVector"])
+                        removes.append((_decode_path(r["path"]), pv))
                 elif "protocol" in action:
                     _check_reader_protocol(
                         {
@@ -1070,6 +1073,13 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     )
                 )
             return out
+        if dv_adds:
+            raise ValueError(
+                f"deltacdf: version {version} of {self.table} adds "
+                f"deletion-vector-carrying files {sorted(set(dv_adds))} "
+                f"and recorded no cdc files (row-level changes need a "
+                f"DV diff)"
+            )
         for rel, pvals in removes:
             full = os.path.join(self.table, rel)
             if not os.path.exists(full):

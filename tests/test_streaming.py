@@ -2144,6 +2144,64 @@ class TestDeltaStreamAdmission:
         want = sorted(tuple(r) for r in read_delta(spark, t).collect())
         assert got == want == [(1, "a", None), (2, "b", None), (3, "c", 30.0)]
 
+    def test_cdf_stream_derives_remove_with_dv(self, spark, tmp_path):
+        """A tailed whole-file DELETE of a DV-carrying file (tombstone
+        carries the descriptor, no cdc — the shape our DML emits on DV
+        tables without CDF) derives in the deltacdf STREAM exactly like
+        batch read_change_feed: delete rows = the file MINUS its vector,
+        never the resurrected full file; a tailed DV-carrying ADD
+        without cdc still raises."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            read_delta_cdf_stream,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(4)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        commit_inline_dv(t, rel, [1, 2])  # v1: live = 0, 3
+        [desc] = [
+            json.loads(l)["add"]["deletionVector"]
+            for l in open(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+            if '"add"' in l
+        ]
+        with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "operation": "DELETE", "timestamp": 1000,
+            }}) + "\n")
+            f.write(json.dumps({"remove": {
+                "path": rel, "dataChange": True, "partitionValues": {},
+                "deletionVector": desc,
+            }}) + "\n")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_cdf_stream(spark, t, startingVersion=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.k, r._change_type)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(0, "delete"), (3, "delete")]
+
     def test_cdf_stream_equals_batch_and_restarts(self, spark, tmp_path):
         """format("deltacdf"): a stream from startingVersion=0 emits the
         same multiset as batch read_change_feed (derived inserts, cdc
