@@ -199,12 +199,25 @@ def _commit_dml(
                     f"{op} of {table} is stale: a concurrent commit "
                     f"changed a rewritten file's deletion vector"
                 )
+        from marketdb_spark.sources.deltalog import _row_tracking_actions
+
+        rt_extras, rt_domain = _row_tracking_actions(
+            table,
+            cur,
+            [rel for rel, _ in staged],
+            latest + 1,
+            data_removing=bool(matched_rels),
+        )
         actions: list[dict] = [_commit_info(op, params)]
+        if rt_domain is not None:
+            actions.append(rt_domain)
         cur_dvs = getattr(cur, "dvs", None) or {}
+        cur_rm = getattr(cur, "row_meta", None) or {}
         for p in sorted(matched_rels):
             rm: dict = {"path": quote(p, safe="/="), "dataChange": True}
             if p in cur_dvs:  # the descriptor rides the tombstone
                 rm["deletionVector"] = cur_dvs[p]
+            rm.update(cur_rm.get(p) or {})
             actions.append({"remove": rm})
         for rel, pvals in staged:
             full = os.path.join(table, rel)
@@ -218,6 +231,7 @@ def _commit_dml(
                             os.path.getmtime(full) * 1000
                         ),
                         "dataChange": True,
+                        **(rt_extras.get(rel) or {}),
                     }
                 }
             )

@@ -249,6 +249,10 @@ class _Snapshot(_t.NamedTuple):
     protocol: dict
     dvs: dict = {}
     domains: dict = {}
+    # per live path: {"baseRowId": long, "defaultRowCommitVersion": long}
+    # for files whose add carried row-tracking fields (PROTOCOL.md "Row
+    # Tracking") — re-emitted by checkpoints and carried on tombstones
+    row_meta: dict = {}
 
 
 # Reader features this engine can consume under protocol v3
@@ -343,6 +347,14 @@ _SUPPORTED_WRITER_FEATURES = {
     # sidecar-less UUID-named v2 layout (checkpointMetadata marker +
     # inline actions) instead of a classic checkpoint
     "v2Checkpoint",
+    # honored via _row_tracking_actions: every new add gets a fresh
+    # baseRowId above the delta.rowTracking domain's rowIdHighWaterMark
+    # plus defaultRowCommitVersion, and the domain re-emits with the
+    # bumped mark; checkpoints re-emit both fields; tombstones carry
+    # them. Tables with delta.enableRowTracking=true additionally
+    # oblige ROW-ID PRESERVATION across rewrites (materialized row-id
+    # columns) — data-REMOVING ops refuse on those, appends work.
+    "rowTracking",
 }
 
 # Schema field-metadata keys that carry writer obligations this engine
@@ -863,6 +875,90 @@ def _evolve_mapping(
     return T.StructType(list(mapped.fields) + new_fields), counter
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_state(snap: "_Snapshot") -> tuple[bool, bool, int]:
+    """(supported, enabled, rowIdHighWaterMark) for the rowTracking
+    table feature (PROTOCOL.md "Row Tracking"): supported = the writer
+    feature is declared (every new add must carry fresh
+    baseRowId/defaultRowCommitVersion and bump the high-water-mark
+    domain); enabled = delta.enableRowTracking=true (row ids are
+    STABLE — rewrites must preserve them, which this engine refuses
+    rather than breaks). hwm is -1 when the domain has never been
+    written (fresh ids then start at 0, per the protocol)."""
+    supported = "rowTracking" in set(
+        (snap.protocol or {}).get("writerFeatures") or ()
+    )
+    enabled = (
+        str((snap.config or {}).get("delta.enableRowTracking", "")).lower()
+        == "true"
+    )
+    hwm = -1
+    dom = (getattr(snap, "domains", None) or {}).get(_ROW_TRACKING_DOMAIN)
+    if dom and not dom.get("removed") and dom.get("configuration"):
+        try:
+            hwm = int(
+                json.loads(dom["configuration"]).get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, TypeError, json.JSONDecodeError):
+            raise ValueError(
+                f"malformed {_ROW_TRACKING_DOMAIN} domain configuration "
+                f"{dom['configuration']!r}"
+            )
+    return supported, enabled, hwm
+
+
+def _row_tracking_actions(
+    table: str, snap: "_Snapshot", staged_rels: list, version: int,
+    data_removing: bool = False,
+) -> tuple[dict, dict | None]:
+    """Row-tracking obligations for a commit adding ``staged_rels`` at
+    ``version``: returns (per-rel add extras {baseRowId,
+    defaultRowCommitVersion}, the bumped delta.rowTracking
+    domainMetadata action or None). Fresh base ids are allocated
+    contiguously above the CURRENT high water mark (the caller
+    recomputes per commit-race iteration, so concurrent writers never
+    reuse ids — the loser replays with the winner's mark); per-file row
+    counts come from one parquet-footer read each. Raises on
+    data-removing ops when delta.enableRowTracking=true — stable row
+    ids would need materialized row-id columns preserved across the
+    rewrite, which this engine refuses rather than silently breaks."""
+    supported, enabled, hwm = _row_tracking_state(snap)
+    if not supported:
+        return {}, None
+    if enabled and data_removing:
+        raise ValueError(
+            f"{table} has delta.enableRowTracking=true: data-removing "
+            f"operations must PRESERVE materialized row ids across the "
+            f"rewrite, which this writer does not implement (appends "
+            f"work; disable row tracking to rewrite)"
+        )
+    import pyarrow.parquet as pq
+
+    extras: dict = {}
+    next_id = hwm + 1
+    for rel in sorted(staged_rels):
+        n = pq.read_metadata(os.path.join(table, rel)).num_rows
+        extras[rel] = {
+            "baseRowId": next_id,
+            "defaultRowCommitVersion": version,
+        }
+        next_id += n
+    domain = {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": next_id - 1}
+            ),
+            "removed": False,
+        }
+    }
+    return extras, domain
+
+
 _IDENT_HWM = "delta.identity.highWaterMark"
 
 
@@ -943,6 +1039,7 @@ def _replay(table: str, version: int | None) -> _Snapshot:
     live: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     domains: dict[str, dict] = {}
+    row_meta: dict[str, dict] = {}
     config: dict = {}
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
 
@@ -961,6 +1058,17 @@ def _replay(table: str, version: int | None) -> _Snapshot:
         # checkpoint schema stores partitionValues as map<string,string>;
         # pyarrow's to_pylist renders maps as (key, value) tuple lists
         live[path] = dict(pv) if isinstance(pv, list) else pv
+        if a.get("baseRowId") is not None:
+            row_meta[path] = {
+                "baseRowId": int(a["baseRowId"]),
+                "defaultRowCommitVersion": (
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None
+                    else None
+                ),
+            }
+        else:
+            row_meta.pop(path, None)
 
     # Start from the newest checkpoint at-or-before `version`, if any —
     # a checkpoint-only table (JSON commits expired by log retention) is
@@ -1015,6 +1123,7 @@ def _replay(table: str, version: int | None) -> _Snapshot:
                     gone = _decode_path(action["remove"]["path"])
                     live.pop(gone, None)
                     dvs.pop(gone, None)
+                    row_meta.pop(gone, None)
                 elif "domainMetadata" in action:
                     dom = action["domainMetadata"]
                     if dom.get("domain"):
@@ -1031,7 +1140,8 @@ def _replay(table: str, version: int | None) -> _Snapshot:
     if schema_json is None:
         raise ValueError(f"no metaData action found in {table}/{_LOG}")
     return _Snapshot(
-        schema_json, part_cols, live, config, protocol, dvs, domains
+        schema_json, part_cols, live, config, protocol, dvs, domains,
+        row_meta,
     )
 
 
@@ -2467,6 +2577,19 @@ def write_delta(
                 )
                 all_cdc.extend(rel for rel, _ in cdc_staged)
             version = latest + 1
+            # rowTracking obligations (recomputed per race iteration:
+            # fresh base ids above the CURRENT high water mark)
+            rt_extras, rt_domain = (
+                _row_tracking_actions(
+                    table,
+                    cur,
+                    [rel for rel, _ in staged],
+                    version,
+                    data_removing=bool(removes),
+                )
+                if latest >= 0
+                else ({}, None)
+            )
             op = (
                 "WRITE"
                 if mode == "append"
@@ -2537,11 +2660,16 @@ def write_delta(
                         }
                     }
                 )
+            if rt_domain is not None:
+                actions.append(rt_domain)
             for p in removes:
                 rm: dict = {"path": quote(p, safe="/="), "dataChange": True}
                 cur_dvs = getattr(cur, "dvs", None) or {}
                 if p in cur_dvs:  # the descriptor rides the tombstone
                     rm["deletionVector"] = cur_dvs[p]
+                rm.update(
+                    (getattr(cur, "row_meta", None) or {}).get(p) or {}
+                )
                 actions.append({"remove": rm})
             for rel, pvals in staged:
                 full = os.path.join(table, rel)
@@ -2558,6 +2686,7 @@ def write_delta(
                                 os.path.getmtime(full) * 1000
                             ),
                             "dataChange": True,
+                            **(rt_extras.get(rel) or {}),
                         }
                     }
                 )
@@ -2738,6 +2867,7 @@ def write_checkpoint(
     snap = _replay(table, version)
     schema_json, part_cols, live = snap.schema_json, snap.part_cols, snap.live
     dvs = getattr(snap, "dvs", None) or {}
+    row_meta = getattr(snap, "row_meta", None) or {}
 
     # per-app txn high-water marks visible at `version`
     txns: dict[str, int] = {}
@@ -2799,6 +2929,7 @@ def write_checkpoint(
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
                 "dataChange": True,
+                **(row_meta.get(path) or {}),
             }
             if path in dvs:
                 add["deletionVector"] = dvs[path]
@@ -2874,6 +3005,10 @@ def write_checkpoint(
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # row-tracking fields survive the checkpoint
+                        # (PROTOCOL.md "Row Tracking")
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         # PROTOCOL.md checkpoint schema: a live file's
                         # deletion-vector descriptor MUST survive the
                         # checkpoint, or every post-clean_log reader
@@ -2960,6 +3095,12 @@ def write_checkpoint(
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": True,
+                    "baseRowId": (row_meta.get(path) or {}).get(
+                        "baseRowId"
+                    ),
+                    "defaultRowCommitVersion": (
+                        row_meta.get(path) or {}
+                    ).get("defaultRowCommitVersion"),
                     "deletionVector": (
                         {
                             "storageType": dvs[path].get("storageType"),
@@ -3340,14 +3481,26 @@ def optimize_delta(
                     f"changed a rewritten file's deletion vector"
                 )
             version = latest + 1
+            rt_extras, rt_domain = _row_tracking_actions(
+                table,
+                cur,
+                [rel for rel, _ in staged],
+                version,
+                data_removing=True,  # compaction breaks STABLE row ids
+            )
             op_params: dict = {"auto": False}
             if zorder_by:
                 op_params["zOrderBy"] = list(zorder_by)
             actions = [_commit_info("OPTIMIZE", op_params)]
+            if rt_domain is not None:
+                actions.append(rt_domain)
             for p in removes:
                 rm = {"path": quote(p, safe="/="), "dataChange": False}
                 if p in dvs:  # the descriptor rides the tombstone
                     rm["deletionVector"] = dvs[p]
+                rm.update(
+                    (getattr(cur, "row_meta", None) or {}).get(p) or {}
+                )
                 actions.append({"remove": rm})
             for rel, pvals in staged:
                 full = os.path.join(table, rel)
@@ -3361,6 +3514,7 @@ def optimize_delta(
                                 os.path.getmtime(full) * 1000
                             ),
                             "dataChange": False,
+                            **(rt_extras.get(rel) or {}),
                         }
                     }
                 )

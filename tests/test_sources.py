@@ -4419,7 +4419,7 @@ class TestDomainMetadata:
         with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
             f.write(json.dumps({"protocol": {
                 "minReaderVersion": 1, "minWriterVersion": 7,
-                "writerFeatures": ["rowTracking"],
+                "writerFeatures": ["icebergCompatV2"],
             }}) + "\n")
         with pytest.raises(ValueError, match="writerFeatures"):
             vacuum_delta(t, min_file_age_seconds=0)
@@ -5118,6 +5118,102 @@ class TestWriterProtocolGate:
                 spark.createDataFrame([(4, "WRONG")], "k long, v string"), t
             )
         assert read_delta(spark, t).count() == 3
+
+    def test_row_tracking_obligations(self, spark, tmp_path):
+        """rowTracking (writer v7): every new add carries a fresh
+        baseRowId above the delta.rowTracking domain's
+        rowIdHighWaterMark plus defaultRowCommitVersion, the domain
+        re-emits with the bumped mark (and survives checkpoint +
+        clean_log), tombstones carry the removed add's fields, DML on a
+        SUPPORTED (not enabled) table allocates fresh ids for its
+        rewrites — and delta.enableRowTracking=true (STABLE ids) makes
+        data-removing ops refuse by name while appends keep working."""
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            clean_log,
+            write_checkpoint,
+            write_delta,
+        )
+
+        def commit_actions(t, v):
+            with open(
+                os.path.join(t, "_delta_log", f"{v:020d}.json")
+            ) as f:
+                return [json.loads(l) for l in f if l.strip()]
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t)
+        # captured before clean_log removes v0 (the enabled-flip below
+        # re-emits it with the config override)
+        base_meta = self._meta(t)
+        self._add_commit(
+            t,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                           "writerFeatures": [
+                               "domainMetadata", "rowTracking",
+                           ]}}],
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(3, "c"), (4, "d"), (5, "e")], "k long, v string"
+            ),
+            t,
+        )
+        acts = commit_actions(t, 2)
+        adds = [a["add"] for a in acts if "add" in a]
+        assert adds and all(
+            a.get("baseRowId") is not None
+            and a["defaultRowCommitVersion"] == 2
+            for a in adds
+        )
+        assert min(a["baseRowId"] for a in adds) == 0  # fresh table: ids from 0
+        [dom] = [
+            a["domainMetadata"] for a in acts if "domainMetadata" in a
+        ]
+        hwm = json.loads(dom["configuration"])["rowIdHighWaterMark"]
+        assert hwm == 2  # 3 staged rows → ids 0..2 across the files
+        # next append continues ABOVE the mark
+        write_delta(spark.createDataFrame([(6, "f")], "k long, v string"), t)
+        adds3 = [
+            a["add"] for a in commit_actions(t, 3) if "add" in a
+        ]
+        assert min(a["baseRowId"] for a in adds3) == hwm + 1
+        # DML on supported-not-enabled: rewrites get fresh ids, the
+        # tombstone carries the removed add's fields
+        delete_delta(spark, t, "k = 3")
+        acts4 = commit_actions(t, 4)
+        rms = [a["remove"] for a in acts4 if "remove" in a]
+        assert any(r.get("baseRowId") is not None for r in rms)
+        adds4 = [a["add"] for a in acts4 if "add" in a]
+        assert all(a["baseRowId"] > hwm for a in adds4)
+        # the mark survives checkpoint + clean_log
+        v = write_checkpoint(t)
+        clean_log(t)
+        snap = _replay(t, None)
+        assert snap.row_meta  # checkpoint re-emitted the fields
+        mark = json.loads(
+            snap.domains["delta.rowTracking"]["configuration"]
+        )["rowIdHighWaterMark"]
+        write_delta(spark.createDataFrame([(7, "g")], "k long, v string"), t)
+        adds5 = [
+            a["add"] for a in commit_actions(t, v + 1) if "add" in a
+        ]
+        assert min(a["baseRowId"] for a in adds5) == mark + 1
+        # enabled (STABLE ids): data-removing ops refuse, appends work
+        flip = {
+            "metaData": {
+                **base_meta["metaData"],
+                "configuration": {
+                    **base_meta["metaData"].get("configuration", {}),
+                    "delta.enableRowTracking": "true",
+                },
+            }
+        }
+        self._add_commit(t, [flip])
+        with pytest.raises(ValueError, match="enableRowTracking"):
+            delete_delta(spark, t, "k = 4")
+        write_delta(spark.createDataFrame([(8, "h")], "k long, v string"), t)
 
     @staticmethod
     def _ident_schema(start, step, allow, hwm=None):
