@@ -275,6 +275,14 @@ _SUPPORTED_READER_FEATURES = {
     # a no-op for readers by definition: the feature only obliges
     # VACUUM to run the writer-protocol gate first (vacuum_delta does)
     "vacuumProtocolCheck",
+    # files written before an ALTER COLUMN TYPE widening carry the
+    # NARROWER physical type; Spark 4's parquet readers promote
+    # int8→…→long, float→double and decimal-precision widenings
+    # natively against the (wider) read schema, and the arrow streaming
+    # lanes cast per column — an unsupported conversion (e.g. a foreign
+    # date→timestampNtz widening) fails loudly at scan, never silently
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 
@@ -347,6 +355,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # sidecar-less UUID-named v2 layout (checkpointMetadata marker +
     # inline actions) instead of a classic checkpoint
     "v2Checkpoint",
+    # vacuously honored: the obligation is to RECORD delta.typeChanges
+    # when widening a column's type, and this writer never changes
+    # types (appends require structural schema equality) — it only
+    # reads tables other writers widened
+    "typeWidening",
+    "typeWidening-preview",
     # honored via _row_tracking_actions: every new add gets a fresh
     # baseRowId above the delta.rowTracking domain's rowIdHighWaterMark
     # plus defaultRowCommitVersion, and the domain re-emits with the

@@ -819,6 +819,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                         # schema order = schemaString order for delta
                         # writers in name mode)
                         col = _arrow_rename(col, to_arrow_type(f.dataType))
+                at = to_arrow_type(f.dataType)
+                if col.type != at:
+                    # pre-widening files carry the NARROWER physical
+                    # type (delta typeWidening); an impossible cast
+                    # raises loudly, never a silent misread
+                    col = col.cast(at)
                 cols.append(col)
             names.append(f.name)
         yield from pa.table(dict(zip(names, cols))).to_batches()
@@ -1179,6 +1185,9 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                             col = _arrow_rename(
                                 col, to_arrow_type(f.dataType)
                             )
+                    at = to_arrow_type(f.dataType)
+                    if col.type != at:
+                        col = col.cast(at)  # typeWidening promotion
                     cols.append(col)
             names.append(f.name)
         yield from pa.table(dict(zip(names, cols))).to_batches()

@@ -617,3 +617,59 @@ def test_capped_planner_restart_and_growth(layout, data):
         for rel, _p, _s in grown[u]
     ]
     assert [rel for _o, rels in more for rel in rels] == new_expect
+
+
+# -- on-disk deletion-vector file framing (sources/deltadv.py) -------------
+
+
+@given(
+    sets=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=1 << 40),
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    prefix=st.sampled_from(["", "ab", "x/y"]),
+    absolute=st.booleans(),
+)
+def test_dv_file_framing_roundtrip(tmp_path_factory, sets, prefix, absolute):
+    """write_dv_file ↔ decode_dv round-trips ANY row-position sets
+    through the protocol's multi-frame file layout (version byte,
+    per-frame big-endian size + MAGIC-roaring payload + CRC-32), in both
+    path encodings ('u' prefix+Z85-UUID and 'p' absolute), and the CRC
+    guard catches a single flipped payload byte in any frame."""
+    import os
+
+    from marketdb_spark.sources.deltadv import (
+        decode_dv,
+        dv_file_path,
+        write_dv_file,
+    )
+
+    table = str(tmp_path_factory.mktemp("dvprop"))
+    rel_rows = {f"f{i}.parquet": rows for i, rows in enumerate(sets)}
+    descs = write_dv_file(table, rel_rows, prefix=prefix, absolute=absolute)
+    for rel, rows in rel_rows.items():
+        got = decode_dv(descs[rel], table, rel)
+        assert got == sorted(set(rows))
+    # all frames live in ONE file
+    paths = {dv_file_path(d, table) for d in descs.values()}
+    assert len(paths) == 1
+    [full] = paths
+    # flip one payload byte of the FIRST non-empty frame: CRC must catch
+    victim = next(
+        (r for r in rel_rows if rel_rows[r]), None
+    )
+    if victim is not None:
+        blob = bytearray(open(full, "rb").read())
+        off = int(descs[victim]["offset"])
+        blob[off + 4] ^= 0xFF
+        with open(full, "wb") as f:
+            f.write(bytes(blob))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC-32|magic|dataSize"):
+            decode_dv(descs[victim], table, victim)

@@ -4526,6 +4526,90 @@ class TestInCommitTimestamps:
         assert all(h["timestamp"] is not None for h in delta_history(t))
 
 
+class TestTypeWidening:
+    """typeWidening table feature: files written BEFORE an ALTER COLUMN
+    TYPE widening keep the narrower physical type; the batch reader
+    promotes them natively (Spark 4 parquet readers) and the streaming
+    lane casts per column. The writer grant is vacuous — this engine
+    never changes types — so appends with the WIDE schema keep
+    working."""
+
+    def test_widened_table_reads_appends_and_streams(
+        self, spark, tmp_path
+    ):
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 1.5, Decimal("1.10")), (2, 2.5, Decimal("2.20"))],
+                "k int, x float, d decimal(5,2)",
+            ),
+            t,
+        )
+        wide = spark.createDataFrame(
+            [(3, 3.5, Decimal("12345678.30"))],
+            "k long, x double, d decimal(10,2)",
+        ).schema.json()
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            md = next(
+                json.loads(l)["metaData"] for l in f if "metaData" in l
+            )
+        md["schemaString"] = wide
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
+            }}) + "\n")
+            f.write(json.dumps({"metaData": md}) + "\n")
+        assert delta_features(t)["unsupported"] == []
+        back = read_delta(spark, t)
+        assert dict(back.dtypes) == {
+            "k": "bigint", "x": "double", "d": "decimal(10,2)",
+        }
+        assert sorted((r.k, r.x, str(r.d)) for r in back.collect()) == [
+            (1, 1.5, "1.10"), (2, 2.5, "2.20"),
+        ]
+        # appends with the WIDE schema work (the writer never widens,
+        # it only matches the current schema)
+        write_delta(
+            spark.createDataFrame(
+                [(3, 3.5, Decimal("12345678.30"))],
+                "k long, x double, d decimal(10,2)",
+            ),
+            t,
+        )
+        assert read_delta(spark, t).count() == 3
+        # the stream promotes pre-widening files per column
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.k, r.x, str(r.d))
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            (1, 1.5, "1.10"), (2, 2.5, "2.20"), (3, 3.5, "12345678.30"),
+        ]
+
+
 class TestDeltaTimestampNtz:
     """timestampNtz table feature: create-time protocol emission,
     round trip, the feature-blind-writer guard, and the streaming leg

@@ -2326,7 +2326,7 @@ class TestDeltaStreamAdmission:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["typeWidening"],
+                            "readerFeatures": ["variantType"],
                         }
                     }
                 )
