@@ -1217,15 +1217,14 @@ def delta_features(table: str) -> dict:
     ``unsupported`` names every feature outside this reader's documented
     scope (module docstring): a minReaderVersion above 3, any declared
     readerFeature not in _SUPPORTED_READER_FEATURES,
-    a deletion-vector flag in the table configuration (PARTIAL support:
-    batch reads decode all three DV storage types, the streaming
-    snapshot legs apply them, and the write paths
-    materialize-on-rewrite (sources/deltadv.py, DML/OPTIMIZE/
-    checkpoint) — but this engine never CREATES a DV, and a TAILED
-    commit adding a DV-carrying file raises since its row-level change
-    needs a DV diff; so a DV-producing upstream writer makes the table
-    not fully streamable and the flag stays listed), and unreadable
-    checkpoint layouts. Column mapping (name AND id modes) and v2/UUID
+    and unreadable
+    checkpoint layouts. Deletion vectors are NOT listed: all three
+    storage types decode, the streaming legs (snapshot AND tail) mask
+    the deleted positions, and the write paths materialize-on-rewrite
+    (sources/deltadv.py, DML/OPTIMIZE/checkpoint/vacuum) — this engine
+    just never CREATES a DV. The one DV hole left is batch
+    read_change_feed over a foreign DV-ADD commit without cdc files,
+    which raises by name (a row-level change needs a DV diff). Column mapping (name AND id modes) and v2/UUID
     checkpoints are supported and not listed. Empty list ⇒ the batch
     reader and deltastream source can consume the table."""
     proto: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
@@ -1287,8 +1286,6 @@ def delta_features(table: str) -> dict:
         # name mode AND id mode are READ/WRITE supported (read_delta,
         # write_delta, deltastream — id resolves by parquet field id)
         unsupported.append(f"columnMapping:{cmode}")
-    if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
-        unsupported.append("deletionVectors")
     unsupported = sorted(set(unsupported))
     return {
         "protocol": proto,

@@ -51,13 +51,14 @@ it:
 
 Tail commits are also GATED against mid-stream table upgrades (same
 policy as the batch reader's _replay, deltalog.py): a ``protocol``
-action declaring features this engine cannot consume (deletion
-vectors — anything past column mapping and v2 checkpoints) raises
-instead of tailing DV-carrying adds as full files, and a ``metaData``
-action
+action declaring features this engine cannot consume raises, and a
+``metaData`` action
 whose schema, partitionColumns, or column-mapping mode differ from the
 stream's pinned state raises instead of misreading new files with the
-old schema. Column-mapped tables stream natively in BOTH modes: data
+old schema. Deletion-vector-carrying adds emit the file MINUS its
+vector (positions masked executor-side, in the snapshot AND the tail);
+a DV rewrite pairs with a dataChange remove, so it needs the same
+ignoreChanges opt-in as any rewrite. Column-mapped tables stream natively in BOTH modes: data
 files and partitionValues speak physical names, the emitted schema is
 logical (mapping metadata stripped), nested struct fields are renamed
 executor-side on the Arrow buffers (positionally in name mode, by the
@@ -237,12 +238,15 @@ def _tail_adds(
 ) -> list[tuple[str, dict, int]]:
     """The (path, partitionValues, size) adds of ONE tail commit,
     honoring dataChange under ``mode`` (module docstring), and gating on
-    mid-stream table upgrades: a protocol bump past minReaderVersion 1
-    or a metaData action that changes the pinned schema/partitioning
-    raises — same policy as the batch reader (deltalog._replay), so an
-    external writer enabling deletion vectors or remapping columns
-    mid-tail fails loudly instead of emitting deleted rows or misread
-    files."""
+    mid-stream table upgrades: a protocol bump declaring unconsumable
+    features or a metaData action that changes the pinned
+    schema/partitioning raises — same policy as the batch reader
+    (deltalog._replay) — so an external writer remapping columns
+    mid-tail fails loudly instead of misreading files. DV-carrying adds
+    emit the file MINUS its vector (descriptor tagged through
+    partitionValues, applied in read()); a DV rewrite pairs with a
+    dataChange remove and therefore still needs the ignoreChanges
+    opt-in like any rewrite."""
     path = _commit_path(table, version)
     if not os.path.exists(path):
         raise ValueError(
@@ -261,17 +265,23 @@ def _tail_adds(
             action = json.loads(line)
             if "add" in action:
                 a = action["add"]
-                if a.get("deletionVector"):
-                    raise ValueError(
-                        f"deltastream: version {version} of {table} adds "
-                        f"a deletion-vector-carrying file — a DV-blind "
-                        f"tail would emit deleted rows"
-                    )
                 if a.get("dataChange") is not False:
+                    pv = dict(a.get("partitionValues") or {})
+                    if a.get("deletionVector"):
+                        # the tail emits the file MINUS its vector
+                        # (read() masks the positions, like the
+                        # snapshot leg): a fresh DV-carrying add
+                        # appends exactly its live rows; a DV REWRITE
+                        # (paired with a dataChange remove) re-delivers
+                        # surviving rows under ignoreChanges —
+                        # delta-spark's at-least-once — and still
+                        # raises without the opt-in via the
+                        # change-remove gate below
+                        pv[_DV_TAG] = json.dumps(a["deletionVector"])
                     adds.append(
                         (
                             _decode_path(a["path"]),
-                            a.get("partitionValues") or {},
+                            pv,
                             int(a.get("size") or 0),
                         )
                     )

@@ -1829,15 +1829,11 @@ class TestDeltaLogEdges:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
         feats = delta_features(alien)
-        assert not feats["streamable"]
-        # the DV CONFIG flag is the (partial-support) blocker — inline
-        # DVs batch-read, but on-disk DVs and the streaming/writer legs
-        # don't; the readerFeature itself is consumable and NOT listed,
-        # and columnMapping (name mode) is fully supported
-        assert "deletionVectors" in feats["unsupported"]
-        assert not any("readerFeature:" in u for u in feats["unsupported"])
-        assert not any("columnMapping" in u for u in feats["unsupported"])
-        assert not any("minReaderVersion" in u for u in feats["unsupported"])
+        # deletion vectors are fully consumable since round 12 (batch,
+        # stream snapshot+tail, write paths materialize-on-rewrite), so
+        # the config flag is NOT a blocker; columnMapping (name mode)
+        # is fully supported too — this alien table is streamable
+        assert feats["streamable"] and feats["unsupported"] == []
         # a CORRUPT v2/UUID checkpoint (empty file, no checkpointMetadata):
         # reported as a blocker, not raised — valid v2 layouts are
         # readable (TestDeltaV2Checkpoint)

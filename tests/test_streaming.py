@@ -2144,6 +2144,53 @@ class TestDeltaStreamAdmission:
         want = sorted(tuple(r) for r in read_delta(spark, t).collect())
         assert got == want == [(1, "a", None), (2, "b", None), (3, "c", 30.0)]
 
+    def test_tail_dv_rewrite_needs_ignore_changes_and_masks(
+        self, spark, tmp_path
+    ):
+        """A mid-stream DV DELETE (remove + re-add with the vector) is a
+        REWRITE: the strict tail raises via the change-remove gate, and
+        with ignoreChanges the re-emitted file arrives MINUS its vector
+        — the surviving rows, delta-spark's at-least-once, never the
+        resurrected full file."""
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import read_delta_stream
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(6).selectExpr("id AS k").coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+        )
+        [rel] = delta_live_files(t)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def drain(**opts):
+            q = (
+                read_delta_stream(spark, t, **opts)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+                if q.exception() is not None:
+                    raise q.exception()
+            finally:
+                q.stop()
+
+        drain(ignoreChanges="true")  # snapshot: 6 rows
+        commit_inline_dv(t, rel, [1, 4])
+        drain(ignoreChanges="true")  # rewrite re-emits SURVIVING rows
+        got = sorted(r.k for r in spark.read.parquet(out).collect())
+        # 6 snapshot rows + the 4 surviving rows re-delivered
+        assert got == [0, 0, 1, 2, 2, 3, 3, 4, 5, 5]
+
     def test_cdf_stream_derives_remove_with_dv(self, spark, tmp_path):
         """A tailed whole-file DELETE of a DV-carrying file (tombstone
         carries the descriptor, no cdc — the shape our DML emits on DV
@@ -2306,11 +2353,11 @@ class TestDeltaStreamAdmission:
 
     def test_mid_stream_protocol_upgrade_raises(self, spark, tmp_path):
         """An external writer declaring an unconsumable feature mid-tail
-        must raise, not misread new files; a DV-CARRYING add raises
-        per-add even though the deletionVectors readerFeature itself is
-        consumable (the batch reader and the streaming SNAPSHOT leg
-        apply DVs; a tailed DV add is a row-level change the
-        append-shaped tail cannot represent)."""
+        must raise, not misread new files; a DV-CARRYING add plans with
+        its descriptor tagged through partitionValues so read() masks
+        the deleted positions (a fresh DV add appends exactly its live
+        rows; rewrites still need ignoreChanges via the change-remove
+        gate)."""
         from marketdb_spark.sources.deltalog import write_delta
         from marketdb_spark.streaming.deltasource import (
             _commit_path,
@@ -2347,8 +2394,8 @@ class TestDeltaStreamAdmission:
             )
         with pytest.raises(ValueError, match="readerFeatures"):
             _tail_adds(t, 1)
-        # DV-carrying tail add: the per-add gate raises regardless of
-        # the (consumable) feature declaration
+        # DV-carrying tail add: planned with the descriptor tagged so
+        # read() masks the deleted positions
         t2 = str(tmp_path / "tbl2")
         write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), t2)
         with open(_commit_path(t2, 1), "w") as f:
@@ -2371,8 +2418,9 @@ class TestDeltaStreamAdmission:
                 )
                 + "\n"
             )
-        with pytest.raises(ValueError, match="deletion-vector"):
-            _tail_adds(t2, 1)
+        [(rel2, pv2, _sz2)] = _tail_adds(t2, 1)
+        assert rel2 == "x.parquet"
+        assert json.loads(pv2["__dv_descriptor"])["storageType"] == "i"
         # a columnMapping-only feature set passes the PROTOCOL gate (the
         # metaData gate still guards the actual remap); v4 never does
         with open(_commit_path(t, 2), "w") as f:
