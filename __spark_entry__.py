@@ -290,11 +290,37 @@ _DRIVER_CHECKED_R11 = frozenset({
     "udtf_text_parts", "win_range_frame",
 })
 
+# Round-12 window (CORRECTNESS_r12.json): all 50 green — including both
+# queries added in round 12 (store_delta_dv_file, store_delta_evolve_mapped)
+# plus re-attestations of the stalest r5/r6 rows (corpus_*, dedup_*,
+# stream_*, ts_* families).
+_DRIVER_CHECKED_R12 = frozenset({
+    "corpus_mixture_weights", "corpus_shard_assign",
+    "corpus_token_budget", "dedup_cluster_chain", "dedup_containment",
+    "dedup_edit_distance", "dedup_incremental_exact",
+    "dedup_semantic_pairs", "dedup_simhash_pairs", "dedup_source_matrix",
+    "doc_domain_caps", "embed_kmeans_clusters", "embed_quantize_int8",
+    "graph_pagerank_dedup", "mm_arrow_features", "mm_frame_sample",
+    "mm_resize_pixels", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "sim_knn_graph", "store_bucketed_join",
+    "store_compact_retention", "store_delta_checkpoint",
+    "store_delta_dv_file", "store_delta_evolve_mapped",
+    "store_deltalog_scan", "store_merge_upsert", "store_rtszip_scan",
+    "store_snapshot_scan", "store_zorder_scan", "stream_delta_ingest",
+    "stream_late_drop_audit", "stream_queue_ingest",
+    "stream_restart_recovery", "stream_sliding_windows",
+    "stream_snapshot_ingest", "stream_stateful_fold",
+    "stream_static_enrich", "ts_asof_nearest", "ts_changepoint_cusum",
+    "ts_corr_series", "ts_linreg_trend", "ts_mad_outliers",
+    "ts_resample_interp", "ts_vwap_hourly", "udf_cogrouped_funnel",
+    "udf_grouped_minmax_scale", "win_gaps_islands", "win_rolling_median",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
     | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09 | _DRIVER_CHECKED_R10
-    | _DRIVER_CHECKED_R11
+    | _DRIVER_CHECKED_R11 | _DRIVER_CHECKED_R12
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
@@ -325,7 +351,7 @@ _ROUND_WINDOWS = (
     _DRIVER_CHECKED_R01_R02, _DRIVER_CHECKED_R03, _DRIVER_CHECKED_R04,
     _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
     _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09, _DRIVER_CHECKED_R10,
-    _DRIVER_CHECKED_R11,
+    _DRIVER_CHECKED_R11, _DRIVER_CHECKED_R12,
 )
 
 
