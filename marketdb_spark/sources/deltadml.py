@@ -190,9 +190,16 @@ def _commit_dml(
                 f"a file this operation rewrote"
             )
         if read_dvs is not None:
+            from marketdb_spark.sources.deltadv import dv_descriptor_key
+
             cur_dvs_chk = getattr(cur, "dvs", None) or {}
+            # 5-field protocol projection: a checkpoint landing between
+            # the read and the commit strips writer extras (uniqueId)
+            # from replayed descriptors — verbatim dict compare would
+            # raise a spurious conflict for an unchanged DV
             if any(
-                cur_dvs_chk.get(p) != read_dvs.get(p)
+                dv_descriptor_key(cur_dvs_chk.get(p))
+                != dv_descriptor_key(read_dvs.get(p))
                 for p in matched_rels
             ):
                 raise CommitConflict(

@@ -250,6 +250,24 @@ def encode_inline_dv(rows) -> dict:
     }
 
 
+_DV_DESCRIPTOR_FIELDS = (
+    "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality",
+)
+
+
+def dv_descriptor_key(desc: dict | None) -> tuple | None:
+    """The 5-field protocol projection of a deletion-vector descriptor,
+    for equality checks (PROTOCOL.md "Deletion Vector Descriptor
+    Schema"): JSON commits may carry writer extras (uniqueId,
+    maxRowIndex) that a classic-parquet checkpoint replay strips — a
+    verbatim dict compare would flag an unchanged DV as concurrently
+    changed whenever a checkpoint lands between the read and the
+    commit."""
+    if desc is None:
+        return None
+    return tuple(desc.get(k) for k in _DV_DESCRIPTOR_FIELDS)
+
+
 # -- on-disk DV files (PROTOCOL.md "Deletion Vector File Storage Format") --
 #
 # A DV FILE starts with a single format-version byte (currently 1),

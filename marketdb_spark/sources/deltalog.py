@@ -2085,16 +2085,16 @@ def write_delta(
     column_mapping, the flag is create-time only (existing tables adopt
     their recorded configuration).
 
-    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option, append
-    form): an append whose DataFrame carries NEW columns re-emits
-    metaData with the UNION schema — existing fields keep their exact
-    types (a same-name type conflict raises), new fields append as
-    nullable, and rows from pre-evolution files read back with NULLs in
-    the new columns (the parquet reader fills missing columns). Batches
-    may also OMIT existing nullable columns. Append-only; unsupported
-    under column mapping (physical-name assignment for new fields is a
-    table-feature write this engine doesn't claim) and meaningless with
-    replace_where (which never changes the schema)."""
+    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option): a
+    batch carrying NEW columns re-emits metaData with the UNION schema
+    — existing fields keep their exact types (a same-name type conflict
+    raises), new fields append as nullable, and rows from
+    pre-evolution files (append) or the merged schema's old-only
+    columns (overwrite) read back as NULLs (the parquet reader fills
+    missing columns). Batches may also OMIT existing nullable columns.
+    Works under column mapping in both modes (new fields get fresh
+    physicalNames/ids above maxColumnId); meaningless with
+    replace_where (which never changes the schema) and raises there."""
     import uuid as _uuid
 
     from urllib.parse import quote
@@ -2103,10 +2103,10 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    if merge_schema and mode != "append":
+    if merge_schema and replace_where is not None:
         raise ValueError(
-            "merge_schema applies to append mode only (an overwrite "
-            "already replaces the schema wholesale)"
+            "merge_schema cannot combine with replace_where (which "
+            "never changes the schema)"
         )
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be set together")
@@ -2323,24 +2323,34 @@ def write_delta(
     if mapped_schema is not None:
         with_ids = cmode == "id"
         phys_of = {f.name: _physical_name(f) for f in mapped_schema.fields}
-        stage_renames = []
-        for f in mapped_schema.fields:
-            if f.name not in df.columns:
-                # mergeSchema evolution: the batch may omit table
-                # columns — readers null-fill them for the staged files
-                continue
-            phys_dt = _physical_datatype(f.dataType, with_ids)
-            col = F.col(f.name)
-            if phys_dt != _strip_field_metadata(f.dataType):
-                col = col.cast(phys_dt)  # positional nested rename; under
-                #                          id mode the cast target carries
-                #                          nested parquet.field.id metadata
-            stage_renames.append(
-                col.alias(
-                    phys_of[f.name],
-                    metadata={_PARQUET_FID: _field_id(f)} if with_ids else None,
+
+        def _stage_select(present: list[str]) -> list:
+            """Logical→physical rename list over the mapped fields that
+            exist in ``present`` (mergeSchema evolution: the batch may
+            omit table columns — readers null-fill them for the staged
+            files; cdc staging passes the union frame's columns)."""
+            cols = []
+            for f in mapped_schema.fields:
+                if f.name not in present:
+                    continue
+                phys_dt = _physical_datatype(f.dataType, with_ids)
+                col = F.col(f.name)
+                if phys_dt != _strip_field_metadata(f.dataType):
+                    col = col.cast(phys_dt)  # positional nested rename;
+                    #                          under id mode the cast target
+                    #                          carries nested parquet.field.id
+                    #                          metadata
+                cols.append(
+                    col.alias(
+                        phys_of[f.name],
+                        metadata=(
+                            {_PARQUET_FID: _field_id(f)} if with_ids else None
+                        ),
+                    )
                 )
-            )
+            return cols
+
+        stage_renames = _stage_select(df.columns)
         stage_df = df.select(stage_renames)
         stage_cols = [phys_of[c] for c in part_cols]
     else:
@@ -2461,12 +2471,36 @@ def write_delta(
                 elif mode == "overwrite":
                     removes = sorted(live)
                     need_meta = table_schema != df_schema
-                    if need_meta and cmode == "name":
-                        raise ValueError(
-                            f"overwrite cannot change the schema of the "
-                            f"column-mapped table {table}: schema "
-                            f"evolution under column mapping is "
-                            f"unsupported"
+                    if mapped_evolved_from is not None:
+                        # schema-evolving overwrite on a mapped table:
+                        # same staleness rule as the append branch —
+                        # the evolved schema (fresh ids above
+                        # maxColumnId) was computed against the
+                        # pre-stage snapshot
+                        if cur.schema_json != mapped_evolved_from:
+                            raise CommitConflict(
+                                f"mergeSchema on {table} is stale: a "
+                                f"concurrent commit changed the mapped "
+                                f"schema while this batch was staging"
+                            )
+                        evolved_schema = mapped_schema
+                        need_meta = True
+                    elif need_meta and cmode in ("name", "id"):
+                        # stage-time schemas matched, commit-loop
+                        # schemas differ: a concurrent schema change —
+                        # the staged files speak stale physical names
+                        raise CommitConflict(
+                            f"overwrite of column-mapped {table} is "
+                            f"stale: a concurrent commit changed the "
+                            f"table schema while this batch was staging"
+                        )
+                    elif need_meta and merge_schema:
+                        # overwrite + mergeSchema (delta-spark): the
+                        # UNION schema — old-only columns survive in
+                        # metaData and read back NULL for the new files
+                        evolved_schema = _merge_schemas(
+                            T.StructType.fromJson(json.loads(schema_json)),
+                            df.schema,
                         )
                 elif table_schema != df_schema:
                     if merge_schema and mapped_evolved_from is not None:
@@ -2565,14 +2599,24 @@ def write_delta(
                     spark_df, table, cur, {p: live[p] for p in removes}
                 ).withColumn("_change_type", F.lit("delete"))
                 # a schema-changing overwrite stages the NEW schema: the
-                # insert postimages must be read with the batch schema,
-                # not the pre-overwrite snapshot's (which would drop new
-                # columns and NULL-fill removed ones into the feed)
-                ins_snap = (
-                    cur._replace(schema_json=df.schema.json())
-                    if need_meta and mapped_schema is None
-                    else cur
-                )
+                # insert postimages must be read with the batch schema —
+                # under column mapping, with the EVOLVED mapped schema
+                # (its physical names/ids are what the staged files
+                # speak) — never the pre-overwrite snapshot's (which
+                # would drop new columns and NULL-fill removed ones
+                # into the feed)
+                if need_meta and mapped_schema is not None:
+                    ins_snap = cur._replace(
+                        schema_json=mapped_schema.json()
+                    )
+                elif need_meta and evolved_schema is not None:
+                    ins_snap = cur._replace(
+                        schema_json=evolved_schema.json()
+                    )
+                elif need_meta:
+                    ins_snap = cur._replace(schema_json=df.schema.json())
+                else:
+                    ins_snap = cur
                 inserts_df = _scan_files(
                     spark_df, table, ins_snap, dict(staged)
                 ).withColumn("_change_type", F.lit("insert"))
@@ -2580,8 +2624,12 @@ def write_delta(
                     inserts_df, allowMissingColumns=True
                 )
                 if mapped_schema is not None:
+                    # rebuilt over the union frame's columns: an evolved
+                    # overwrite's delete preimages carry old-only
+                    # columns the batch rename list would drop
                     cdc_df = cdc_df.select(
-                        list(stage_renames) + [F.col("_change_type")]
+                        _stage_select(cdc_df.columns)
+                        + [F.col("_change_type")]
                     )
                 cdc_staged = _stage_files(
                     cdc_df, table, stage_cols, prefix=_CDF_DIR
@@ -2939,7 +2987,10 @@ def write_checkpoint(
                 "partitionValues": dict(pvals or {}),
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
-                "dataChange": True,
+                # checkpoint adds restate state, they don't change it —
+                # dataChange false so change-only consumers (foreign
+                # CDF/streaming readers) ignore them per the protocol
+                "dataChange": False,
                 **(row_meta.get(path) or {}),
             }
             if path in dvs:
@@ -3105,7 +3156,8 @@ def write_checkpoint(
                     "partitionValues": list((pvals or {}).items()),
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
-                    "dataChange": True,
+                    # restated state, not a change (see the v2 writer)
+                    "dataChange": False,
                     "baseRowId": (row_meta.get(path) or {}).get(
                         "baseRowId"
                     ),
@@ -3483,10 +3535,17 @@ def optimize_delta(
                     f"optimize of {table} is stale: a concurrent commit "
                     f"removed rewritten files or changed the partitioning"
                 )
-            if any(dvs2.get(p) != dvs.get(p) for p in removes):
+            from marketdb_spark.sources.deltadv import dv_descriptor_key
+
+            if any(
+                dv_descriptor_key(dvs2.get(p)) != dv_descriptor_key(dvs.get(p))
+                for p in removes
+            ):
                 # a concurrent DV commit soft-deleted more rows from a
                 # file this compaction already materialized — committing
-                # would resurrect them
+                # would resurrect them (compared on the 5-field protocol
+                # projection: a checkpoint between read and commit strips
+                # writer extras like uniqueId)
                 raise CommitConflict(
                     f"optimize of {table} is stale: a concurrent commit "
                     f"changed a rewritten file's deletion vector"

@@ -1959,13 +1959,19 @@ class TestDeltaLogEdges:
                                       "k long, v string, w double, q string"),
                 t,  # no merge_schema: strict
             )
-        with pytest.raises(ValueError, match="append mode only"):
-            write_delta(
-                spark.createDataFrame([(1,)], "k long"),
-                t,
-                mode="overwrite",
-                merge_schema=True,
-            )
+        # overwrite + mergeSchema (delta-spark semantics): the UNION
+        # schema survives — old-only columns read back NULL
+        from marketdb_spark.sources.deltalog import read_delta as _rd
+
+        write_delta(
+            spark.createDataFrame([(42,)], "k long"),
+            t,
+            mode="overwrite",
+            merge_schema=True,
+        )
+        back = _rd(spark, t)
+        assert back.columns == ["k", "v", "w"]
+        assert [tuple(r) for r in back.collect()] == [(42, None, None)]
 
     def test_version_at_scans_whole_commit_for_commitinfo(
         self, spark, tmp_path
@@ -5500,3 +5506,142 @@ class TestAdviceRegressions:
         assert out2[0].as_py() is None and out2[1].as_py() == [
             ("b", {"c": 2})
         ]
+
+
+class TestAdviceRegressionsR13:
+    """Round-13 regressions for the r12 ADVICE findings."""
+
+    def test_cdf_mapped_evolving_overwrite_postimages(self, spark, tmp_path):
+        """A schema-evolving overwrite (mergeSchema) on a COLUMN-MAPPED
+        CDF table must stage insert postimages under the EVOLVED mapped
+        schema — the new column's values reach the change feed (old
+        ADVICE: ins_snap fell back to the pre-evolution snapshot
+        whenever the table was mapped, silently dropping them) — and
+        the delete preimages keep the old columns."""
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            read_delta,
+            write_delta,
+        )
+
+        for mode in ("name", "id"):
+            t = str(tmp_path / f"tbl_{mode}")
+            write_delta(
+                spark.createDataFrame([(1, "a")], "k long, v string"),
+                t,
+                enable_cdf=True,
+                column_mapping=mode,
+            )
+            write_delta(
+                spark.createDataFrame(
+                    [(9, "z", 7.5)], "k long, v string, w double"
+                ),
+                t,
+                mode="overwrite",
+                merge_schema=True,
+            )
+            back = read_delta(spark, t)
+            assert back.columns == ["k", "v", "w"]
+            assert [tuple(r) for r in back.collect()] == [(9, "z", 7.5)]
+            cf = read_change_feed(spark, t, 1, 1)
+            rows = {r._change_type: r for r in cf.collect()}
+            assert rows["insert"].k == 9 and rows["insert"].w == 7.5
+            assert rows["delete"].k == 1 and rows["delete"].v == "a"
+            assert rows["delete"].w is None
+
+    def test_checkpoint_adds_carry_datachange_false(self, spark, tmp_path):
+        """Checkpoint add actions restate state, they don't change it:
+        both the classic parquet layout and the v2 JSON layout must
+        write dataChange: false so change-only consumers (foreign CDF /
+        streaming readers) ignore them (old ADVICE: both wrote true)."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        schema = "k long, v string"
+        t = str(tmp_path / "classic")
+        write_delta(spark.createDataFrame([(1, "a")], schema), t)
+        write_delta(spark.createDataFrame([(2, "b")], schema), t)
+        v = write_checkpoint(t)
+        rows = pq.read_table(
+            os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+        adds = [r["add"] for r in rows if r.get("add")]
+        assert adds and all(a["dataChange"] is False for a in adds)
+        assert read_delta(spark, t).count() == 2
+
+        t2 = str(tmp_path / "v2")
+        write_delta(spark.createDataFrame([(1, "a")], schema), t2)
+        with open(
+            os.path.join(t2, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }}) + "\n")
+        write_delta(spark.createDataFrame([(2, "b")], schema), t2)
+        v2 = write_checkpoint(t2)
+        import re
+
+        [ck] = [
+            n
+            for n in os.listdir(os.path.join(t2, "_delta_log"))
+            if re.fullmatch(
+                rf"{v2:020d}\.checkpoint\.[0-9a-f\-]{{36}}\.json", n
+            )
+        ]
+        with open(os.path.join(t2, "_delta_log", ck)) as f:
+            acts = [json.loads(l) for l in f if l.strip()]
+        adds2 = [a["add"] for a in acts if "add" in a]
+        assert adds2 and all(a["dataChange"] is False for a in adds2)
+        assert read_delta(spark, t2).count() == 2
+
+    def test_dv_staleness_compare_survives_checkpoint_projection(
+        self, spark, tmp_path
+    ):
+        """A classic checkpoint projects DV descriptors to the 5
+        protocol fields while JSON replay keeps writer extras
+        (uniqueId) — the DML/OPTIMIZE staleness compare must treat both
+        shapes of an UNCHANGED DV as equal (old ADVICE: verbatim dict
+        compare raised a spurious CommitConflict whenever a checkpoint
+        landed between the read and the commit)."""
+        from marketdb_spark.sources.deltadv import (
+            _commit_dv,
+            dv_descriptor_key,
+            encode_inline_dv,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            clean_log,
+            delta_live_files,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(6)], "k long, v string"
+            ),
+            t,
+        )
+        rel = sorted(delta_live_files(t))[0]
+        desc = encode_inline_dv([0])
+        desc["uniqueId"] = "i" + desc["pathOrInlineDv"]  # writer extra
+        _commit_dv(t, {rel: desc})
+        before = dict(_replay(t, None).dvs)
+        assert "uniqueId" in before[rel]
+        write_checkpoint(t)
+        clean_log(t)
+        after = dict(_replay(t, None).dvs)
+        assert "uniqueId" not in after[rel]  # checkpoint projected it
+        assert before[rel] != after[rel]  # verbatim compare WOULD differ
+        assert dv_descriptor_key(before[rel]) == dv_descriptor_key(
+            after[rel]
+        )
+        assert dv_descriptor_key(None) is None
