@@ -2125,3 +2125,85 @@ def store_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_cdf_dv",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM (
+        SELECT 1 AS v, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 2 AS v, o_totalprice FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    ) changes
+    GROUP BY v
+    """,
+)
+def store_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed derivation for FOREIGN deletion-vector DELETEs
+    (PROTOCOL.md "Add CDC File" + "Deletion Vector Descriptor Schema";
+    VERDICT r12 item 2): orders land in a CDF-enabled Delta table as one
+    sorted file, then two foreign DV commits — the modern DML shape
+    ``add(file, DV') + remove(file, DV)`` with NO cdc files — soft-delete
+    the ``o_orderkey % 7 == 0`` rows (v1, INLINE vector) and grow the
+    vector to also cover ``o_orderkey % 5 == 0`` (v2, ON-DISK vector).
+    read_change_feed must replay each commit as ROW-LEVEL deletes of
+    exactly positions(DV_new) − positions(DV_prev) — v1 the %7 rows, v2
+    only the newly-vectored %5-and-not-%7 rows, never the whole file and
+    never the union twice. Hash-equal to the predicate-split oracle iff
+    the DV diff, the position semi-join and both storage codecs are all
+    exact. Shrinking-vector and vacuumed-DV guards are pinned by
+    tests/test_sources.py::TestDeletionVectors."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadv import (
+        commit_inline_dv,
+        commit_ondisk_dv,
+    )
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_change_feed,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_cdfdv_")
+    t = f"{work}/tbl"
+    try:
+        write_delta(
+            orders.coalesce(1).sortWithinPartitions("o_orderkey"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        pos = {
+            r[0]: r[1]
+            for r in spark.read.parquet(f"{t}/{rel}")
+            .select(F.col("_metadata.row_index"), "o_orderkey")
+            .collect()
+        }
+        first = sorted(i for i, k in pos.items() if k % 7 == 0)
+        grown = sorted(
+            i for i, k in pos.items() if k % 7 == 0 or k % 5 == 0
+        )
+        commit_inline_dv(t, rel, first)  # v1
+        commit_ondisk_dv(t, {rel: grown})  # v2: strict superset
+        out = (
+            read_change_feed(spark, t, 1, 2)
+            .filter(F.col("_change_type") == "delete")
+            .groupBy(F.col("_commit_version").alias("commit_version"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1401,6 +1401,7 @@ def _scan_files(
     snap: _Snapshot,
     files: dict,
     extra_fields: list[T.StructField] | None = None,
+    keep_positions: dict | None = None,
 ) -> DataFrame:
     """The scan kernel shared by read_delta and read_change_feed: a
     DataFrame over ``files`` ({rel_path: partitionValues}) in the
@@ -1409,7 +1410,12 @@ def _scan_files(
     parquet scan per distinct partition tuple. ``extra_fields`` are
     NON-TABLE columns stored verbatim in the files (the CDF reader's
     ``_change_type``) — appended to the read schema and the output,
-    never name-mapped."""
+    never name-mapped. ``keep_positions`` ({rel_path: sorted row
+    indexes}) INVERTS the deletion-vector filter for the listed files:
+    only the rows AT those parquet positions are returned — the CDF
+    reader's DV-diff derivation (the delete rows of a DV-growing
+    re-add are exactly the newly-vectored positions); it wins over a
+    snapshot DV on the same file."""
     part_cols = snap.part_cols
     cmode = _mapping_mode(snap.config, table)
     mapped = cmode in ("name", "id")
@@ -1489,6 +1495,7 @@ def _scan_files(
         renames = renames + [F.col(f.name) for f in extra_fields]
 
     dvs = getattr(snap, "dvs", None) or {}
+    keep_positions = keep_positions or {}
 
     def read_group(rels: list[str]) -> DataFrame:
         """One logical scan over a group of files, deletion vectors
@@ -1499,18 +1506,47 @@ def _scan_files(
         through Arrow (a DV is bounded by its file's row count, and the
         bitmap bytes are read once driver-side; a 1000-executor
         deployment would ship descriptors and decode executor-side,
-        same plan shape)."""
+        same plan shape). ``keep_positions`` files SEMI-join instead:
+        only the listed positions survive."""
         import pandas as _pd
 
         from marketdb_spark.sources.deltadv import decode_dv
 
-        plain = [os.path.join(table, r) for r in rels if r not in dvs]
+        plain = [
+            os.path.join(table, r)
+            for r in rels
+            if r not in dvs and r not in keep_positions
+        ]
         grp: list[DataFrame] = []
         if plain:
             grp.append(
                 spark.read.schema(data_schema).parquet(*plain).select(renames)
             )
         for rel in rels:
+            if rel in keep_positions:
+                df = (
+                    spark.read.schema(data_schema)
+                    .parquet(os.path.join(table, rel))
+                    .select(
+                        *renames,
+                        F.col("_metadata.row_index").alias("__dv_ri"),
+                    )
+                )
+                pos_df = spark.createDataFrame(
+                    _pd.DataFrame(
+                        {
+                            "__dv_ri": _pd.array(
+                                keep_positions[rel], dtype="int64"
+                            )
+                        }
+                    )
+                )
+                grp.append(
+                    df.join(
+                        F.broadcast(pos_df), "__dv_ri", "left_semi"
+                    ).drop("__dv_ri")
+                )
+                continue
             if rel not in dvs:
                 continue
             positions = decode_dv(dvs[rel], table, rel)
@@ -1593,7 +1629,11 @@ def read_change_feed(
     changes derive from the actions — dataChange adds are inserts,
     dataChange removes are whole-file deletes whose rows are read from
     the removed file (still on disk unless vacuumed — a vacuumed change
-    raises by name rather than under-reporting). Compaction commits
+    raises by name rather than under-reporting), and a DV-carrying
+    re-add of a live file is a ROW-LEVEL delete of exactly
+    positions(DV_new) − positions(DV_prev) (delta-spark's CDCReader
+    derivation for foreign DV-based DELETEs; a SHRINKING vector —
+    un-delete/RESTORE — raises by name). Compaction commits
     (dataChange: false) contribute nothing. The table must have
     ``delta.enableChangeDataFeed`` set; column-mapped tables work —
     change files speak physical names like any data file.
@@ -1640,7 +1680,7 @@ def read_change_feed(
         cdcs: dict[str, dict] = {}
         adds: dict[str, dict] = {}
         removed: dict[str, dict] = {}
-        dv_carriers: list[str] = []
+        add_dvs: dict[str, dict] = {}
         removed_dvs: dict[str, dict] = {}
         with open(entries[v]) as f:
             for line in f:
@@ -1657,7 +1697,9 @@ def read_change_feed(
                     a = action["add"]
                     if a.get("dataChange") is not False:
                         if a.get("deletionVector"):
-                            dv_carriers.append(_decode_path(a["path"]))
+                            add_dvs[_decode_path(a["path"])] = a[
+                                "deletionVector"
+                            ]
                         adds[_decode_path(a["path"])] = (
                             a.get("partitionValues") or {}
                         )
@@ -1680,28 +1722,72 @@ def read_change_feed(
                 spark, table, snap, cdcs, extra_fields=[_CHANGE_TYPE]
             )
         elif adds or removed:
-            # a DV-carrying ADD is a ROW-LEVEL change (file minus
-            # vector); deriving its insert/delete rows needs a DV diff
-            # against the prior version — raise by name rather than
-            # emit whole-file changes (mirrors the streaming CDF gate,
-            # streaming/deltasource.py). A DV-carrying REMOVE without a
-            # matching re-add (whole-file DELETE of a soft-deleted
-            # file) IS derivable: the tombstone's descriptor is applied
-            # below, so the delete rows are exactly the rows that were
-            # live at removal time.
-            if dv_carriers:
-                raise ValueError(
-                    f"cannot derive changes for version {v} of {table}: "
-                    f"actions on {sorted(set(dv_carriers))} carry "
-                    f"deletion vectors and the commit recorded no cdc "
-                    f"files (row-level changes need a DV diff)"
-                )
+            # a DV-carrying ADD is a ROW-LEVEL change: for a re-added
+            # live file the delete rows are exactly
+            # positions(DV_new) − positions(DV_prev) (delta-spark's
+            # CDCReader derivation — the default DML shape on modern
+            # DV tables is add(file, DV′) + remove(file, DV)); for a
+            # file FIRST added with a DV the inserts are the file
+            # minus its vector. A SHRINKING vector (un-delete, e.g.
+            # RESTORE) is not derivable as row changes — raise by
+            # name, mirroring delta-spark. A DV-carrying REMOVE
+            # without a matching re-add (whole-file DELETE of a
+            # soft-deleted file) stays derivable: the tombstone's
+            # descriptor is applied below, so the delete rows are
+            # exactly the rows live at removal time.
+            keep_pos: dict[str, list[int]] = {}
+            keep_pvals: dict[str, dict] = {}
+            dv_ins: dict[str, dict] = {}
+            if add_dvs:
+                from marketdb_spark.sources.deltadv import decode_dv
+
+                prev = _replay(table, v - 1)
+                prev_dvs = getattr(prev, "dvs", None) or {}
+                for path, desc in sorted(add_dvs.items()):
+                    try:
+                        new_pos = set(decode_dv(desc, table, path))
+                        old_pos = (
+                            set(
+                                decode_dv(prev_dvs[path], table, path)
+                            )
+                            if path in prev.live and path in prev_dvs
+                            else set()
+                        )
+                    except ValueError as e:
+                        raise ValueError(
+                            f"cannot derive changes for version {v} "
+                            f"of {table}: {e}"
+                        ) from None
+                    if path not in prev.live:
+                        # fresh file soft-carrying a DV: its live rows
+                        # are the inserts (file minus vector)
+                        dv_ins[path] = desc
+                        continue
+                    if old_pos - new_pos:
+                        raise ValueError(
+                            f"cannot derive changes for version {v} of "
+                            f"{table}: {path}'s deletion vector SHRANK "
+                            f"(rows un-deleted, e.g. RESTORE) — "
+                            f"row-level un-deletes are not derivable "
+                            f"and the commit recorded no cdc files"
+                        )
+                    diff = sorted(new_pos - old_pos)
+                    # re-add of a live file: a row-level delete, never
+                    # a whole-file insert — and its paired tombstone is
+                    # not a whole-file delete
+                    keep_pvals[path] = adds.pop(path)
+                    removed.pop(path, None)
+                    removed_dvs.pop(path, None)
+                    if diff:
+                        keep_pos[path] = diff
+                    else:
+                        keep_pvals.pop(path)
             # derivation reads the action files themselves — adds whose
             # files a LATER overwrite+vacuum reclaimed are just as gone
             # as vacuumed removes; raise by name, never under-report
             gone = [
                 p
-                for p in list(removed) + list(adds)
+                for p in list(removed) + list(adds) + list(keep_pvals)
                 if not os.path.exists(os.path.join(table, p))
             ]
             if gone:
@@ -1712,10 +1798,23 @@ def read_change_feed(
                 )
             pieces = []
             if adds:
+                snap_ins = (
+                    snap._replace(dvs=dv_ins) if dv_ins else snap_nodv
+                )
                 pieces.append(
-                    _scan_files(spark, table, snap_nodv, adds).withColumn(
+                    _scan_files(spark, table, snap_ins, adds).withColumn(
                         "_change_type", F.lit("insert")
                     )
+                )
+            if keep_pos:
+                pieces.append(
+                    _scan_files(
+                        spark,
+                        table,
+                        snap_nodv,
+                        keep_pvals,
+                        keep_positions=keep_pos,
+                    ).withColumn("_change_type", F.lit("delete"))
                 )
             if removed:
                 snap_rm = (
@@ -1728,6 +1827,8 @@ def read_change_feed(
                         spark, table, snap_rm, removed
                     ).withColumn("_change_type", F.lit("delete"))
                 )
+            if not pieces:
+                continue  # e.g. a re-add whose vector did not grow
             part = pieces[0]
             for p in pieces[1:]:
                 part = part.unionByName(p)

@@ -133,6 +133,7 @@ except ImportError:  # pragma: no cover - older pyspark
 # device the CDF reader uses (__cdf_*); readers pop it before any
 # partition-value lookup
 _DV_TAG = "__dv_descriptor"
+_DV_KEEP_TAG = "__dv_keep_descriptors"
 
 
 class DeltaFilePartition(InputPartition):
@@ -505,6 +506,35 @@ def _apply_dv(tbl, dv_json: str | None, table: str, rel: str):
         )
     mask = np.ones(tbl.num_rows, dtype=bool)
     mask[np.asarray(positions, dtype=np.int64)] = False
+    return tbl.filter(pa.array(mask))
+
+
+def _apply_dv_keep(tbl, keep_json: str | None, table: str, rel: str):
+    """Keep ONLY the rows a DV-growing re-add newly soft-deleted:
+    positions(DV_new) − positions(DV_prev) — the row-level DELETE rows
+    of a tailed foreign DV DELETE. The tag carries the two descriptors
+    (tiny); positions decode executor-side. No-op without a tag."""
+    if keep_json is None:
+        return tbl
+    import numpy as np
+    import pyarrow as pa
+
+    from marketdb_spark.sources.deltadv import decode_dv
+
+    new_desc, prev_desc = json.loads(keep_json)
+    keep = set(decode_dv(new_desc, table, rel))
+    if prev_desc is not None:
+        keep -= set(decode_dv(prev_desc, table, rel))
+    positions = sorted(keep)
+    if positions and positions[-1] >= tbl.num_rows:
+        raise ValueError(
+            f"deletion vector for {rel} in {table}: position "
+            f"{positions[-1]} is out of range for a {tbl.num_rows}-row "
+            f"file"
+        )
+    mask = np.zeros(tbl.num_rows, dtype=bool)
+    if positions:
+        mask[np.asarray(positions, dtype=np.int64)] = True
     return tbl.filter(pa.array(mask))
 
 
@@ -974,8 +1004,8 @@ class DeltaCDFStreamReader(DeltaStreamReader):
             snap = _replay(self.table, unit)
             # DV-carrying snapshot files read minus their deleted
             # positions (descriptor tagged through pvals, applied in
-            # read()); DV adds in TAILED commits still raise — their
-            # row-level changes need a DV diff
+            # read()); DV adds in TAILED commits derive by DV diff in
+            # _cdf_tail
             dvs = getattr(snap, "dvs", None) or {}
             live = snap.live
             fl = [
@@ -1015,7 +1045,7 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         cdcs: list[tuple[str, dict]] = []
         adds: list[tuple[str, dict]] = []
         removes: list[tuple[str, dict]] = []
-        dv_adds: list[str] = []
+        dv_adds: dict[str, dict] = {}
         with open(path) as f:
             for line in f:
                 line = line.strip()
@@ -1031,10 +1061,12 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     a = action["add"]
                     if a.get("dataChange") is not False:
                         if a.get("deletionVector"):
-                            # derivable only if the commit recorded cdc
-                            # files (checked after the parse — cdc
-                            # wins, matching batch read_change_feed)
-                            dv_adds.append(_decode_path(a["path"]))
+                            # derived after the parse via DV diff —
+                            # unless the commit recorded cdc files
+                            # (cdc wins, matching read_change_feed)
+                            dv_adds[_decode_path(a["path"])] = a[
+                                "deletionVector"
+                            ]
                         adds.append(
                             (
                                 _decode_path(a["path"]),
@@ -1089,12 +1121,74 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                     )
                 )
             return out
+        dv_deletes: list[tuple[str, dict]] = []
         if dv_adds:
-            raise ValueError(
-                f"deltacdf: version {version} of {self.table} adds "
-                f"deletion-vector-carrying files {sorted(set(dv_adds))} "
-                f"and recorded no cdc files (row-level changes need a "
-                f"DV diff)"
+            # DV-carrying adds without cdc: derive row-level changes by
+            # DV diff against the prior version, exactly like batch
+            # read_change_feed — a re-added live file's delete rows are
+            # positions(DV_new) − positions(DV_prev) (tag carries both
+            # descriptors; read() masks executor-side), a fresh DV add
+            # inserts the file minus its vector, a SHRINKING vector
+            # (un-delete/RESTORE) raises by name.
+            from marketdb_spark.sources.deltadv import decode_dv
+            from marketdb_spark.sources.deltalog import _replay
+
+            prev = _replay(self.table, version - 1)
+            prev_dvs = getattr(prev, "dvs", None) or {}
+            re_added: set[str] = set()
+            tagged_adds: list[tuple[str, dict]] = []
+            for rel, pvals in adds:
+                desc = dv_adds.get(rel)
+                if desc is None:
+                    tagged_adds.append((rel, pvals))
+                    continue
+                try:
+                    new_pos = set(decode_dv(desc, self.table, rel))
+                    old_pos = (
+                        set(decode_dv(prev_dvs[rel], self.table, rel))
+                        if rel in prev.live and rel in prev_dvs
+                        else set()
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        f"deltacdf: cannot derive changes for version "
+                        f"{version} of {self.table}: {e}"
+                    ) from None
+                if rel not in prev.live:
+                    pv = dict(pvals)
+                    pv[_DV_TAG] = json.dumps(desc)
+                    tagged_adds.append((rel, pv))
+                    continue
+                if old_pos - new_pos:
+                    raise ValueError(
+                        f"deltacdf: cannot derive changes for version "
+                        f"{version} of {self.table}: {rel}'s deletion "
+                        f"vector SHRANK (rows un-deleted, e.g. "
+                        f"RESTORE) — row-level un-deletes are not "
+                        f"derivable and the commit recorded no cdc "
+                        f"files"
+                    )
+                re_added.add(rel)
+                if new_pos - old_pos:
+                    pv = dict(pvals)
+                    pv[_DV_KEEP_TAG] = json.dumps(
+                        [desc, prev_dvs.get(rel)]
+                    )
+                    dv_deletes.append((rel, pv))
+            adds = tagged_adds
+            # a re-added file's paired tombstone is not a whole-file
+            # delete
+            removes = [x for x in removes if x[0] not in re_added]
+        for rel, pvals in dv_deletes:
+            full = os.path.join(self.table, rel)
+            out.append(
+                (
+                    rel,
+                    self._tag(pvals, "delete", version),
+                    os.path.getsize(full)
+                    if self.max_bytes is not None
+                    else 0,
+                )
             )
         for rel, pvals in removes:
             full = os.path.join(self.table, rel)
@@ -1140,10 +1234,14 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         version = pvals.pop(_CDF_TAG_VERSION)
         ts = pvals.pop(_CDF_TAG_TS)
         dv_json = pvals.pop(_DV_TAG, None)
+        dv_keep_json = pvals.pop(_DV_KEEP_TAG, None)
         tbl = pq.read_table(
             os.path.join(partition.table, partition.rel)
         )
         tbl = _apply_dv(tbl, dv_json, partition.table, partition.rel)
+        tbl = _apply_dv_keep(
+            tbl, dv_keep_json, partition.table, partition.rel
+        )
         n = tbl.num_rows
         cols, names = [], []
         for f in self.schema.fields:

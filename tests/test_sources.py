@@ -2594,9 +2594,8 @@ class TestDeltaCDF:
         """A foreign inline-DV row-level delete on a CDF table: ranges
         that EXCLUDE the DV commit derive the historical inserts as full
         files (the to_version snapshot's DVs never filter earlier
-        versions), and ranges that INCLUDE it raise by name — deriving
-        its row-level changes needs a DV diff; emitting whole-file
-        changes would be silently wrong rows."""
+        versions), and ranges that INCLUDE it derive its row-level
+        deletes by DV diff (r13 — the commits used to raise)."""
         from marketdb_spark.sources.deltadv import commit_inline_dv
         from marketdb_spark.sources.deltalog import (
             delta_live_files,
@@ -2628,11 +2627,18 @@ class TestDeltaCDF:
         cf = read_change_feed(spark, t, 0, 1)
         assert sorted(r.k for r in cf.collect()) == [0, 1, 2, 3, 9]
         assert set(r._change_type for r in cf.collect()) == {"insert"}
-        # the DV commit itself cannot be derived without a DV diff
-        with pytest.raises(ValueError, match="deletion vector"):
-            read_change_feed(spark, t, 0, 2).collect()
-        with pytest.raises(ValueError, match="deletion vector"):
-            read_change_feed(spark, t, 2, 2).collect()
+        # the DV commit derives by diff: first vector → its positions
+        cf2 = read_change_feed(spark, t, 2, 2)
+        assert sorted(
+            (r.k, r._change_type) for r in cf2.collect()
+        ) == [(1, "delete"), (2, "delete")]
+        full = read_change_feed(spark, t, 0, 2)
+        assert sorted(
+            (r.k, r._change_type) for r in full.collect()
+        ) == [
+            (0, "insert"), (1, "delete"), (1, "insert"), (2, "delete"),
+            (2, "insert"), (3, "insert"), (9, "insert"),
+        ]
 
     def test_remove_with_dv_derives_live_rows(self, spark, tmp_path):
         """A whole-file DELETE of a DV-carrying file (remove whose
@@ -5645,3 +5651,125 @@ class TestAdviceRegressionsR13:
             after[rel]
         )
         assert dv_descriptor_key(None) is None
+
+
+class TestCDFDeletionVectorDiff:
+    """read_change_feed derivation for DV-carrying adds (VERDICT r13:
+    positions(DV_new) − positions(DV_prev) replayed as row-level
+    deletes; shrink and vacuumed-DV guards)."""
+
+    def _mk(self, spark, t, n=10):
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+
+        write_delta(
+            spark.range(n)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        return rel
+
+    def test_dv_add_derives_row_level_deletes(self, spark, tmp_path):
+        """Foreign DV DELETE commits (add(file, DV') + remove(file, DV),
+        no cdc) replay as row-level deletes of exactly the newly-vectored
+        positions — first commit the whole vector, the growth commit only
+        the diff — across inline AND on-disk storage; a fresh file added
+        WITH a vector derives as inserts of the file minus it."""
+        from marketdb_spark.sources.deltadv import (
+            commit_inline_dv,
+            commit_ondisk_dv,
+        )
+        from marketdb_spark.sources.deltalog import (
+            read_change_feed,
+            read_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        rel = self._mk(spark, t)
+        commit_inline_dv(t, rel, [1, 4])          # v1: inline
+        commit_ondisk_dv(t, {rel: [1, 4, 7]})     # v2: on-disk superset
+        cf = read_change_feed(spark, t, 1, 2)
+        got = sorted(
+            (r.k, r._change_type, r._commit_version) for r in cf.collect()
+        )
+        assert got == [
+            (1, "delete", 1), (4, "delete", 1), (7, "delete", 2),
+        ]
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 3, 5, 6, 8, 9,
+        ]
+        # an identical re-add (no growth) contributes no changes
+        commit_inline_dv(t, rel, [1, 4, 7])
+        assert read_change_feed(spark, t, 3, 3).count() == 0
+
+    def test_fresh_dv_add_derives_inserts_minus_vector(
+        self, spark, tmp_path
+    ):
+        """A file FIRST added with a deletion vector (e.g. a foreign
+        writer's copy-with-DV) derives as inserts of its live rows."""
+        import shutil
+
+        from marketdb_spark.sources.deltadv import encode_inline_dv
+        from marketdb_spark.sources.deltalog import read_change_feed
+
+        t = str(tmp_path / "tbl")
+        rel = self._mk(spark, t, n=4)
+        # stage a copy of the data file and add it WITH a vector
+        rel2 = rel.replace(".parquet", "-copy.parquet")
+        shutil.copy(os.path.join(t, rel), os.path.join(t, rel2))
+        desc = encode_inline_dv([0, 2])
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"commitInfo": {
+                "operation": "WRITE", "timestamp": 1000,
+            }}) + "\n")
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }}) + "\n")
+            f.write(json.dumps({"add": {
+                "path": rel2, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, rel2)),
+                "modificationTime": 1000, "dataChange": True,
+                "deletionVector": desc,
+            }}) + "\n")
+        cf = read_change_feed(spark, t, 1, 1)
+        got = sorted((r.k, r._change_type) for r in cf.collect())
+        assert got == [(1, "insert"), (3, "insert")]
+
+    def test_shrinking_vector_raises_by_name(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import read_change_feed
+
+        t = str(tmp_path / "tbl")
+        rel = self._mk(spark, t)
+        commit_inline_dv(t, rel, [1, 4])
+        commit_inline_dv(t, rel, [4])  # un-delete of row 1
+        with pytest.raises(ValueError, match="SHRANK"):
+            read_change_feed(spark, t, 2, 2).collect()
+
+    def test_vacuumed_dv_file_raises_by_name(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadv import (
+            commit_ondisk_dv,
+            dv_file_path,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            read_change_feed,
+        )
+
+        t = str(tmp_path / "tbl")
+        rel = self._mk(spark, t)
+        commit_ondisk_dv(t, {rel: [2, 5]})
+        desc = _replay(t, None).dvs[rel]
+        os.remove(dv_file_path(desc, t))
+        with pytest.raises(ValueError, match="does not exist"):
+            read_change_feed(spark, t, 1, 1).collect()

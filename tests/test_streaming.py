@@ -2494,3 +2494,77 @@ class TestDeltaStreamAdmission:
         _write_meta(3, pinned, ["v"])
         with pytest.raises(ValueError, match="schema or partitioning"):
             _tail_adds(t, 3, pinned_schema_json=pinned, pinned_parts=[])
+
+
+class TestCDFStreamDVDiff:
+    """deltacdf tail derivation for DV-carrying adds (VERDICT r13):
+    the stream leg matches batch read_change_feed file-for-file."""
+
+    def test_cdf_stream_derives_dv_add_by_diff(self, spark, tmp_path):
+        """A tailed foreign DV DELETE (add(file, DV') + remove(file,
+        DV), no cdc) emits row-level deletes of exactly the
+        newly-vectored positions — equal to batch read_change_feed —
+        and a shrinking vector raises by name at plan time."""
+        from marketdb_spark.sources.deltadv import (
+            commit_inline_dv,
+            commit_ondisk_dv,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            read_delta_cdf_stream,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        commit_inline_dv(t, rel, [1, 4])       # v1
+        commit_ondisk_dv(t, {rel: [1, 4, 7]})  # v2: grows by one row
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            read_delta_cdf_stream(spark, t, startingVersion=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        key = lambda r: (r.k, r._change_type, r._commit_version)
+        got = sorted(key(r) for r in spark.read.parquet(out).collect())
+        assert got == [
+            (1, "delete", 1), (4, "delete", 1), (7, "delete", 2),
+        ]
+        want = sorted(
+            key(r) for r in read_change_feed(spark, t, 1, 2).collect()
+        )
+        assert got == want
+        # shrink raises by name mid-tail
+        commit_inline_dv(t, rel, [4, 7])  # un-delete of row 1
+        q2 = (
+            read_delta_cdf_stream(spark, t, startingVersion=3)
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt2")
+            )
+            .start()
+        )
+        with pytest.raises(Exception, match="SHRANK"):
+            try:
+                q2.processAllAvailable()
+                if q2.exception() is not None:
+                    raise q2.exception()
+            finally:
+                q2.stop()
