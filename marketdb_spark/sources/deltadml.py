@@ -75,6 +75,76 @@ from marketdb_spark.sources.deltalog import (
 )
 
 _FILE_COL = "__dml_file"
+_DV_FLAG = "delta.enableDeletionVectors"
+
+
+def _dv_write_enabled(snap: _Snapshot, table: str) -> bool:
+    """True when DML may CREATE deletion vectors for this table:
+    ``delta.enableDeletionVectors=true`` AND the protocol declares the
+    feature (delta-spark's rule — the config alone never upgrades a
+    protocol). Column-mapped tables fall back to copy-on-write (the
+    physical-name bookkeeping of a DV-emitting delete on a mapped table
+    is out of scope, documented)."""
+    if str((snap.config or {}).get(_DV_FLAG, "")).lower() != "true":
+        return False
+    if "deletionVectors" not in set(
+        (snap.protocol or {}).get("writerFeatures") or ()
+    ):
+        return False
+    return _mapping_mode(snap.config, table) == "none"
+
+
+def _matched_positions(
+    spark: SparkSession,
+    table: str,
+    snap: _Snapshot,
+    subset: dict,
+    cond,
+) -> dict[str, list[int]]:
+    """Parquet row positions of the rows matching ``cond`` in each file
+    of ``subset`` ({rel: partitionValues}) — the raw per-file indexes a
+    deletion vector speaks (PROTOCOL.md: DV positions are file-local row
+    indexes). One scan per distinct partition tuple (literals attached so
+    the predicate can reference partition columns), `_metadata` supplies
+    file path + row index; the collect is bounded by the DELETE's matched
+    row count — the small-delete path this policy exists for."""
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    part_cols = snap.part_cols
+    data_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
+    types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
+    by_part: dict[tuple, list[str]] = {}
+    for rel, pvals in subset.items():
+        key = tuple((pvals or {}).get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(rel)
+    out: dict[str, list[int]] = {}
+    for key, rels in by_part.items():
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table, r) for r in rels]
+        )
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                (F.lit(None) if raw is None else F.lit(raw)).cast(types[c]),
+            )
+        hits = (
+            df.filter(F.coalesce(cond, F.lit(False)))
+            .select(
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            .collect()
+        )
+        for r in hits:
+            out.setdefault(_rel_of_uri(table, r["__f"]), []).append(
+                r["__ri"]
+            )
+    return {rel: sorted(ri) for rel, ri in out.items()}
 
 
 def _table_state(table: str) -> _Snapshot:
@@ -165,13 +235,19 @@ def _commit_dml(
     staged: list[tuple[str, dict]],
     cdc_staged: list[tuple[str, dict]],
     read_dvs: dict | None = None,
+    dv_adds: dict | None = None,
 ) -> int:
     """The shared commit tail: remove every matched file, add every
     staged file (+ cdc actions), with optimize_delta's staleness rule —
     retry the race only while every matched file is still live AND
     (``read_dvs``, the deletion vectors the rewrite was READ under)
     still carries the same DV per matched file — a concurrent DV commit
-    would have soft-deleted rows this rewrite already materialized."""
+    would have soft-deleted rows this rewrite already materialized.
+    ``dv_adds`` ({rel: new DV descriptor}) re-ADDS those matched files
+    with the descriptor instead of dropping them — the DV-emitting
+    DELETE shape (add(file, DV') + descriptor-carrying remove in one
+    commit); the re-add keeps the file's row-tracking fields verbatim
+    (same file, same baseRowId — ids are trivially preserved)."""
     from marketdb_spark.sources.snapshot import CommitConflict
 
     for _ in range(5):
@@ -208,12 +284,16 @@ def _commit_dml(
                 )
         from marketdb_spark.sources.deltalog import _row_tracking_actions
 
+        # the rowTracking ENABLED refusal applies only when surviving
+        # rows are REWRITTEN into fresh files (matched removes + staged
+        # adds): a whole-file delete touches no surviving row, and a
+        # DV re-add keeps the file (and its baseRowId) verbatim
         rt_extras, rt_domain = _row_tracking_actions(
             table,
             cur,
             [rel for rel, _ in staged],
             latest + 1,
-            data_removing=bool(matched_rels),
+            data_removing=bool(matched_rels) and bool(staged),
         )
         actions: list[dict] = [_commit_info(op, params)]
         if rt_domain is not None:
@@ -226,6 +306,23 @@ def _commit_dml(
                 rm["deletionVector"] = cur_dvs[p]
             rm.update(cur_rm.get(p) or {})
             actions.append({"remove": rm})
+        for p in sorted(dv_adds or {}):
+            full = os.path.join(table, p)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(p, safe="/="),
+                        "partitionValues": cur.live[p],
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(
+                            os.path.getmtime(full) * 1000
+                        ),
+                        "dataChange": True,
+                        "deletionVector": dv_adds[p],
+                        **(cur_rm.get(p) or {}),
+                    }
+                }
+            )
         for rel, pvals in staged:
             full = os.path.join(table, rel)
             actions.append(
@@ -265,15 +362,30 @@ def _cdf_on(snap: _Snapshot) -> bool:
 
 
 def delete_delta(
-    spark: SparkSession, table: str, condition: str
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    dv_max_fraction: float = 1.0,
 ) -> int | None:
-    """``DELETE FROM table WHERE condition`` — rewrite exactly the live
+    """``DELETE FROM table WHERE condition`` — on a table with
+    ``delta.enableDeletionVectors=true`` (and the feature declared),
+    soft-delete by EMITTING deletion vectors: each partially-matched
+    file re-adds with a grown vector (old positions ∪ matched
+    positions, one shared on-disk DV file per commit — delta-spark's
+    ``add(file, DV') + descriptor-carrying remove`` shape, a
+    metadata-sized commit instead of a terabyte rewrite at 100 TB);
+    fully-matched files drop as plain removes. ``dv_max_fraction``
+    caps the policy: a file whose matched fraction exceeds it is
+    copy-on-write rewritten instead (read-amplification guard; 1.0 =
+    always soft-delete partial files, delta-spark's behavior).
+    Otherwise (or on column-mapped tables): rewrite exactly the live
     files containing a matching row, without those rows. Returns the
     committed version, or None when nothing matched (delta-spark also
     commits nothing then). ``condition`` is a Spark SQL boolean
     expression over the LOGICAL columns; NULL evaluates as no-match,
     exactly SQL's DELETE semantics. With CDF enabled the commit stages
-    the deleted rows as 'delete' change rows."""
+    the deleted rows as 'delete' change rows (cdc wins over derivation
+    for CDF readers, so our own DV deletes never need the DV diff)."""
     snap = _table_state(table)
     cond = F.expr(condition)
     tagged = _tagged_scan(spark, table, snap)
@@ -289,15 +401,51 @@ def delete_delta(
         f.name
         for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
     ]
-    rows = _scan_files(spark, table, snap, subset)
+    snap_dvs = getattr(snap, "dvs", None) or {}
+    dv_descs: dict[str, dict] = {}
+    rewrite_rels = matched_rels
+    dv_file: str | None = None
+    if _dv_write_enabled(snap, table):
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadv import (
+            decode_dv,
+            dv_file_path,
+            write_dv_file,
+        )
+
+        matched_pos = _matched_positions(spark, table, snap, subset, cond)
+        dv_rows: dict[str, list[int]] = {}
+        rewrite_rels = []
+        for rel in matched_rels:
+            old = (
+                set(decode_dv(snap_dvs[rel], table, rel))
+                if rel in snap_dvs
+                else set()
+            )
+            new = set(matched_pos.get(rel, ())) - old
+            nrows = pq.read_metadata(os.path.join(table, rel)).num_rows
+            if len(new) >= nrows - len(old):
+                continue  # fully matched: plain remove, no re-add
+            if len(new) / max(nrows - len(old), 1) > dv_max_fraction:
+                rewrite_rels.append(rel)  # too dead to soft-delete
+                continue
+            dv_rows[rel] = sorted(old | new)
+        if dv_rows:
+            dv_descs = write_dv_file(table, dv_rows)
+            dv_file = dv_file_path(next(iter(dv_descs.values())), table)
+    rows = _scan_files(
+        spark, table, snap, {p: snap.live[p] for p in rewrite_rels}
+    )
     # keep = NOT (cond IS TRUE): null-condition rows survive, per SQL
     kept = rows.filter(~F.coalesce(cond, F.lit(False))).select(logical_cols)
-    staged = _stage_logical(kept, table, snap)
+    staged = _stage_logical(kept, table, snap) if rewrite_rels else []
     cdc_staged: list[tuple[str, dict]] = []
     try:
         if _cdf_on(snap):
             deleted = (
-                rows.filter(F.coalesce(cond, F.lit(False)))
+                _scan_files(spark, table, snap, subset)
+                .filter(F.coalesce(cond, F.lit(False)))
                 .select(logical_cols)
                 .withColumn("_change_type", F.lit("delete"))
             )
@@ -312,11 +460,14 @@ def delete_delta(
             matched_rels,
             staged,
             cdc_staged,
-            read_dvs=getattr(snap, "dvs", None) or {},
+            read_dvs=snap_dvs,
+            dv_adds=dv_descs or None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
         _unstage(table, [r for r, _ in cdc_staged])
+        if dv_file is not None and os.path.exists(dv_file):
+            os.remove(dv_file)  # orphaned vector file
         raise
 
 
@@ -325,13 +476,23 @@ def update_delta(
     table: str,
     condition: str,
     set: dict[str, str],
+    dv_max_fraction: float = 1.0,
 ) -> int | None:
-    """``UPDATE table SET col = expr, ... WHERE condition`` — rewrite
-    exactly the files containing a matching row, with the matching rows
-    transformed. Each set expression is cast back to the column's
-    existing type (UPDATE never changes the schema). Returns the
-    committed version, or None when nothing matched. With CDF enabled
-    the commit stages 'update_preimage'/'update_postimage' row pairs."""
+    """``UPDATE table SET col = expr, ... WHERE condition`` — on a
+    table with ``delta.enableDeletionVectors=true`` (and the feature
+    declared), each partially-matched file keeps its UNTOUCHED rows in
+    place: the matched positions join the file's deletion vector
+    (add(file, DV') + descriptor-carrying remove) and only the UPDATED
+    rows stage as new files — at 100 TB an update of 0.1% of rows
+    writes 0.1% of bytes, not the touched files wholesale.
+    ``dv_max_fraction`` caps the policy as in delete_delta; fully- or
+    heavily-matched files copy-on-write rewrite as before. Otherwise:
+    rewrite exactly the files containing a matching row, with the
+    matching rows transformed. Each set expression is cast back to the
+    column's existing type (UPDATE never changes the schema). Returns
+    the committed version, or None when nothing matched. With CDF
+    enabled the commit stages 'update_preimage'/'update_postimage' row
+    pairs."""
     snap = _table_state(table)
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
@@ -360,9 +521,46 @@ def update_delta(
         return None
     matched_rels = sorted(_rel_of_uri(table, u) for u in matched_uris)
     subset = {p: snap.live[p] for p in matched_rels}
-    rows = _scan_files(spark, table, snap, subset)
     logical_cols = [f.name for f in schema.fields]
     hit = F.coalesce(cond, F.lit(False))
+    snap_dvs = getattr(snap, "dvs", None) or {}
+    dv_descs: dict[str, dict] = {}
+    rewrite_rels = matched_rels
+    dv_file: str | None = None
+    if _dv_write_enabled(snap, table):
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadv import (
+            decode_dv,
+            dv_file_path,
+            write_dv_file,
+        )
+
+        matched_pos = _matched_positions(spark, table, snap, subset, cond)
+        dv_rows: dict[str, list[int]] = {}
+        rewrite_rels = []
+        for rel in matched_rels:
+            # NB: the builtin set() is shadowed by the SET-clause param
+            old = (
+                frozenset(decode_dv(snap_dvs[rel], table, rel))
+                if rel in snap_dvs
+                else frozenset()
+            )
+            new = frozenset(matched_pos.get(rel, ())) - old
+            nrows = pq.read_metadata(os.path.join(table, rel)).num_rows
+            live = max(nrows - len(old), 1)
+            if len(new) >= nrows - len(old) or len(new) / live > (
+                dv_max_fraction
+            ):
+                rewrite_rels.append(rel)  # whole-file update: rewrite
+                continue
+            dv_rows[rel] = sorted(old | new)
+        if dv_rows:
+            dv_descs = write_dv_file(table, dv_rows)
+            dv_file = dv_file_path(next(iter(dv_descs.values())), table)
+    rows = _scan_files(
+        spark, table, snap, {p: snap.live[p] for p in rewrite_rels}
+    )
     updated_cols = [
         (
             F.when(hit, F.expr(e).cast(types[c]))
@@ -373,26 +571,37 @@ def update_delta(
         )
         for c, e in ((c, set.get(c)) for c in logical_cols)
     ]
-    rewritten = rows.select(updated_cols)
-    staged = _stage_logical(rewritten, table, snap)
+    post_cols = [
+        F.expr(set[c]).cast(types[c]).alias(c) if c in set else F.col(c)
+        for c in logical_cols
+    ]
+    pieces = [rows.select(updated_cols)] if rewrite_rels else []
+    if dv_descs:
+        # soft-deleted originals: stage ONLY the transformed matches
+        dv_src = _scan_files(
+            spark, table, snap, {p: snap.live[p] for p in dv_descs}
+        )
+        pieces.append(dv_src.filter(hit).select(post_cols))
+    to_stage = pieces[0] if pieces else None
+    for p in pieces[1:]:
+        to_stage = to_stage.unionByName(p)
+    staged = (
+        _stage_logical(to_stage, table, snap)
+        if to_stage is not None
+        else []
+    )
     cdc_staged: list[tuple[str, dict]] = []
     try:
         if _cdf_on(snap):
+            all_rows = _scan_files(spark, table, snap, subset)
             pre = (
-                rows.filter(hit)
+                all_rows.filter(hit)
                 .select(logical_cols)
                 .withColumn("_change_type", F.lit("update_preimage"))
             )
             post = (
-                rows.filter(hit)
-                .select(
-                    [
-                        F.expr(set[c]).cast(types[c]).alias(c)
-                        if c in set
-                        else F.col(c)
-                        for c in logical_cols
-                    ]
-                )
+                all_rows.filter(hit)
+                .select(post_cols)
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
             cdc_staged = _stage_logical(
@@ -406,11 +615,14 @@ def update_delta(
             matched_rels,
             staged,
             cdc_staged,
-            read_dvs=getattr(snap, "dvs", None) or {},
+            read_dvs=snap_dvs,
+            dv_adds=dv_descs or None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
         _unstage(table, [r for r, _ in cdc_staged])
+        if dv_file is not None and os.path.exists(dv_file):
+            os.remove(dv_file)  # orphaned vector file
         raise
 
 

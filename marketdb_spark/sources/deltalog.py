@@ -571,6 +571,7 @@ _CM_ID = "delta.columnMapping.id"
 # Change Data Feed (PROTOCOL.md "Add CDC File"): table flag, the
 # directory change files land in, and the change-type column they carry
 _CDF_FLAG = "delta.enableChangeDataFeed"
+_DV_FLAG = "delta.enableDeletionVectors"
 _CDF_DIR = "_change_data"
 _CHANGE_TYPE = T.StructField("_change_type", T.StringType(), False)
 
@@ -2121,6 +2122,7 @@ def write_delta(
     column_mapping: str | None = None,
     enable_cdf: bool = False,
     merge_schema: bool = False,
+    enable_dvs: bool = False,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -2280,6 +2282,14 @@ def write_delta(
             raise ValueError(
                 f"{table} does not have Change Data Feed enabled; "
                 f"enabling it on an existing table is unsupported "
+                f"(create-time only)"
+            )
+        if enable_dvs and str(
+            existing.config.get(_DV_FLAG, "")
+        ).lower() != "true":
+            raise ValueError(
+                f"{table} does not have deletion vectors enabled; "
+                f"enabling them on an existing table is unsupported "
                 f"(create-time only)"
             )
         if column_mapping in ("name", "id") and cmode != column_mapping:
@@ -2768,12 +2778,17 @@ def write_delta(
             if latest < 0:
                 # column mapping needs reader 2 / writer 5, CDF writer 4
                 # (writer versions are cumulative per the protocol)
-                if _contains_ntz(df.schema):
-                    # timestampNtz is FEATURE-form only: v3/v7 listing
-                    # every feature the table actually uses
-                    rf = ["timestampNtz"] + (
-                        ["columnMapping"] if cmode in ("name", "id") else []
-                    )
+                if _contains_ntz(df.schema) or enable_dvs:
+                    # timestampNtz / deletionVectors are FEATURE-form
+                    # only: v3/v7 listing every feature the table
+                    # actually uses
+                    rf = []
+                    if _contains_ntz(df.schema):
+                        rf.append("timestampNtz")
+                    if enable_dvs:
+                        rf.append("deletionVectors")
+                    if cmode in ("name", "id"):
+                        rf.append("columnMapping")
                     wf = list(rf) + (["changeDataFeed"] if cdf_on else [])
                     proto = {
                         "minReaderVersion": 3,
@@ -2801,6 +2816,8 @@ def write_delta(
                     )
                 if cdf_on:
                     configuration[_CDF_FLAG] = "true"
+                if enable_dvs:
+                    configuration[_DV_FLAG] = "true"
                 actions.append(
                     {
                         "metaData": {
