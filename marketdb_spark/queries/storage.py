@@ -2290,3 +2290,84 @@ def store_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_rowid_dml",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 4 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_rowid_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable row ids across DML (PROTOCOL.md "Row Tracking"; VERDICT
+    r13 item 4): orders land in a ``delta.enableRowTracking=true`` table
+    (fresh baseRowIds 0..n-1, materialized column names assigned at
+    create), then a DELETE rewrites out the ``% 4`` rows and an UPDATE
+    doubles the ``% 9`` rows' price — both carry the SURVIVING rows'
+    materialized row ids/commit versions through the rewrite
+    (deltadml._scan_with_row_ids). Inline Spark-side assertion: the
+    post-DML row-id set is exactly n distinct ids (no loss, no dup, no
+    reallocation drift); the aggregation is hash-equal to the
+    predicate-equivalent oracle iff the rewrites also preserved the
+    DATA exactly. Id-value pins live in
+    tests/test_sources.py::TestRowTrackingPreservation."""
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltadml import (
+        _scan_with_row_ids,
+        delete_delta,
+        update_delta,
+    )
+    from marketdb_spark.sources.deltalog import (
+        _materialized_rt_cols,
+        _replay,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_rowid_")
+    t = f"{work}/tbl"
+    try:
+        write_delta(
+            orders.coalesce(1).sortWithinPartitions("o_orderkey"),
+            t,
+            enable_row_tracking=True,
+        )
+        delete_delta(spark, t, "o_orderkey % 4 = 0")
+        update_delta(
+            spark, t, "o_orderkey % 9 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        snap = _replay(t, None)
+        rid_col, _ = _materialized_rt_cols(snap)
+        ids = _scan_with_row_ids(
+            spark, t, snap, snap.live, rid_col, "_rcv"
+        ).select(rid_col)
+        n_rows, n_ids = ids.count(), ids.distinct().count()
+        if n_rows != n_ids:
+            raise AssertionError(
+                f"row ids not stable: {n_rows} rows, {n_ids} distinct ids"
+            )
+        out = (
+            read_delta(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -227,6 +227,135 @@ def _stage_logical(
     return _stage_files(df.select(cols), table, stage_cols, prefix=prefix)
 
 
+def _rt_preservation(
+    snap: _Snapshot, table: str
+) -> tuple[tuple[str, str] | None, dict | None]:
+    """((rid_col, rcv_col), metaData config updates) when the table has
+    delta.enableRowTracking=true and this DML must materialize row ids
+    through its rewrite; (None, None) otherwise. Tables enabled before
+    any names were assigned get fresh ones, re-emitted in the DML's own
+    commit (delta-spark's lazy assignment). Column-mapped + row-id
+    preservation is out of scope — raises by name rather than staging
+    physical columns under unmapped names."""
+    import uuid as _uuid
+
+    from marketdb_spark.sources.deltalog import (
+        _RT_RCV_KEY,
+        _RT_RID_KEY,
+        _materialized_rt_cols,
+        _row_tracking_state,
+    )
+
+    _, enabled, _ = _row_tracking_state(snap)
+    if not enabled:
+        return None, None
+    if _mapping_mode(snap.config, table) != "none":
+        raise ValueError(
+            f"{table} combines delta.enableRowTracking=true with column "
+            f"mapping: id-preserving DML on mapped tables is "
+            f"unsupported (disable row tracking to rewrite)"
+        )
+    cols = _materialized_rt_cols(snap)
+    if cols is not None:
+        return cols, None
+    cols = (
+        f"_row-id-col-{_uuid.uuid4()}",
+        f"_row-commit-version-col-{_uuid.uuid4()}",
+    )
+    return cols, {_RT_RID_KEY: cols[0], _RT_RCV_KEY: cols[1]}
+
+
+def _scan_with_row_ids(
+    spark: SparkSession,
+    table: str,
+    snap: _Snapshot,
+    subset: dict,
+    rid_col: str,
+    rcv_col: str,
+) -> DataFrame:
+    """The files of ``subset`` in LOGICAL columns PLUS their rows'
+    stable row ids and commit versions under the given column names
+    (PROTOCOL.md "Row Tracking": materialized value when non-null, else
+    baseRowId + row position / defaultRowCommitVersion). One scan per
+    file — each needs its own baseRowId literal; the DML matched set
+    bounds the union width. Deletion vectors apply (a soft-deleted row
+    never reaches a rewrite)."""
+    import pandas as _pd
+
+    from marketdb_spark.sources.deltadv import decode_dv
+
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    part_cols = snap.part_cols
+    logical = _t.cast(T.StructType, _strip_field_metadata(schema))
+    data_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+        + [
+            T.StructField(rid_col, T.LongType(), True),
+            T.StructField(rcv_col, T.LongType(), True),
+        ]
+    )
+    types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
+    dvs = getattr(snap, "dvs", None) or {}
+    row_meta = getattr(snap, "row_meta", None) or {}
+    out_cols = [f.name for f in logical.fields] + [rid_col, rcv_col]
+    parts: list[DataFrame] = []
+    for rel in sorted(subset):
+        pvals = subset[rel] or {}
+        meta = row_meta.get(rel) or {}
+        base = meta.get("baseRowId")
+        drcv = meta.get("defaultRowCommitVersion")
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(os.path.join(table, rel))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        rid = F.col(rid_col)
+        if base is not None:
+            rid = F.coalesce(
+                rid, (F.lit(int(base)) + F.col("__ri")).cast("long")
+            )
+        rcv = F.col(rcv_col)
+        if drcv is not None:
+            rcv = F.coalesce(rcv, F.lit(int(drcv)).cast("long"))
+        df = df.withColumn(rid_col, rid).withColumn(rcv_col, rcv)
+        if rel in dvs:
+            positions = decode_dv(dvs[rel], table, rel)
+            if positions:
+                pos_df = spark.createDataFrame(
+                    _pd.DataFrame(
+                        {"__ri": _pd.array(positions, dtype="int64")}
+                    )
+                )
+                df = df.join(F.broadcast(pos_df), "__ri", "left_anti")
+        df = df.drop("__ri")
+        for c in part_cols:
+            raw = pvals.get(c)
+            df = df.withColumn(
+                c,
+                (F.lit(None) if raw is None else F.lit(raw)).cast(types[c]),
+            )
+        parts.append(df.select(out_cols))
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                logical.fields
+                + [
+                    T.StructField(rid_col, T.LongType(), True),
+                    T.StructField(rcv_col, T.LongType(), True),
+                ]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _commit_dml(
     table: str,
     op: str,
@@ -236,6 +365,8 @@ def _commit_dml(
     cdc_staged: list[tuple[str, dict]],
     read_dvs: dict | None = None,
     dv_adds: dict | None = None,
+    rows_preserved: bool = False,
+    config_updates: dict | None = None,
 ) -> int:
     """The shared commit tail: remove every matched file, add every
     staged file (+ cdc actions), with optimize_delta's staleness rule —
@@ -294,8 +425,43 @@ def _commit_dml(
             [rel for rel, _ in staged],
             latest + 1,
             data_removing=bool(matched_rels) and bool(staged),
+            rows_preserved=rows_preserved,
         )
         actions: list[dict] = [_commit_info(op, params)]
+        if config_updates:
+            # lazy materialized-column-name assignment (rowTracking):
+            # re-emit metaData with the new keys in this same commit; a
+            # concurrent writer having assigned DIFFERENT names makes
+            # the staged files speak the wrong columns — loud conflict
+            stale = {
+                k: v
+                for k, v in config_updates.items()
+                if (cur.config or {}).get(k) not in (None, v)
+            }
+            if stale:
+                raise CommitConflict(
+                    f"{op} of {table} is stale: a concurrent commit "
+                    f"assigned different values for {sorted(stale)}"
+                )
+            import uuid as _uuid
+
+            actions.append(
+                {
+                    "metaData": {
+                        "id": _uuid.uuid4().hex,
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": cur.schema_json,
+                        "partitionColumns": cur.part_cols,
+                        "configuration": {
+                            **dict(cur.config or {}),
+                            **config_updates,
+                        },
+                    }
+                }
+            )
         if rt_domain is not None:
             actions.append(rt_domain)
         cur_dvs = getattr(cur, "dvs", None) or {}
@@ -434,12 +600,29 @@ def delete_delta(
         if dv_rows:
             dv_descs = write_dv_file(table, dv_rows)
             dv_file = dv_file_path(next(iter(dv_descs.values())), table)
-    rows = _scan_files(
-        spark, table, snap, {p: snap.live[p] for p in rewrite_rels}
-    )
+    rt_cols, rt_updates = _rt_preservation(snap, table)
+    rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
     # keep = NOT (cond IS TRUE): null-condition rows survive, per SQL
-    kept = rows.filter(~F.coalesce(cond, F.lit(False))).select(logical_cols)
-    staged = _stage_logical(kept, table, snap) if rewrite_rels else []
+    if rt_cols is not None and rewrite_rels:
+        # stable row ids: surviving rows carry their materialized
+        # id/commit-version through the rewrite (PROTOCOL.md "Row
+        # Tracking" — a DELETE never changes a surviving row, so both
+        # materialize verbatim)
+        rows = _scan_with_row_ids(
+            spark, table, snap, rewrite_subset, *rt_cols
+        )
+        kept = rows.filter(~F.coalesce(cond, F.lit(False))).select(
+            logical_cols + list(rt_cols)
+        )
+        staged = _stage_logical(
+            kept, table, snap, extra_cols=list(rt_cols)
+        )
+    else:
+        rows = _scan_files(spark, table, snap, rewrite_subset)
+        kept = rows.filter(~F.coalesce(cond, F.lit(False))).select(
+            logical_cols
+        )
+        staged = _stage_logical(kept, table, snap) if rewrite_rels else []
     cdc_staged: list[tuple[str, dict]] = []
     try:
         if _cdf_on(snap):
@@ -462,6 +645,8 @@ def delete_delta(
             cdc_staged,
             read_dvs=snap_dvs,
             dv_adds=dv_descs or None,
+            rows_preserved=rt_cols is not None,
+            config_updates=rt_updates if staged else None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
@@ -558,8 +743,12 @@ def update_delta(
         if dv_rows:
             dv_descs = write_dv_file(table, dv_rows)
             dv_file = dv_file_path(next(iter(dv_descs.values())), table)
-    rows = _scan_files(
-        spark, table, snap, {p: snap.live[p] for p in rewrite_rels}
+    rt_cols, rt_updates = _rt_preservation(snap, table)
+    rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
+    rows = (
+        _scan_with_row_ids(spark, table, snap, rewrite_subset, *rt_cols)
+        if rt_cols is not None
+        else _scan_files(spark, table, snap, rewrite_subset)
     )
     updated_cols = [
         (
@@ -575,18 +764,44 @@ def update_delta(
         F.expr(set[c]).cast(types[c]).alias(c) if c in set else F.col(c)
         for c in logical_cols
     ]
+    if rt_cols is not None:
+        # stable row ids: every surviving row keeps its id; an UPDATED
+        # row's materialized commit version nulls out so it falls back
+        # to the new add's defaultRowCommitVersion (= this commit), an
+        # untouched row keeps its old version verbatim
+        rid_col, rcv_col = rt_cols
+        updated_cols = updated_cols + [
+            F.col(rid_col),
+            F.when(hit, F.lit(None).cast("long"))
+            .otherwise(F.col(rcv_col))
+            .alias(rcv_col),
+        ]
+        post_cols_rt = post_cols + [
+            F.col(rid_col),
+            F.lit(None).cast("long").alias(rcv_col),
+        ]
     pieces = [rows.select(updated_cols)] if rewrite_rels else []
     if dv_descs:
         # soft-deleted originals: stage ONLY the transformed matches
-        dv_src = _scan_files(
-            spark, table, snap, {p: snap.live[p] for p in dv_descs}
-        )
-        pieces.append(dv_src.filter(hit).select(post_cols))
+        dv_subset = {p: snap.live[p] for p in dv_descs}
+        if rt_cols is not None:
+            dv_src = _scan_with_row_ids(
+                spark, table, snap, dv_subset, *rt_cols
+            )
+            pieces.append(dv_src.filter(hit).select(post_cols_rt))
+        else:
+            dv_src = _scan_files(spark, table, snap, dv_subset)
+            pieces.append(dv_src.filter(hit).select(post_cols))
     to_stage = pieces[0] if pieces else None
     for p in pieces[1:]:
         to_stage = to_stage.unionByName(p)
     staged = (
-        _stage_logical(to_stage, table, snap)
+        _stage_logical(
+            to_stage,
+            table,
+            snap,
+            extra_cols=list(rt_cols) if rt_cols is not None else None,
+        )
         if to_stage is not None
         else []
     )
@@ -617,6 +832,8 @@ def update_delta(
             cdc_staged,
             read_dvs=snap_dvs,
             dv_adds=dv_descs or None,
+            rows_preserved=rt_cols is not None,
+            config_updates=rt_updates if staged else None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
@@ -858,13 +1075,18 @@ def merge_delta(
     ):
         return None
 
+    rt_cols, rt_updates = _rt_preservation(snap, table)
     staged: list[tuple[str, dict]] = []
     cdc_staged: list[tuple[str, dict]] = []
     try:
         cdc_parts: list[DataFrame] = []
         if rewrite_rels:
             subset = {p: snap.live[p] for p in rewrite_rels}
-            rows = _scan_files(spark, table, snap, subset).alias("tgt")
+            rows = (
+                _scan_with_row_ids(spark, table, snap, subset, *rt_cols)
+                if rt_cols is not None
+                else _scan_files(spark, table, snap, subset)
+            ).alias("tgt")
             joined = rows.join(src, key_cond, "left")
             is_matched = F.col(f"src.{on[0]}").isNotNull()
             # per-row clause gates: clause kind AND its condition holds
@@ -945,8 +1167,34 @@ def merge_delta(
                     .otherwise(o)
                     .alias(n)
                 )
+            if rt_cols is not None:
+                # stable row ids: kept rows carry their id; a row an
+                # update-shaped clause MODIFIED nulls its materialized
+                # commit version (falls back to this commit's
+                # defaultRowCommitVersion), untouched rows keep theirs
+                rid_col, rcv_col = rt_cols
+                modified = F.lit(False)
+                if wm_vals is not None:
+                    modified = modified | apply_m
+                if nmbs_vals is not None:
+                    modified = modified | apply_u
+                out_vals = out_vals + [
+                    F.col(f"tgt.{rid_col}").alias(rid_col),
+                    F.when(modified, F.lit(None).cast("long"))
+                    .otherwise(F.col(f"tgt.{rcv_col}"))
+                    .alias(rcv_col),
+                ]
             rewritten = joined.filter(keep).select(out_vals)
-            staged.extend(_stage_logical(rewritten, table, snap))
+            staged.extend(
+                _stage_logical(
+                    rewritten,
+                    table,
+                    snap,
+                    extra_cols=(
+                        list(rt_cols) if rt_cols is not None else None
+                    ),
+                )
+            )
             if _cdf_on(snap):
 
                 def _pair(rows_f, vals, kind):
@@ -988,7 +1236,19 @@ def merge_delta(
                         "delete" if nmbs == "delete" else "update",
                     )
         if inserts is not None:
-            ins_staged = _stage_logical(inserts, table, snap)
+            ins_df = inserts
+            if rt_cols is not None:
+                # fresh rows: null materialized columns — their ids
+                # derive from the add's fresh baseRowId + position
+                ins_df = inserts.withColumn(
+                    rt_cols[0], F.lit(None).cast("long")
+                ).withColumn(rt_cols[1], F.lit(None).cast("long"))
+            ins_staged = _stage_logical(
+                ins_df,
+                table,
+                snap,
+                extra_cols=list(rt_cols) if rt_cols is not None else None,
+            )
             staged.extend(ins_staged)
             if _cdf_on(snap) and ins_staged:
                 cdc_parts.append(
@@ -1023,6 +1283,8 @@ def merge_delta(
             staged,
             cdc_staged,
             read_dvs=getattr(snap, "dvs", None) or {},
+            rows_preserved=rt_cols is not None,
+            config_updates=rt_updates if staged else None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])

@@ -366,8 +366,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # plus defaultRowCommitVersion, and the domain re-emits with the
     # bumped mark; checkpoints re-emit both fields; tombstones carry
     # them. Tables with delta.enableRowTracking=true additionally
-    # oblige ROW-ID PRESERVATION across rewrites (materialized row-id
-    # columns) — data-REMOVING ops refuse on those, appends work.
+    # oblige ROW-ID PRESERVATION across rewrites: DML materializes the
+    # surviving rows' ids/commit versions into the configured
+    # materialized columns (deltadml._scan_with_row_ids), assigning
+    # the column names lazily when missing; only restore_delta still
+    # refuses on enabled tables.
     "rowTracking",
 }
 
@@ -891,6 +894,23 @@ def _evolve_mapping(
 
 
 _ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_RT_RID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_RCV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _materialized_rt_cols(snap: "_Snapshot") -> tuple[str, str] | None:
+    """The table's materialized row-id / row-commit-version PHYSICAL
+    column names (PROTOCOL.md "Row Tracking": on a
+    delta.enableRowTracking=true table, a row's id is the materialized
+    column value when non-null, else baseRowId + row position; its
+    commit version likewise falls back to defaultRowCommitVersion).
+    None when the table has never assigned them — the first
+    id-preserving DML assigns fresh names and re-emits metaData, as
+    delta-spark does lazily in the DML transaction."""
+    cfg = snap.config or {}
+    rid = cfg.get(_RT_RID_KEY)
+    rcv = cfg.get(_RT_RCV_KEY)
+    return (rid, rcv) if rid and rcv else None
 
 
 def _row_tracking_state(snap: "_Snapshot") -> tuple[bool, bool, int]:
@@ -929,6 +949,7 @@ def _row_tracking_state(snap: "_Snapshot") -> tuple[bool, bool, int]:
 def _row_tracking_actions(
     table: str, snap: "_Snapshot", staged_rels: list, version: int,
     data_removing: bool = False,
+    rows_preserved: bool = False,
 ) -> tuple[dict, dict | None]:
     """Row-tracking obligations for a commit adding ``staged_rels`` at
     ``version``: returns (per-rel add extras {baseRowId,
@@ -938,13 +959,14 @@ def _row_tracking_actions(
     recomputes per commit-race iteration, so concurrent writers never
     reuse ids — the loser replays with the winner's mark); per-file row
     counts come from one parquet-footer read each. Raises on
-    data-removing ops when delta.enableRowTracking=true — stable row
-    ids would need materialized row-id columns preserved across the
-    rewrite, which this engine refuses rather than silently breaks."""
+    data-removing ops when delta.enableRowTracking=true UNLESS the
+    caller materialized the surviving rows' ids into the staged files
+    (``rows_preserved`` — the DML path threads the table's materialized
+    row-id/commit-version columns through the rewrite)."""
     supported, enabled, hwm = _row_tracking_state(snap)
     if not supported:
         return {}, None
-    if enabled and data_removing:
+    if enabled and data_removing and not rows_preserved:
         raise ValueError(
             f"{table} has delta.enableRowTracking=true: data-removing "
             f"operations must PRESERVE materialized row ids across the "
@@ -955,6 +977,35 @@ def _row_tracking_actions(
 
     extras: dict = {}
     next_id = hwm + 1
+    for rel in sorted(staged_rels):
+        n = pq.read_metadata(os.path.join(table, rel)).num_rows
+        extras[rel] = {
+            "baseRowId": next_id,
+            "defaultRowCommitVersion": version,
+        }
+        next_id += n
+    domain = {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": next_id - 1}
+            ),
+            "removed": False,
+        }
+    }
+    return extras, domain
+
+
+def _fresh_row_tracking(
+    table: str, staged_rels: list, version: int
+) -> tuple[dict, dict | None]:
+    """Create-path rowTracking allocation: contiguous base ids from 0
+    plus the initial high-water-mark domain (the latest>=0 path goes
+    through _row_tracking_actions against the live snapshot)."""
+    import pyarrow.parquet as pq
+
+    extras: dict = {}
+    next_id = 0
     for rel in sorted(staged_rels):
         n = pq.read_metadata(os.path.join(table, rel)).num_rows
         extras[rel] = {
@@ -2123,6 +2174,7 @@ def write_delta(
     enable_cdf: bool = False,
     merge_schema: bool = False,
     enable_dvs: bool = False,
+    enable_row_tracking: bool = False,
 ) -> int | None:
     """Minimal protocol-correct Delta writer: data files land under the
     table under fresh names (Hive-style ``col=value`` dirs for
@@ -2290,6 +2342,14 @@ def write_delta(
             raise ValueError(
                 f"{table} does not have deletion vectors enabled; "
                 f"enabling them on an existing table is unsupported "
+                f"(create-time only)"
+            )
+        if enable_row_tracking and str(
+            existing.config.get("delta.enableRowTracking", "")
+        ).lower() != "true":
+            raise ValueError(
+                f"{table} does not have row tracking enabled; "
+                f"enabling it on an existing table is unsupported "
                 f"(create-time only)"
             )
         if column_mapping in ("name", "id") and cmode != column_mapping:
@@ -2748,18 +2808,22 @@ def write_delta(
                 all_cdc.extend(rel for rel, _ in cdc_staged)
             version = latest + 1
             # rowTracking obligations (recomputed per race iteration:
-            # fresh base ids above the CURRENT high water mark)
-            rt_extras, rt_domain = (
-                _row_tracking_actions(
+            # fresh base ids above the CURRENT high water mark); a
+            # CREATE with enable_row_tracking allocates from id 0
+            if latest >= 0:
+                rt_extras, rt_domain = _row_tracking_actions(
                     table,
                     cur,
                     [rel for rel, _ in staged],
                     version,
                     data_removing=bool(removes),
                 )
-                if latest >= 0
-                else ({}, None)
-            )
+            elif enable_row_tracking:
+                rt_extras, rt_domain = _fresh_row_tracking(
+                    table, [rel for rel, _ in staged], version
+                )
+            else:
+                rt_extras, rt_domain = {}, None
             op = (
                 "WRITE"
                 if mode == "append"
@@ -2778,10 +2842,16 @@ def write_delta(
             if latest < 0:
                 # column mapping needs reader 2 / writer 5, CDF writer 4
                 # (writer versions are cumulative per the protocol)
-                if _contains_ntz(df.schema) or enable_dvs:
-                    # timestampNtz / deletionVectors are FEATURE-form
-                    # only: v3/v7 listing every feature the table
-                    # actually uses
+                if (
+                    _contains_ntz(df.schema)
+                    or enable_dvs
+                    or enable_row_tracking
+                ):
+                    # timestampNtz / deletionVectors / rowTracking are
+                    # FEATURE-form only: v7 listing every feature the
+                    # table actually uses (rowTracking is writer-only —
+                    # a reader needs nothing special, so an all-writer
+                    # feature set keeps minReaderVersion at 1)
                     rf = []
                     if _contains_ntz(df.schema):
                         rf.append("timestampNtz")
@@ -2790,10 +2860,12 @@ def write_delta(
                     if cmode in ("name", "id"):
                         rf.append("columnMapping")
                     wf = list(rf) + (["changeDataFeed"] if cdf_on else [])
+                    if enable_row_tracking:
+                        wf += ["rowTracking", "domainMetadata"]
                     proto = {
-                        "minReaderVersion": 3,
+                        "minReaderVersion": 3 if rf else 1,
                         "minWriterVersion": 7,
-                        "readerFeatures": sorted(rf),
+                        **({"readerFeatures": sorted(rf)} if rf else {}),
                         "writerFeatures": sorted(wf),
                     }
                 elif cmode in ("name", "id"):
@@ -2818,6 +2890,17 @@ def write_delta(
                     configuration[_CDF_FLAG] = "true"
                 if enable_dvs:
                     configuration[_DV_FLAG] = "true"
+                if enable_row_tracking and latest < 0:
+                    # stable ids from birth: assign the materialized
+                    # column names at create, as delta-spark's
+                    # feature-enable does
+                    configuration["delta.enableRowTracking"] = "true"
+                    configuration[_RT_RID_KEY] = (
+                        f"_row-id-col-{_uuid.uuid4()}"
+                    )
+                    configuration[_RT_RCV_KEY] = (
+                        f"_row-commit-version-col-{_uuid.uuid4()}"
+                    )
                 actions.append(
                     {
                         "metaData": {

@@ -5292,7 +5292,9 @@ class TestWriterProtocolGate:
             a["add"] for a in commit_actions(t, v + 1) if "add" in a
         ]
         assert min(a["baseRowId"] for a in adds5) == mark + 1
-        # enabled (STABLE ids): data-removing ops refuse, appends work
+        # enabled (STABLE ids): DML preserves ids via materialized
+        # columns (r13) — a table enabled WITHOUT assigned column names
+        # gets them lazily, re-emitted in the DML's own commit
         flip = {
             "metaData": {
                 **base_meta["metaData"],
@@ -5303,8 +5305,27 @@ class TestWriterProtocolGate:
             }
         }
         self._add_commit(t, [flip])
-        with pytest.raises(ValueError, match="enableRowTracking"):
-            delete_delta(spark, t, "k = 4")
+        from marketdb_spark.sources.deltalog import _materialized_rt_cols
+
+        assert _materialized_rt_cols(_replay(t, None)) is None
+        assert delete_delta(spark, t, "k = 4") is not None
+        snap2 = _replay(t, None)
+        cols = _materialized_rt_cols(snap2)
+        assert cols is not None  # lazy assignment landed in metaData
+        from marketdb_spark.sources.deltadml import _scan_with_row_ids
+
+        got = {
+            r.k: r[cols[0]]
+            for r in _scan_with_row_ids(
+                spark, t, snap2, snap2.live, *cols
+            ).collect()
+        }
+        # deleted row gone; rows born under the feature keep distinct
+        # ids (pre-feature files carry none — delta-spark backfills on
+        # enable, which this mid-life config flip never ran)
+        assert 4 not in got
+        with_ids = [v for v in got.values() if v is not None]
+        assert with_ids and len(with_ids) == len(set(with_ids))
         write_delta(spark.createDataFrame([(8, "h")], "k long, v string"), t)
 
     @staticmethod
@@ -5967,3 +5988,135 @@ class TestDVWriteCreation:
             feats["configuration"]["delta.enableDeletionVectors"]
             == "true"
         )
+
+
+class TestRowTrackingPreservation:
+    """delta.enableRowTracking=true DML (VERDICT r13 item 4): surviving
+    rows keep their stable row ids across rewrites via materialized
+    row-id / row-commit-version columns (PROTOCOL.md "Row Tracking")."""
+
+    def _ids(self, spark, t):
+        from marketdb_spark.sources.deltadml import _scan_with_row_ids
+        from marketdb_spark.sources.deltalog import (
+            _materialized_rt_cols,
+            _replay,
+        )
+
+        snap = _replay(t, None)
+        rid, rcv = _materialized_rt_cols(snap)
+        return {
+            r.k: (r[rid], r[rcv])
+            for r in _scan_with_row_ids(
+                spark, t, snap, snap.live, rid, rcv
+            ).collect()
+        }
+
+    def test_dml_preserves_row_ids(self, spark, tmp_path):
+        """Create with enable_row_tracking → ids 0..n-1; DELETE keeps
+        survivors' ids AND commit versions; UPDATE keeps rid and stamps
+        the new commit version on updated rows only; MERGE keeps
+        matched ids and allocates fresh ids above the high-water mark
+        for inserts; the materialized columns live in the staged
+        parquet files under the configured names."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            merge_delta,
+            update_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _materialized_rt_cols,
+            _replay,
+            delta_live_files,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_row_tracking=True,
+        )
+        assert self._ids(spark, t) == {
+            k: (k, 0) for k in range(10)
+        }
+        delete_delta(spark, t, "k IN (2, 5)")
+        assert self._ids(spark, t) == {
+            k: (k, 0) for k in range(10) if k not in (2, 5)
+        }
+        v = update_delta(spark, t, "k = 7", {"v": "'UPD'"})
+        got = self._ids(spark, t)
+        assert got[7] == (7, v)  # rid kept, rcv = this commit
+        assert got[0] == (0, 0)  # untouched rows keep their version
+        src = spark.createDataFrame(
+            [(3, "M"), (100, "NEW")], "k long, v string"
+        )
+        v2 = merge_delta(spark, t, src, ["k"])
+        got = self._ids(spark, t)
+        assert got[3] == (3, v2)
+        hwm_before_insert = 9
+        assert got[100][0] > hwm_before_insert and got[100][1] == v2
+        assert len({rid for rid, _ in got.values()}) == len(got)
+        # the staged files physically carry the configured columns
+        snap = _replay(t, None)
+        rid_col, _ = _materialized_rt_cols(snap)
+        carrying = [
+            rel
+            for rel in delta_live_files(t)
+            if rid_col
+            in pq.read_schema(os.path.join(t, rel)).names
+        ]
+        assert carrying
+
+    def test_dv_delete_on_row_tracking_table(self, spark, tmp_path):
+        """enableRowTracking + enableDeletionVectors: a DV-emitting
+        DELETE re-adds the SAME file with its baseRowId verbatim — ids
+        preserved with zero materialization."""
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            delta_live_files,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(8)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_row_tracking=True,
+            enable_dvs=True,
+        )
+        [rel] = delta_live_files(t)
+        before = (_replay(t, None).row_meta or {}).get(rel)
+        assert before and before["baseRowId"] == 0
+        delete_delta(spark, t, "k = 3")
+        snap = _replay(t, None)
+        assert snap.dvs.get(rel)  # soft-deleted, not rewritten
+        assert (snap.row_meta or {}).get(rel) == before  # id anchor kept
+        assert self._ids(spark, t) == {
+            k: (k, 0) for k in range(8) if k != 3
+        }
+
+    def test_restore_still_refuses_on_enabled(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            restore_delta,
+        )
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(6).selectExpr("id AS k").coalesce(1),
+            t,
+            enable_row_tracking=True,
+        )
+        delete_delta(spark, t, "k = 1")
+        with pytest.raises(ValueError, match="enableRowTracking"):
+            restore_delta(spark, t, 0)
