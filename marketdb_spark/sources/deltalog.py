@@ -3083,6 +3083,7 @@ def write_checkpoint(
     version: int | None = None,
     *,
     part_size: int | None = DEFAULT_CHECKPOINT_PART_SIZE,
+    sidecar_size: int | None = None,
 ) -> int:
     """Write a classic parquet checkpoint at ``version`` (default:
     latest) plus the ``_last_checkpoint`` pointer — the log compaction
@@ -3106,11 +3107,17 @@ def write_checkpoint(
     forces single-part.
 
     Tables declaring the ``v2Checkpoint`` table feature get the V2
-    layout instead — a sidecar-less UUID-named JSON checkpoint whose
-    first action is the required ``checkpointMetadata`` marker — the
-    writer obligation that makes such tables WRITABLE here, not just
-    readable (the file round-trips through _v2_checkpoint_rows and the
-    foreign-layout tests)."""
+    layout instead — a UUID-named JSON checkpoint whose first action is
+    the required ``checkpointMetadata`` marker — the writer obligation
+    that makes such tables WRITABLE here, not just readable (the file
+    round-trips through _v2_checkpoint_rows and the foreign-layout
+    tests). With ``sidecar_size`` set and more file actions than it,
+    the adds split into parquet SIDECAR files of at most that many rows
+    under ``_delta_log/_sidecars/`` (written BEFORE the checkpoint file
+    per the protocol's visibility rule) and the checkpoint carries
+    ``sidecar`` references instead — the layout that keeps any single
+    checkpoint file bounded on very large tables; ``None`` stays
+    sidecar-less (every action inline)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3156,8 +3163,8 @@ def write_checkpoint(
         | set(snap.protocol.get("writerFeatures") or ())
     ):
         # the v2 writer obligation: UUID-named, checkpointMetadata
-        # marker first, every action inline (sidecar-less — sidecars
-        # are an option for huge tables, not a requirement)
+        # marker first; file actions inline (sidecar-less) or split
+        # into bounded parquet sidecars when sidecar_size says so
         import uuid as _uuid
 
         from urllib.parse import quote
@@ -3181,6 +3188,7 @@ def write_checkpoint(
                 }
             }
         )
+        adds_v2: list[dict] = []
         for path, pvals in sorted(live.items()):
             full = os.path.join(table, path)
             add: dict = {
@@ -3196,7 +3204,97 @@ def write_checkpoint(
             }
             if path in dvs:
                 add["deletionVector"] = dvs[path]
-            acts.append({"add": add})
+            adds_v2.append(add)
+        if sidecar_size is not None and len(adds_v2) > sidecar_size:
+            # sidecar layout: bounded parquet files of add rows under
+            # _delta_log/_sidecars/, written BEFORE the checkpoint file
+            # so a visible checkpoint never references a missing
+            # sidecar (crash mid-write leaves orphan sidecars, which
+            # readers never open)
+            side_dir = os.path.join(table, _LOG, "_sidecars")
+            os.makedirs(side_dir, exist_ok=True)
+            side_schema = pa.schema(
+                [
+                    (
+                        "add",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                (
+                                    "partitionValues",
+                                    pa.map_(pa.string(), pa.string()),
+                                ),
+                                ("size", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                                ("dataChange", pa.bool_()),
+                                ("baseRowId", pa.int64()),
+                                ("defaultRowCommitVersion", pa.int64()),
+                                (
+                                    "deletionVector",
+                                    pa.struct(
+                                        [
+                                            ("storageType", pa.string()),
+                                            (
+                                                "pathOrInlineDv",
+                                                pa.string(),
+                                            ),
+                                            ("offset", pa.int32()),
+                                            ("sizeInBytes", pa.int32()),
+                                            ("cardinality", pa.int64()),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    )
+                ]
+            )
+            for i in range(0, len(adds_v2), sidecar_size):
+                chunk = adds_v2[i : i + sidecar_size]
+                rows = [
+                    {
+                        "add": {
+                            **a,
+                            "partitionValues": list(
+                                a["partitionValues"].items()
+                            ),
+                            "deletionVector": (
+                                {
+                                    k: a["deletionVector"].get(k)
+                                    for k in (
+                                        "storageType",
+                                        "pathOrInlineDv",
+                                        "offset",
+                                        "sizeInBytes",
+                                        "cardinality",
+                                    )
+                                }
+                                if a.get("deletionVector")
+                                else None
+                            ),
+                        }
+                    }
+                    for a in chunk
+                ]
+                side_name = f"{_uuid.uuid4()}.parquet"
+                side_path = os.path.join(side_dir, side_name)
+                pq.write_table(
+                    pa.Table.from_pylist(rows, schema=side_schema),
+                    side_path,
+                )
+                acts.append(
+                    {
+                        "sidecar": {
+                            "path": side_name,
+                            "sizeInBytes": os.path.getsize(side_path),
+                            "modificationTime": int(
+                                os.path.getmtime(side_path) * 1000
+                            ),
+                        }
+                    }
+                )
+        else:
+            acts.extend({"add": a} for a in adds_v2)
         for app, v in sorted(txns.items()):
             acts.append({"txn": {"appId": app, "version": v}})
         for name in sorted(getattr(snap, "domains", None) or {}):

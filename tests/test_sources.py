@@ -2583,6 +2583,162 @@ class TestDeltaColumnMapping:
         with pytest.raises(ValueError, match="Z85-encoded UUID"):
             read_delta(spark, t)
 
+    def test_foreign_nested_field_id_preflight(self, spark, tmp_path):
+        """The r12-advice scenario, pinned against a FOREIGN
+        delta-spark-shaped id-mode fixture with a NESTED struct: a data
+        file carrying every nested id reads by id; a file that predates
+        an evolved nested column (its whole subtree's ids above the
+        file's max) null-fills by design; a file carrying a struct's
+        TOP-LEVEL id but missing a child id is malformed and raises
+        per-subtree — never Spark's silent nested null-fill."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+
+        from marketdb_spark.sources.deltalog import read_delta
+
+        def fld(name, dt, fid, phys):
+            return T.StructField(
+                name, dt, True,
+                {
+                    "delta.columnMapping.id": fid,
+                    "delta.columnMapping.physicalName": phys,
+                },
+            )
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "_delta_log"))
+
+        def pa_field(name, typ, fid):
+            return pa.field(
+                name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+            )
+
+        good = pa.schema(
+            [
+                pa_field("col-a", pa.int64(), 1),
+                pa_field(
+                    "col-b",
+                    pa.struct(
+                        [
+                            pa_field("col-c", pa.int64(), 3),
+                            pa_field("col-d", pa.string(), 4),
+                        ]
+                    ),
+                    2,
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"col-a": 1, "col-b": {"col-c": 10, "col-d": "x"}},
+                    {"col-a": 2, "col-b": {"col-c": 20, "col-d": "y"}},
+                ],
+                schema=good,
+            ),
+            os.path.join(t, "f1.parquet"),
+        )
+        schema = T.StructType(
+            [
+                fld("k", T.LongType(), 1, "col-a"),
+                fld(
+                    "s",
+                    T.StructType(
+                        [
+                            fld("x", T.LongType(), 3, "col-c"),
+                            fld("y", T.StringType(), 4, "col-d"),
+                        ]
+                    ),
+                    2,
+                    "col-b",
+                ),
+            ]
+        )
+        meta = {
+            "metaData": {
+                "id": "foreign", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(), "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "4",
+                },
+            }
+        }
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5,
+            }}) + "\n")
+            f.write(json.dumps(meta) + "\n")
+            f.write(json.dumps({"add": {
+                "path": "f1.parquet", "partitionValues": {},
+                "size": 1, "dataChange": True,
+            }}) + "\n")
+        got = sorted(
+            (r.k, r.s.x, r.s.y) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, 10, "x"), (2, 20, "y")]
+        # evolution shape: a column whose whole subtree exceeds the
+        # file's max id (the file predates it) null-fills by design
+        evolved = T.StructType(
+            list(schema.fields)
+            + [
+                fld(
+                    "z",
+                    T.StructType([fld("w", T.LongType(), 6, "col-f")]),
+                    5,
+                    "col-e",
+                ),
+            ]
+        )
+        meta2 = {
+            "metaData": {
+                **meta["metaData"],
+                "schemaString": evolved.json(),
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "6",
+                },
+            }
+        }
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps(meta2) + "\n")
+        rows = read_delta(spark, t).collect()
+        assert sorted(r.k for r in rows) == [1, 2]
+        assert all(r.z is None for r in rows)
+        # malformed shape: a file CARRYING the struct's top-level id
+        # but missing a CHILD id raises per-subtree
+        bad = pa.schema(
+            [
+                pa_field("col-a", pa.int64(), 1),
+                pa_field(
+                    "col-b",
+                    pa.struct(
+                        [
+                            pa_field("col-c", pa.int64(), 3),
+                            pa.field("col-d", pa.string()),  # id missing
+                        ]
+                    ),
+                    2,
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"col-a": 3, "col-b": {"col-c": 30, "col-d": "z"}}],
+                schema=bad,
+            ),
+            os.path.join(t, "f2.parquet"),
+        )
+        with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps({"add": {
+                "path": "f2.parquet", "partitionValues": {},
+                "size": 1, "dataChange": True,
+            }}) + "\n")
+        with pytest.raises(ValueError, match="no parquet field ids"):
+            read_delta(spark, t).collect()
+
 
 class TestDeltaCDF:
     """Change Data Feed (PROTOCOL.md "Add CDC File"): cdc actions +
@@ -6120,3 +6276,126 @@ class TestRowTrackingPreservation:
         delete_delta(spark, t, "k = 1")
         with pytest.raises(ValueError, match="enableRowTracking"):
             restore_delta(spark, t, 0)
+
+
+class TestV2SidecarWriter:
+    """Sidecar-emitting v2 checkpoint writer (VERDICT r13 item 5): the
+    layout that keeps any single checkpoint file bounded on very large
+    tables — round-trips through the existing sidecar reader."""
+
+    def test_sidecar_checkpoint_round_trips(self, spark, tmp_path):
+        """Above sidecar_size the adds split into bounded parquet files
+        under _delta_log/_sidecars/ referenced by sidecar actions;
+        replay from the v2 file alone (clean_log) reconstructs the
+        exact live set incl. DV descriptors and txn marks; a missing
+        sidecar raises; sidecar-less stays the default."""
+        import re
+
+        from marketdb_spark.sources.deltadv import commit_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            clean_log,
+            delta_live_files,
+            last_txn_version,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string, p string"
+        write_delta(
+            spark.createDataFrame(
+                [(i, f"v{i}", f"p{i % 5}") for i in range(10)], schema
+            ).repartition(5, "p"),
+            t,
+            partition_by=["p"],
+        )
+        rel = sorted(delta_live_files(t))[0]
+        commit_inline_dv(t, rel, [0])  # a descriptor must survive
+        # commit_inline_dv re-emits its own protocol, so the
+        # v2Checkpoint declaration must land AFTER it
+        with open(
+            os.path.join(t, "_delta_log", f"{2:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "writerFeatures": ["deletionVectors", "v2Checkpoint"],
+            }}) + "\n")
+        write_delta(
+            spark.createDataFrame([(99, "z", "p0")], schema),
+            t,
+            txn_app="app",
+            txn_version=5,
+        )
+        want = sorted(
+            tuple(r) for r in read_delta(spark, t).collect()
+        )
+        v = write_checkpoint(t, sidecar_size=2)
+        [ck] = [
+            n
+            for n in os.listdir(os.path.join(t, "_delta_log"))
+            if re.fullmatch(
+                rf"{v:020d}\.checkpoint\.[0-9a-f\-]{{36}}\.json", n
+            )
+        ]
+        with open(os.path.join(t, "_delta_log", ck)) as f:
+            acts = [json.loads(l) for l in f if l.strip()]
+        sides = [a["sidecar"] for a in acts if "sidecar" in a]
+        assert len(sides) >= 3  # 6 live files / 2 per sidecar
+        assert not [a for a in acts if "add" in a]  # nothing inline
+        side_dir = os.path.join(t, "_delta_log", "_sidecars")
+        assert all(
+            os.path.exists(os.path.join(side_dir, s["path"]))
+            and s["sizeInBytes"]
+            == os.path.getsize(os.path.join(side_dir, s["path"]))
+            for s in sides
+        )
+        removed = clean_log(t)
+        assert removed
+        snap = _replay(t, None)
+        assert snap.dvs  # descriptor survived the sidecar hop
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == want
+        assert last_txn_version(t, "app") == 5
+        # crash-sim: a referenced sidecar disappearing is corruption
+        os.remove(os.path.join(side_dir, sides[0]["path"]))
+        with pytest.raises(ValueError, match="missing sidecar"):
+            read_delta(spark, t).collect()
+
+    def test_small_table_stays_sidecarless(self, spark, tmp_path):
+        import re
+
+        from marketdb_spark.sources.deltalog import (
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }}) + "\n")
+        v = write_checkpoint(t, sidecar_size=100)  # fewer adds than cap
+        [ck] = [
+            n
+            for n in os.listdir(os.path.join(t, "_delta_log"))
+            if re.fullmatch(
+                rf"{v:020d}\.checkpoint\.[0-9a-f\-]{{36}}\.json", n
+            )
+        ]
+        with open(os.path.join(t, "_delta_log", ck)) as f:
+            acts = [json.loads(l) for l in f if l.strip()]
+        assert [a for a in acts if "add" in a]
+        assert not [a for a in acts if "sidecar" in a]
+        assert not os.path.isdir(
+            os.path.join(t, "_delta_log", "_sidecars")
+        )
