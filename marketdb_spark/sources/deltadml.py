@@ -367,6 +367,7 @@ def _commit_dml(
     dv_adds: dict | None = None,
     rows_preserved: bool = False,
     config_updates: dict | None = None,
+    add_extras: dict | None = None,
 ) -> int:
     """The shared commit tail: remove every matched file, add every
     staged file (+ cdc actions), with optimize_delta's staleness rule —
@@ -378,7 +379,12 @@ def _commit_dml(
     with the descriptor instead of dropping them — the DV-emitting
     DELETE shape (add(file, DV') + descriptor-carrying remove in one
     commit); the re-add keeps the file's row-tracking fields verbatim
-    (same file, same baseRowId — ids are trivially preserved)."""
+    (same file, same baseRowId — ids are trivially preserved).
+    ``add_extras`` ({rel: action fields}) merges verbatim into a
+    staged rel's add action LAST — RESTORE uses it to re-attach the
+    HISTORICAL deletionVector / baseRowId / defaultRowCommitVersion to
+    re-referenced files (overriding any fresh rowTracking
+    allocation)."""
     from marketdb_spark.sources.snapshot import CommitConflict
 
     for _ in range(5):
@@ -502,6 +508,7 @@ def _commit_dml(
                         ),
                         "dataChange": True,
                         **(rt_extras.get(rel) or {}),
+                        **((add_extras or {}).get(rel) or {}),
                     }
                 }
             )
@@ -1309,7 +1316,17 @@ def restore_delta(
     ('delete' rows for what the restore removes, 'insert' rows for what
     it brings back), so incremental consumers see the restore as the
     data change it is. Returns the committed version, or None when the
-    table is already at the target state."""
+    table is already at the target state.
+
+    Deletion vectors restore too: a path live in BOTH snapshots whose
+    descriptor differs (e.g. undoing a DV-emitting DELETE) re-adds with
+    the HISTORICAL descriptor — the un-delete delta-spark's RESTORE
+    performs — and re-referenced files carry their historical
+    baseRowId/defaultRowCommitVersion, so stable row ids survive a
+    restore on delta.enableRowTracking=true tables (the r12 refusal is
+    lifted: the historical fields ARE the preservation)."""
+    from marketdb_spark.sources.deltadv import dv_descriptor_key
+
     snap = _table_state(table)
     target = _replay(table, version)
     if _strip_field_metadata(
@@ -1322,8 +1339,20 @@ def restore_delta(
             f"partitioning changed since — restore across schema changes "
             f"is unsupported"
         )
-    removes = sorted(set(snap.live) - set(target.live))
-    readds = sorted(set(target.live) - set(snap.live))
+    cur_dvs = getattr(snap, "dvs", None) or {}
+    tgt_dvs = getattr(target, "dvs", None) or {}
+    tgt_rm = getattr(target, "row_meta", None) or {}
+    # a path live in both snapshots restores only when its DV changed:
+    # remove (current descriptor rides the tombstone) + re-add with the
+    # historical one — the row-set change a path-set diff would miss
+    dv_changed = sorted(
+        p
+        for p in set(snap.live) & set(target.live)
+        if dv_descriptor_key(cur_dvs.get(p))
+        != dv_descriptor_key(tgt_dvs.get(p))
+    )
+    removes = sorted(set(snap.live) - set(target.live)) + dv_changed
+    readds = sorted(set(target.live) - set(snap.live)) + dv_changed
     if not removes and not readds:
         return None
     gone = [
@@ -1334,10 +1363,32 @@ def restore_delta(
             f"cannot restore {table} to version {version}: files {gone} "
             f"were vacuumed — the snapshot is no longer materializable"
         )
+    gone_dv = []
+    for p in readds:
+        if p in tgt_dvs:
+            from marketdb_spark.sources.deltadv import decode_dv
+
+            try:
+                decode_dv(tgt_dvs[p], table, p)
+            except ValueError:
+                gone_dv.append(p)
+    if gone_dv:
+        raise ValueError(
+            f"cannot restore {table} to version {version}: the deletion "
+            f"vectors of {gone_dv} are no longer decodable (vacuumed or "
+            f"corrupt) — the snapshot is no longer materializable"
+        )
     # "staged" adds are the EXISTING historical files re-referenced with
     # their original partitionValues — never unstage these on failure
     # (they belong to retained history), only the cdc files we created
     readd_staged = [(p, target.live[p]) for p in readds]
+    add_extras = {
+        p: {
+            **(tgt_rm.get(p) or {}),
+            **({"deletionVector": tgt_dvs[p]} if p in tgt_dvs else {}),
+        }
+        for p in readds
+    }
     cdc_staged: list[tuple[str, dict]] = []
     try:
         if _cdf_on(snap):
@@ -1370,7 +1421,9 @@ def restore_delta(
             removes,
             readd_staged,
             cdc_staged,
-            read_dvs=getattr(snap, "dvs", None) or {},
+            read_dvs=cur_dvs,
+            rows_preserved=True,
+            add_extras=add_extras,
         )
     except BaseException:
         _unstage(table, [r for r, _ in cdc_staged])

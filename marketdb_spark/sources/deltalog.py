@@ -355,6 +355,14 @@ _SUPPORTED_WRITER_FEATURES = {
     # sidecar-less UUID-named v2 layout (checkpointMetadata marker +
     # inline actions) instead of a classic checkpoint
     "v2Checkpoint",
+    # honored via domain preservation (PROTOCOL.md "Clustered Table"):
+    # the writer obligation is to keep the clustering implementation's
+    # delta.clustering domainMetadata intact — replay tracks it,
+    # write_checkpoint re-emits it, clean_log never strips it. This
+    # writer never REORGANIZES data by the clustering columns (appends
+    # land unclustered, legal best-effort per the spec; OPTIMIZE
+    # zorder_by is the explicit reclustering path).
+    "clusteredTable",
     # vacuously honored: the obligation is to RECORD delta.typeChanges
     # when widening a column's type, and this writer never changes
     # types (appends require structural schema equality) — it only
@@ -369,8 +377,8 @@ _SUPPORTED_WRITER_FEATURES = {
     # oblige ROW-ID PRESERVATION across rewrites: DML materializes the
     # surviving rows' ids/commit versions into the configured
     # materialized columns (deltadml._scan_with_row_ids), assigning
-    # the column names lazily when missing; only restore_delta still
-    # refuses on enabled tables.
+    # the column names lazily when missing; RESTORE re-attaches the
+    # historical baseRowId/defaultRowCommitVersion verbatim.
     "rowTracking",
 }
 

@@ -6260,22 +6260,74 @@ class TestRowTrackingPreservation:
             k: (k, 0) for k in range(8) if k != 3
         }
 
-    def test_restore_still_refuses_on_enabled(self, spark, tmp_path):
+    def test_restore_preserves_row_ids(self, spark, tmp_path):
+        """RESTORE re-references historical files WITH their historical
+        baseRowId/defaultRowCommitVersion — stable ids survive the undo
+        (the r12 refusal is lifted: the historical fields ARE the
+        preservation)."""
         from marketdb_spark.sources.deltadml import (
             delete_delta,
             restore_delta,
         )
-        from marketdb_spark.sources.deltalog import write_delta
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
 
         t = str(tmp_path / "tbl")
         write_delta(
-            spark.range(6).selectExpr("id AS k").coalesce(1),
+            spark.range(6)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
             t,
             enable_row_tracking=True,
         )
+        before = self._ids(spark, t)
         delete_delta(spark, t, "k = 1")
-        with pytest.raises(ValueError, match="enableRowTracking"):
-            restore_delta(spark, t, 0)
+        assert restore_delta(spark, t, 0) is not None
+        assert read_delta(spark, t).count() == 6
+        assert self._ids(spark, t) == before  # ids reverted exactly
+
+    def test_restore_undoes_dv_delete(self, spark, tmp_path):
+        """A path live in BOTH snapshots with a DIFFERENT deletion
+        vector restores too: the re-add carries the HISTORICAL
+        descriptor (none, here) — undoing a DV-emitting DELETE brings
+        the soft-deleted rows back; the path-set diff alone would have
+        missed it entirely."""
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            restore_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_dvs=True,
+        )
+        delete_delta(spark, t, "k % 3 = 0")  # v1: DV-emitting
+        delete_delta(spark, t, "k = 1")      # v2: grows the vector
+        assert read_delta(spark, t).count() == 5
+        v = restore_delta(spark, t, 1)  # undo only the second delete
+        assert v is not None
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            1, 2, 4, 5, 7, 8,
+        ]
+        snap = _replay(t, None)
+        [desc] = snap.dvs.values()
+        assert desc["cardinality"] == 4  # the v1 vector, restored
+        # back to the pre-delete world: no vectors at all
+        restore_delta(spark, t, 0)
+        assert _replay(t, None).dvs == {}
+        assert read_delta(spark, t).count() == 10
+        # already at target: no-op
+        assert restore_delta(spark, t, 0) is None
 
 
 class TestV2SidecarWriter:
@@ -6399,3 +6451,54 @@ class TestV2SidecarWriter:
         assert not os.path.isdir(
             os.path.join(t, "_delta_log", "_sidecars")
         )
+
+
+class TestClusteredTable:
+    """clusteredTable writer feature (PROTOCOL.md "Clustered Table"):
+    writable — the obligation is preserving the clustering
+    implementation's delta.clustering domain, which replay/checkpoint/
+    clean_log already honor for any domain."""
+
+    def test_append_preserves_clustering_domain(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            clean_log,
+            delta_domain_metadata,
+            delta_features,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        dom_cfg = json.dumps({"clusteringColumns": [["k"]]})
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["clusteredTable", "domainMetadata"],
+            }}) + "\n")
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": dom_cfg,
+                "removed": False,
+            }}) + "\n")
+        assert delta_features(t)["unsupported"] == []
+        # appends are legal (best-effort clustering per the spec)
+        write_delta(
+            spark.createDataFrame([(2, "b")], "k long, v string"), t
+        )
+        # DML is legal too
+        delete_delta(spark, t, "k = 1")
+        # the clustering domain survives checkpoint + log retention
+        write_checkpoint(t)
+        clean_log(t)
+        doms = delta_domain_metadata(t)
+        assert doms["delta.clustering"] == dom_cfg
+        assert _replay(t, None).domains["delta.clustering"]
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [2]
