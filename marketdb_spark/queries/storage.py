@@ -2371,3 +2371,78 @@ def store_delta_rowid_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_variant",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def store_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta ``variantType`` table feature end to end (PROTOCOL.md
+    "Variant Data Type"; Delta 4.x / Spark 4 VARIANT): orders rows
+    serialize to JSON, parse to a VARIANT column, land in a Delta table
+    whose CREATE emits the feature-form protocol declaring variantType
+    in both feature lists (asserted inline), and read back through the
+    protocol replay — parquet stores the spec's (metadata, value)
+    binary group, which Spark's vectorized reader reassembles.
+    ``variant_get`` then extracts typed fields for the aggregation,
+    hash-equal to the plain-columns oracle iff the JSON→variant→parquet
+    →variant→typed-extract pipeline is lossless. Shredded variants and
+    the streaming lanes refuse by name (TestDeltaVariant)."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 1
+    )
+    df = orders.select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderpriority").alias("pri"),
+                    F.col("o_totalprice").alias("price"),
+                )
+            )
+        ).alias("v"),
+    )
+    work = tempfile.mkdtemp(prefix="store_variant_")
+    t = f"{work}/tbl"
+    try:
+        write_delta(df, t)
+        with open(_os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+            acts = [_json.loads(l) for l in f if l.strip()]
+        [proto] = [a["protocol"] for a in acts if "protocol" in a]
+        if "variantType" not in (proto.get("readerFeatures") or []) or (
+            "variantType" not in (proto.get("writerFeatures") or [])
+        ):
+            raise AssertionError(
+                f"variant table did not declare variantType: {proto}"
+            )
+        out = (
+            read_delta(spark, t)
+            .select(
+                F.variant_get("v", "$.pri", "string").alias("pri"),
+                F.variant_get("v", "$.price", "double").alias("price"),
+            )
+            .groupBy("pri")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("price", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -283,6 +283,15 @@ _SUPPORTED_READER_FEATURES = {
     # date→timestampNtz widening) fails loudly at scan, never silently
     "typeWidening",
     "typeWidening-preview",
+    # the Variant data type is native in Spark 4 (VariantType): the
+    # schemaString round-trips through StructType.fromJson and parquet
+    # stores the spec's (metadata, value) binary group, which Spark's
+    # vectorized reader assembles natively; variant_get/to_json work on
+    # the scanned column. SHREDDED variants (variantShredding-preview)
+    # are NOT consumable and stay outside this set — a shredded file
+    # under a blind binary read would be wrong rows.
+    "variantType",
+    "variantType-preview",
 }
 
 
@@ -355,6 +364,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # sidecar-less UUID-named v2 layout (checkpointMetadata marker +
     # inline actions) instead of a classic checkpoint
     "v2Checkpoint",
+    # honored natively: Spark 4's parquet writer emits the variant
+    # spec's (metadata, value) binary group for VariantType columns —
+    # the writer obligation is writing valid variant binaries, which
+    # the engine's own type system guarantees
+    "variantType",
+    "variantType-preview",
     # honored via domain preservation (PROTOCOL.md "Clustered Table"):
     # the writer obligation is to keep the clustering implementation's
     # delta.clustering domainMetadata intact — replay tracks it,
@@ -796,6 +811,22 @@ def _contains_ntz(dt: T.DataType) -> bool:
         return _contains_ntz(dt.elementType)
     if isinstance(dt, T.MapType):
         return _contains_ntz(dt.keyType) or _contains_ntz(dt.valueType)
+    return False
+
+
+def _contains_variant(dt: T.DataType) -> bool:
+    """True when the type tree contains VARIANT anywhere — the delta
+    variantType table feature applies (reader 3 / writer 7)."""
+    if isinstance(dt, getattr(T, "VariantType", ())):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_variant(dt.keyType) or _contains_variant(
+            dt.valueType
+        )
     return False
 
 
@@ -2379,6 +2410,18 @@ def write_delta(
                 f"without the feature is unsupported (recreate the "
                 f"table)"
             )
+        if _contains_variant(df.schema) and not (
+            {"variantType", "variantType-preview"}
+            & set((existing.protocol or {}).get("readerFeatures") or [])
+        ):
+            # same rule for VARIANT columns (PROTOCOL.md "Variant Data
+            # Type"): feature-blind readers would misread the binary
+            raise ValueError(
+                f"{table}'s protocol does not declare variantType; "
+                f"writing VARIANT columns into an existing table "
+                f"without the feature is unsupported (recreate the "
+                f"table)"
+            )
         mapped_schema = (
             T.StructType.fromJson(json.loads(existing.schema_json))
             if cmode in ("name", "id")
@@ -2852,17 +2895,21 @@ def write_delta(
                 # (writer versions are cumulative per the protocol)
                 if (
                     _contains_ntz(df.schema)
+                    or _contains_variant(df.schema)
                     or enable_dvs
                     or enable_row_tracking
                 ):
-                    # timestampNtz / deletionVectors / rowTracking are
-                    # FEATURE-form only: v7 listing every feature the
-                    # table actually uses (rowTracking is writer-only —
-                    # a reader needs nothing special, so an all-writer
-                    # feature set keeps minReaderVersion at 1)
+                    # timestampNtz / variantType / deletionVectors /
+                    # rowTracking are FEATURE-form only: v7 listing
+                    # every feature the table actually uses
+                    # (rowTracking is writer-only — a reader needs
+                    # nothing special, so an all-writer feature set
+                    # keeps minReaderVersion at 1)
                     rf = []
                     if _contains_ntz(df.schema):
                         rf.append("timestampNtz")
+                    if _contains_variant(df.schema):
+                        rf.append("variantType")
                     if enable_dvs:
                         rf.append("deletionVectors")
                     if cmode in ("name", "id"):

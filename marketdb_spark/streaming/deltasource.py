@@ -552,6 +552,19 @@ class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.table = options["path"]
         self.schema = schema
+        from marketdb_spark.sources.deltalog import _contains_variant
+
+        if any(_contains_variant(f.dataType) for f in schema.fields):
+            # the arrow streaming lane reassembles columns from raw
+            # parquet reads; VARIANT's binary group is consumable by
+            # the BATCH reader but this lane's per-column arrow
+            # handling does not reproduce Spark's variant assembly —
+            # refuse by name rather than emit misbound binaries
+            raise ValueError(
+                f"delta streaming of {self.table}: VARIANT columns are "
+                f"unsupported in the streaming lanes (read_delta "
+                f"handles them in batch)"
+            )
         self.part_cols = list(
             json.loads(options.get("partcols") or "[]")
         )

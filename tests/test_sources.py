@@ -6502,3 +6502,82 @@ class TestClusteredTable:
         assert doms["delta.clustering"] == dom_cfg
         assert _replay(t, None).domains["delta.clustering"]
         assert sorted(r.k for r in read_delta(spark, t).collect()) == [2]
+
+
+class TestDeltaVariant:
+    """variantType table feature (PROTOCOL.md "Variant Data Type" /
+    Delta 4.x): VARIANT columns write and read through the protocol
+    replay; the guards around what this engine does NOT consume."""
+
+    def test_variant_round_trip_and_guards(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            read_delta,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            DeltaStreamReader,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "y"}')],
+            "k long, js string",
+        ).select("k", F.parse_json("js").alias("v"))
+        write_delta(df, t)
+        feats = delta_features(t)
+        assert "variantType" in feats["protocol"]["readerFeatures"]
+        assert "variantType" in feats["protocol"]["writerFeatures"]
+        assert feats["unsupported"] == []
+        back = read_delta(spark, t)
+        got = sorted(
+            (r.k, r.a, r.b)
+            for r in back.select(
+                "k",
+                F.variant_get("v", "$.a", "int").alias("a"),
+                F.variant_get("v", "$.b", "string").alias("b"),
+            ).collect()
+        )
+        assert got == [(1, 1, "x"), (2, 2, "y")]
+        # appends with the feature declared keep working
+        write_delta(
+            spark.createDataFrame(
+                [(3, '{"a": 3, "b": "z"}')], "k long, js string"
+            ).select("k", F.parse_json("js").alias("v")),
+            t,
+        )
+        assert read_delta(spark, t).count() == 3
+        # a variant column into a FEATURE-BLIND existing table raises
+        t2 = str(tmp_path / "plain")
+        write_delta(
+            spark.createDataFrame([(1,)], "k long"), t2
+        )
+        with pytest.raises(ValueError, match="variantType"):
+            write_delta(df, t2, merge_schema=True)
+        # the streaming lanes refuse by name
+        schema = back.schema
+        with pytest.raises(ValueError, match="VARIANT columns"):
+            DeltaStreamReader(
+                {"path": t, "partcols": "[]", "configjson": "{}"},
+                schema,
+            )
+
+    def test_shredded_variant_stays_unconsumable(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import read_delta, write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["variantShredding-preview"],
+                "writerFeatures": ["variantShredding-preview"],
+            }}) + "\n")
+        with pytest.raises(ValueError, match="variantShredding"):
+            read_delta(spark, t)
