@@ -6581,3 +6581,91 @@ class TestDeltaVariant:
             }}) + "\n")
         with pytest.raises(ValueError, match="variantShredding"):
             read_delta(spark, t)
+
+
+class TestCDFDVDiffMapped:
+    """The modern Databricks default table shape — columnMapping +
+    deletionVectors + CDF together: the DV-diff derivation must speak
+    LOGICAL names while the data files and descriptors speak physical
+    ones."""
+
+    def test_dv_diff_on_column_mapped_table(self, spark, tmp_path):
+        from marketdb_spark.sources.deltadv import encode_inline_dv
+        from marketdb_spark.sources.deltalog import (
+            _replay,
+            delta_live_files,
+            read_change_feed,
+            read_delta,
+        )
+        from marketdb_spark.sources.deltalog import write_delta
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(6)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            column_mapping="name",
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        # foreign DV DELETE on the mapped table: feature-form protocol
+        # declaring all three, remove + re-add with an inline vector,
+        # NO cdc files
+        desc = encode_inline_dv([1, 4])
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"commitInfo": {
+                "operation": "DELETE", "timestamp": 1000,
+            }}) + "\n")
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": [
+                    "changeDataFeed", "columnMapping", "deletionVectors",
+                ],
+            }}) + "\n")
+            f.write(json.dumps({"remove": {
+                "path": rel, "dataChange": True, "partitionValues": {},
+            }}) + "\n")
+            f.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, rel)),
+                "modificationTime": 1000, "dataChange": True,
+                "deletionVector": desc,
+            }}) + "\n")
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 3, 5,
+        ]
+        cf = read_change_feed(spark, t, 1, 1)
+        assert sorted(
+            (r.k, r.v, r._change_type) for r in cf.collect()
+        ) == [(1, "1", "delete"), (4, "4", "delete")]
+        # grow the vector: only the diff derives
+        desc2 = encode_inline_dv([1, 3, 4])
+        snap = _replay(t, None)
+        with open(
+            os.path.join(t, "_delta_log", f"{2:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"commitInfo": {
+                "operation": "DELETE", "timestamp": 2000,
+            }}) + "\n")
+            f.write(json.dumps({"remove": {
+                "path": rel, "dataChange": True, "partitionValues": {},
+                "deletionVector": snap.dvs[rel],
+            }}) + "\n")
+            f.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, rel)),
+                "modificationTime": 2000, "dataChange": True,
+                "deletionVector": desc2,
+            }}) + "\n")
+        cf2 = read_change_feed(spark, t, 2, 2)
+        assert sorted(
+            (r.k, r.v, r._change_type) for r in cf2.collect()
+        ) == [(3, "3", "delete")]
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 5,
+        ]
