@@ -270,16 +270,20 @@ def _scan_with_row_ids(
     table: str,
     snap: _Snapshot,
     subset: dict,
-    rid_col: str,
-    rcv_col: str,
+    rid_col: str | None = None,
+    rcv_col: str | None = None,
+    pos_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """The files of ``subset`` in LOGICAL columns PLUS their rows'
-    stable row ids and commit versions under the given column names
-    (PROTOCOL.md "Row Tracking": materialized value when non-null, else
-    baseRowId + row position / defaultRowCommitVersion). One scan per
-    file — each needs its own baseRowId literal; the DML matched set
-    bounds the union width. Deletion vectors apply (a soft-deleted row
-    never reaches a rewrite)."""
+    """The files of ``subset`` in LOGICAL columns PLUS, when asked,
+    their rows' stable row ids / commit versions under
+    (``rid_col``, ``rcv_col``) (PROTOCOL.md "Row Tracking":
+    materialized value when non-null, else baseRowId + row position /
+    defaultRowCommitVersion) and/or their provenance under ``pos_cols``
+    = (rel-path column, row-index column) — the coordinates a
+    deletion-vector-emitting MERGE needs. One scan per file — each
+    needs its own literals; the DML matched set bounds the union
+    width. Deletion vectors apply (a soft-deleted row never reaches a
+    rewrite)."""
     import pandas as _pd
 
     from marketdb_spark.sources.deltadv import decode_dv
@@ -287,21 +291,30 @@ def _scan_with_row_ids(
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     part_cols = snap.part_cols
     logical = _t.cast(T.StructType, _strip_field_metadata(schema))
+    rt_fields = (
+        [
+            T.StructField(rid_col, T.LongType(), True),
+            T.StructField(rcv_col, T.LongType(), True),
+        ]
+        if rid_col is not None
+        else []
+    )
     data_schema = T.StructType(
         [
             T.StructField(f.name, f.dataType, f.nullable)
             for f in schema.fields
             if f.name not in part_cols
         ]
-        + [
-            T.StructField(rid_col, T.LongType(), True),
-            T.StructField(rcv_col, T.LongType(), True),
-        ]
+        + rt_fields
     )
     types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
     dvs = getattr(snap, "dvs", None) or {}
     row_meta = getattr(snap, "row_meta", None) or {}
-    out_cols = [f.name for f in logical.fields] + [rid_col, rcv_col]
+    out_cols = [f.name for f in logical.fields] + [
+        f.name for f in rt_fields
+    ]
+    if pos_cols is not None:
+        out_cols = out_cols + list(pos_cols)
     parts: list[DataFrame] = []
     for rel in sorted(subset):
         pvals = subset[rel] or {}
@@ -313,15 +326,16 @@ def _scan_with_row_ids(
             .parquet(os.path.join(table, rel))
             .withColumn("__ri", F.col("_metadata.row_index"))
         )
-        rid = F.col(rid_col)
-        if base is not None:
-            rid = F.coalesce(
-                rid, (F.lit(int(base)) + F.col("__ri")).cast("long")
-            )
-        rcv = F.col(rcv_col)
-        if drcv is not None:
-            rcv = F.coalesce(rcv, F.lit(int(drcv)).cast("long"))
-        df = df.withColumn(rid_col, rid).withColumn(rcv_col, rcv)
+        if rid_col is not None:
+            rid = F.col(rid_col)
+            if base is not None:
+                rid = F.coalesce(
+                    rid, (F.lit(int(base)) + F.col("__ri")).cast("long")
+                )
+            rcv = F.col(rcv_col)
+            if drcv is not None:
+                rcv = F.coalesce(rcv, F.lit(int(drcv)).cast("long"))
+            df = df.withColumn(rid_col, rid).withColumn(rcv_col, rcv)
         if rel in dvs:
             positions = decode_dv(dvs[rel], table, rel)
             if positions:
@@ -331,6 +345,10 @@ def _scan_with_row_ids(
                     )
                 )
                 df = df.join(F.broadcast(pos_df), "__ri", "left_anti")
+        if pos_cols is not None:
+            df = df.withColumn(pos_cols[0], F.lit(rel)).withColumn(
+                pos_cols[1], F.col("__ri")
+            )
         df = df.drop("__ri")
         for c in part_cols:
             raw = pvals.get(c)
@@ -340,16 +358,13 @@ def _scan_with_row_ids(
             )
         parts.append(df.select(out_cols))
     if not parts:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                logical.fields
-                + [
-                    T.StructField(rid_col, T.LongType(), True),
-                    T.StructField(rcv_col, T.LongType(), True),
-                ]
-            ),
-        )
+        empty_fields = list(logical.fields) + list(rt_fields)
+        if pos_cols is not None:
+            empty_fields += [
+                T.StructField(pos_cols[0], T.StringType(), True),
+                T.StructField(pos_cols[1], T.LongType(), True),
+            ]
+        return spark.createDataFrame([], T.StructType(empty_fields))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -861,6 +876,7 @@ def merge_delta(
     matched_condition: str | None = None,
     not_matched_condition: str | None = None,
     not_matched_by_source_condition: str | None = None,
+    dv_max_fraction: float = 1.0,
 ) -> int | None:
     """``MERGE INTO table USING source ON keys`` — the upsert primitive
     (delta-spark's MERGE, ≙ the reference's bulk-put upsert path in
@@ -1083,17 +1099,36 @@ def merge_delta(
         return None
 
     rt_cols, rt_updates = _rt_preservation(snap, table)
+    dv_on = _dv_write_enabled(snap, table)
+    snap_dvs = getattr(snap, "dvs", None) or {}
+    dv_descs: dict[str, dict] = {}
+    dv_file: str | None = None
     staged: list[tuple[str, dict]] = []
     cdc_staged: list[tuple[str, dict]] = []
     try:
         cdc_parts: list[DataFrame] = []
         if rewrite_rels:
             subset = {p: snap.live[p] for p in rewrite_rels}
-            rows = (
-                _scan_with_row_ids(spark, table, snap, subset, *rt_cols)
-                if rt_cols is not None
-                else _scan_files(spark, table, snap, subset)
-            ).alias("tgt")
+            if dv_on:
+                # DV-emitting merge needs each target row's file
+                # coordinates to vector exactly the clause-affected
+                # positions (untouched rows stay in place)
+                rows = _scan_with_row_ids(
+                    spark,
+                    table,
+                    snap,
+                    subset,
+                    *(rt_cols or (None, None)),
+                    pos_cols=("__dml_rel", "__dml_ri"),
+                ).alias("tgt")
+            elif rt_cols is not None:
+                rows = _scan_with_row_ids(
+                    spark, table, snap, subset, *rt_cols
+                ).alias("tgt")
+            else:
+                rows = _scan_files(spark, table, snap, subset).alias(
+                    "tgt"
+                )
             joined = rows.join(src, key_cond, "left")
             is_matched = F.col(f"src.{on[0]}").isNotNull()
             # per-row clause gates: clause kind AND its condition holds
@@ -1164,6 +1199,20 @@ def merge_delta(
                 (apply_m & F.lit(when_matched == "delete"))
                 | (apply_u & F.lit(nmbs == "delete"))
             )
+            # a row is MODIFIED when an update-shaped clause applies,
+            # AFFECTED when any clause applies (modified or deleted) —
+            # the positions a DV-emitting merge vectors out of the
+            # original file
+            modified = F.lit(False)
+            if wm_vals is not None:
+                modified = modified | apply_m
+            if nmbs_vals is not None:
+                modified = modified | apply_u
+            affected = modified
+            if when_matched == "delete":
+                affected = affected | apply_m
+            if nmbs == "delete":
+                affected = affected | apply_u
             out_vals = []
             for i, (o, n) in enumerate(zip(old, logical_cols)):
                 m_val = wm_vals[i] if wm_vals is not None else o
@@ -1180,18 +1229,70 @@ def merge_delta(
                 # commit version (falls back to this commit's
                 # defaultRowCommitVersion), untouched rows keep theirs
                 rid_col, rcv_col = rt_cols
-                modified = F.lit(False)
-                if wm_vals is not None:
-                    modified = modified | apply_m
-                if nmbs_vals is not None:
-                    modified = modified | apply_u
                 out_vals = out_vals + [
                     F.col(f"tgt.{rid_col}").alias(rid_col),
                     F.when(modified, F.lit(None).cast("long"))
                     .otherwise(F.col(f"tgt.{rcv_col}"))
                     .alias(rcv_col),
                 ]
-            rewritten = joined.filter(keep).select(out_vals)
+            stage_pred = keep
+            if dv_on:
+                # per-file affected positions: files below the
+                # threshold soft-delete those positions and stage ONLY
+                # their modified rows; the rest copy-on-write rewrite
+                import pyarrow.parquet as pq
+
+                from marketdb_spark.sources.deltadv import (
+                    decode_dv,
+                    dv_file_path,
+                    write_dv_file,
+                )
+
+                by_rel: dict[str, set] = {}
+                for r in (
+                    joined.filter(affected)
+                    .select("__dml_rel", "__dml_ri")
+                    .collect()
+                ):
+                    by_rel.setdefault(r[0], set()).add(r[1])
+                dv_rows: dict[str, list[int]] = {}
+                classic_rels: list[str] = []
+                for rel in rewrite_rels:
+                    prior = (
+                        frozenset(decode_dv(snap_dvs[rel], table, rel))
+                        if rel in snap_dvs
+                        else frozenset()
+                    )
+                    new = frozenset(by_rel.get(rel, ())) - prior
+                    nrows = pq.read_metadata(
+                        os.path.join(table, rel)
+                    ).num_rows
+                    live = max(nrows - len(prior), 1)
+                    if (
+                        not new
+                        or len(new) >= nrows - len(prior)
+                        or len(new) / live > dv_max_fraction
+                    ):
+                        classic_rels.append(rel)
+                        continue
+                    dv_rows[rel] = sorted(prior | new)
+                if dv_rows:
+                    dv_descs = write_dv_file(table, dv_rows)
+                    dv_file = dv_file_path(
+                        next(iter(dv_descs.values())), table
+                    )
+                    in_dv = F.col("__dml_rel").isin(list(dv_rows))
+                    in_classic = (
+                        F.col("__dml_rel").isin(classic_rels)
+                        if classic_rels
+                        else F.lit(False)
+                    )
+                    # DV files contribute only their MODIFIED survivors
+                    # (untouched rows stay in the original file)
+                    stage_pred = keep & (
+                        in_classic | (modified & in_dv)
+                    )
+            rewritten = joined.filter(stage_pred).select(out_vals)
             staged.extend(
                 _stage_logical(
                     rewritten,
@@ -1289,13 +1390,16 @@ def merge_delta(
             rewrite_rels,
             staged,
             cdc_staged,
-            read_dvs=getattr(snap, "dvs", None) or {},
+            read_dvs=snap_dvs,
+            dv_adds=dv_descs or None,
             rows_preserved=rt_cols is not None,
             config_updates=rt_updates if staged else None,
         )
     except BaseException:
         _unstage(table, [r for r, _ in staged])
         _unstage(table, [r for r, _ in cdc_staged])
+        if dv_file is not None and os.path.exists(dv_file):
+            os.remove(dv_file)  # orphaned vector file
         raise
 
 

@@ -2004,6 +2004,25 @@ def _stage_files(
                         f"staged layout {rel_dir!r} does not carry the "
                         f"partition columns {part_cols}"
                     )
+                import pyarrow.parquet as _pq
+
+                try:
+                    empty = (
+                        _pq.read_metadata(
+                            os.path.join(root, f)
+                        ).num_rows
+                        == 0
+                    )
+                except Exception:
+                    # a footer this pyarrow can't parse (e.g. the
+                    # VARIANT logical type) — keep the file; the skip
+                    # is an optimization, never a gate
+                    empty = False
+                if empty:
+                    # empty shuffle partition: committing an add for a
+                    # 0-row file is pure log noise (and at scale,
+                    # thousands of them per DML) — skip it
+                    continue
                 name = f"part-{_uuid.uuid4().hex}.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 if prefix:

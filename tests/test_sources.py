@@ -6669,3 +6669,84 @@ class TestCDFDVDiffMapped:
         assert sorted(r.k for r in read_delta(spark, t).collect()) == [
             0, 2, 5,
         ]
+
+
+class TestDVMerge:
+    """DV-emitting MERGE (the upsert primitive on DV tables): touched
+    rows vector out of their files, only modified rows + inserts write
+    bytes."""
+
+    def test_merge_emits_dv_for_touched_rows(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(20)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_dvs=True,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        src = spark.createDataFrame(
+            [(3, "U3"), (7, "U7"), (100, "NEW")], "k long, v string"
+        )
+        v = merge_delta(spark, t, src, ["k"])
+        with open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json")
+        ) as f:
+            acts = [json.loads(l) for l in f if l.strip()]
+        adds = [a["add"] for a in acts if "add" in a]
+        [dv_add] = [a for a in adds if a["path"] == rel]
+        assert dv_add["deletionVector"]["cardinality"] == 2
+        staged_rows = sum(
+            pq.read_metadata(os.path.join(t, a["path"])).num_rows
+            for a in adds
+            if a["path"] != rel
+        )
+        assert staged_rows == 3  # 2 updates + 1 insert, never 20
+        # no empty adds (the 0-row shuffle partitions are skipped)
+        assert all(
+            pq.read_metadata(os.path.join(t, a["path"])).num_rows > 0
+            for a in adds
+            if a["path"] != rel
+        )
+        back = read_delta(spark, t)
+        assert back.count() == 21
+        assert sorted(
+            (r.k, r.v) for r in back.collect() if r.k in (3, 7, 100)
+        ) == [(3, "U3"), (7, "U7"), (100, "NEW")]
+        cf = read_change_feed(spark, t, v, v)
+        assert sorted(
+            (r.k, r.v, r._change_type) for r in cf.collect()
+        ) == [
+            (3, "3", "update_preimage"), (3, "U3", "update_postimage"),
+            (7, "7", "update_preimage"), (7, "U7", "update_postimage"),
+            (100, "NEW", "insert"),
+        ]
+        # delete-clause merge grows the vector, writes nothing
+        src2 = spark.createDataFrame(
+            [(1, "x"), (5, "x")], "k long, v string"
+        )
+        v2 = merge_delta(
+            spark, t, src2, ["k"],
+            when_matched="delete", when_not_matched=None,
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{v2:020d}.json")
+        ) as f:
+            acts2 = [json.loads(l) for l in f if l.strip()]
+        adds2 = [a["add"] for a in acts2 if "add" in a]
+        [dv_add2] = [a for a in adds2 if a.get("deletionVector")]
+        assert dv_add2["deletionVector"]["cardinality"] == 4  # union
+        assert read_delta(spark, t).count() == 19

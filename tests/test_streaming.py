@@ -2568,3 +2568,66 @@ class TestCDFStreamDVDiff:
                     raise q2.exception()
             finally:
                 q2.stop()
+
+    def test_cdf_stream_restart_across_dv_commits(self, spark, tmp_path):
+        """Checkpointed restart across DV-diff commits: a DV DELETE
+        lands while the stream is DOWN; the resumed stream emits
+        exactly the newly-vectored rows — exactly-once, equal to batch
+        over the full range."""
+        from marketdb_spark.sources.deltadv import (
+            commit_inline_dv,
+            commit_ondisk_dv,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_change_feed,
+            write_delta,
+        )
+        from marketdb_spark.streaming.deltasource import (
+            read_delta_cdf_stream,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(8)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_cdf=True,
+        )
+        [rel] = delta_live_files(t)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                read_delta_cdf_stream(spark, t, startingVersion=0)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain()  # v0 snapshot: 8 inserts
+        commit_inline_dv(t, rel, [2])        # v1 while down
+        commit_ondisk_dv(t, {rel: [2, 6]})   # v2 while down
+        drain()  # resume: exactly the two diffs
+        key = lambda r: (r.k, r._change_type, r._commit_version)
+        got = sorted(key(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            key(r) for r in read_change_feed(spark, t, 0).collect()
+        )
+        assert got == want
+        assert got.count((2, "delete", 1)) == 1  # once, not re-emitted
+        assert got.count((6, "delete", 2)) == 1
+        drain()  # idle resume: nothing new
+        assert (
+            sorted(
+                key(r) for r in spark.read.parquet(out).collect()
+            )
+            == got
+        )
