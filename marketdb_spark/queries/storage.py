@@ -2446,3 +2446,113 @@ def store_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "store_delta_dv_merge",
+    oracle="""
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT o_orderpriority AS pri,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 13 = 0
+    ) rows_after_merge
+    GROUP BY pri
+    """,
+)
+def store_delta_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-emitting MERGE under the hash gate (VERDICT r13; delta-spark's
+    merge-with-DV shape): orders land in a deletion-vector-enabled Delta
+    table as one sorted file, then ONE MERGE updates the ``% 11`` rows
+    (price doubled) and inserts a shifted copy of the ``% 13`` rows.
+    The commit must re-add the original file with a vector covering
+    exactly the matched positions and stage ONLY the updated + inserted
+    rows (asserted inline: the DV add's cardinality equals the matched
+    count, and no staged file re-materializes the untouched rows) — at
+    100 TB this is why an upsert touching 0.1% of rows writes 0.1% of
+    bytes. Hash-equal to the union-of-cases oracle iff the position
+    vectoring, the modified-row staging and the read-side mask are all
+    exact. Clause-policy guards live in
+    tests/test_sources.py::TestDVMerge."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from marketdb_spark.sources.deltadml import merge_delta
+    from marketdb_spark.sources.deltalog import (
+        delta_live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="store_dvmerge_")
+    t = f"{work}/tbl"
+    try:
+        write_delta(
+            orders.coalesce(1).sortWithinPartitions("o_orderkey"),
+            t,
+            enable_dvs=True,
+        )
+        [rel] = delta_live_files(t)
+        upd = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000_000)).alias(
+                "o_orderkey"
+            ),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        n_upd, n_ins = upd.count(), ins.count()
+        v = merge_delta(spark, t, upd.unionByName(ins), ["o_orderkey"])
+        with open(
+            _os.path.join(t, "_delta_log", f"{v:020d}.json")
+        ) as f:
+            acts = [_json.loads(l) for l in f if l.strip()]
+        adds = [a["add"] for a in acts if "add" in a]
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        if not (
+            len(dv_adds) == 1
+            and dv_adds[0]["path"] == rel
+            and dv_adds[0]["deletionVector"]["cardinality"] == n_upd
+        ):
+            raise AssertionError(
+                f"MERGE did not vector exactly the {n_upd} matched "
+                f"positions: {dv_adds}"
+            )
+        staged_rows = sum(
+            pq.read_metadata(_os.path.join(t, a["path"])).num_rows
+            for a in adds
+            if a["path"] != rel
+        )
+        if staged_rows != n_upd + n_ins:
+            raise AssertionError(
+                f"MERGE staged {staged_rows} rows, want updates+inserts "
+                f"= {n_upd + n_ins}"
+            )
+        out = (
+            read_delta(spark, t)
+            .groupBy(F.col("o_orderpriority").alias("pri"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

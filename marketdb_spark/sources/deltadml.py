@@ -1,12 +1,21 @@
 """Row-level Delta DML — DELETE / UPDATE / MERGE as file-granular
-copy-on-write commits over the public transaction-log protocol
+commits over the public transaction-log protocol
 (https://github.com/delta-io/delta/blob/master/PROTOCOL.md), no delta
 jars. The missing third of the table lifecycle next to the writer
 (deltalog.write_delta) and the maintenance ops (optimize/vacuum/
 checkpoint): what delta-spark's ``DELETE FROM`` / ``UPDATE`` /
 ``MERGE INTO`` compile to, re-expressed Spark-first.
 
-Execution model (exactly delta-spark's copy-on-write):
+Two write shapes, exactly delta-spark's:
+
+- On tables with ``delta.enableDeletionVectors=true`` (and the feature
+  declared), the clause-affected positions join each touched file's
+  DELETION VECTOR (``add(file, DV')`` + descriptor-carrying remove, one
+  shared on-disk .bin per commit) and only modified rows + inserts
+  write data bytes — a metadata-sized commit instead of rewriting the
+  touched files wholesale at 100 TB. ``dv_max_fraction`` falls
+  heavily-affected files back to copy-on-write.
+- Otherwise, copy-on-write:
 
 1. ONE scan of the live file set finds the files that contain any row
    matching the predicate / join keys (``input_file_name()`` per row —
