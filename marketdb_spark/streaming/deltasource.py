@@ -554,7 +554,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.schema = schema
         from marketdb_spark.sources.deltalog import _contains_variant
 
-        if any(_contains_variant(f.dataType) for f in schema.fields):
+        if schema is not None and any(
+            _contains_variant(f.dataType) for f in schema.fields
+        ):
             # the arrow streaming lane reassembles columns from raw
             # parquet reads; VARIANT's binary group is consumable by
             # the BATCH reader but this lane's per-column arrow

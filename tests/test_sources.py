@@ -5464,7 +5464,16 @@ class TestWriterProtocolGate:
         from marketdb_spark.sources.deltalog import _materialized_rt_cols
 
         assert _materialized_rt_cols(_replay(t, None)) is None
-        assert delete_delta(spark, t, "k = 4") is not None
+        # a KNOWN two-row file, so the delete leaves a survivor whose
+        # id must be materialized through the rewrite (a full-file
+        # delete would legitimately skip the lazy name assignment)
+        write_delta(
+            spark.createDataFrame(
+                [(20, "t"), (21, "u")], "k long, v string"
+            ).coalesce(1),
+            t,
+        )
+        assert delete_delta(spark, t, "k = 20") is not None
         snap2 = _replay(t, None)
         cols = _materialized_rt_cols(snap2)
         assert cols is not None  # lazy assignment landed in metaData
@@ -5479,7 +5488,7 @@ class TestWriterProtocolGate:
         # deleted row gone; rows born under the feature keep distinct
         # ids (pre-feature files carry none — delta-spark backfills on
         # enable, which this mid-life config flip never ran)
-        assert 4 not in got
+        assert 20 not in got and 21 in got
         with_ids = [v for v in got.values() if v is not None]
         assert with_ids and len(with_ids) == len(set(with_ids))
         write_delta(spark.createDataFrame([(8, "h")], "k long, v string"), t)

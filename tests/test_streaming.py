@@ -2373,7 +2373,9 @@ class TestDeltaStreamAdmission:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["variantType"],
+                            # variantType became consumable in r13 —
+                            # shredding stays a genuinely unknown one
+                            "readerFeatures": ["variantShredding-preview"],
                         }
                     }
                 )
