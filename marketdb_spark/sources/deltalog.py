@@ -389,11 +389,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # plus defaultRowCommitVersion, and the domain re-emits with the
     # bumped mark; checkpoints re-emit both fields; tombstones carry
     # them. Tables with delta.enableRowTracking=true additionally
-    # oblige ROW-ID PRESERVATION across rewrites: DML materializes the
-    # surviving rows' ids/commit versions into the configured
-    # materialized columns (deltadml._scan_with_row_ids), assigning
-    # the column names lazily when missing; RESTORE re-attaches the
-    # historical baseRowId/defaultRowCommitVersion verbatim.
+    # oblige ROW-ID PRESERVATION across rewrites: DML and OPTIMIZE
+    # materialize the surviving rows' ids/commit versions into the
+    # configured materialized columns (deltadml._scan_with_row_ids /
+    # optimize_delta's per-file reads), assigning the column names
+    # lazily when missing; RESTORE re-attaches the historical
+    # baseRowId/defaultRowCommitVersion verbatim.
     "rowTracking",
 }
 
@@ -3753,6 +3754,33 @@ def optimize_delta(
             if f.name not in part_cols
         ]
     )
+    # delta.enableRowTracking=true (STABLE ids): compaction moves rows
+    # between files, so the surviving ids MATERIALIZE through the
+    # rewrite exactly like DML (PROTOCOL.md "Row Tracking") — without
+    # this, an enabled table could never compact, and on DV tables
+    # OPTIMIZE is the purge path. Mapped + enabled stays refused (via
+    # the _row_tracking_actions gate below).
+    rt_cols: tuple[str, str] | None = None
+    rt_meta_update: dict | None = None
+    _, rt_enabled, _ = _row_tracking_state(snap)
+    if rt_enabled and not mapped:
+        rt_cols = _materialized_rt_cols(snap)
+        if rt_cols is None:
+            rt_cols = (
+                f"_row-id-col-{_uuid.uuid4()}",
+                f"_row-commit-version-col-{_uuid.uuid4()}",
+            )
+            rt_meta_update = {
+                _RT_RID_KEY: rt_cols[0],
+                _RT_RCV_KEY: rt_cols[1],
+            }
+        data_schema = T.StructType(
+            data_schema.fields
+            + [
+                T.StructField(rt_cols[0], T.LongType(), True),
+                T.StructField(rt_cols[1], T.LongType(), True),
+            ]
+        )
     by_part: dict[tuple, list[str]] = {}
     for path, pvals in live.items():
         pv = pvals or {}
@@ -3794,41 +3822,76 @@ def optimize_delta(
             # are keyed the way the table keys them: physical under
             # column mapping, logical otherwise
             pvals = dict(zip((stage_key[c] for c in part_cols), key))
-            plain = [os.path.join(table, p) for p in paths if p not in dvs]
             pieces: list[DataFrame] = []
+            plain = (
+                []
+                if rt_cols is not None
+                else [
+                    os.path.join(table, p) for p in paths if p not in dvs
+                ]
+            )
             if plain:
                 pieces.append(
                     spark.read.schema(data_schema).parquet(*plain)
                 )
             for p in paths:
-                # DV-carrying file: read minus its deleted positions
-                # (same `_metadata.row_index` anti-join as _scan_files)
-                # so the compacted file materializes the deletes
-                if p not in dvs:
+                # per-file reads for DV-carrying files (read minus the
+                # deleted positions — same `_metadata.row_index`
+                # anti-join as _scan_files, so the compacted file
+                # materializes the deletes) and, under enabled row
+                # tracking, for EVERY file (each needs its own
+                # baseRowId literal to materialize ids)
+                if p not in dvs and rt_cols is None:
                     continue
                 import pandas as _pd
 
                 from marketdb_spark.sources.deltadv import decode_dv
 
-                positions = decode_dv(dvs[p], table, p)
                 base = spark.read.schema(data_schema).parquet(
                     os.path.join(table, p)
+                ).select(
+                    "*", F.col("_metadata.row_index").alias("__dv_ri")
                 )
-                if positions:
-                    pos_df = spark.createDataFrame(
-                        _pd.DataFrame(
-                            {"__dv_ri": _pd.array(positions, dtype="int64")}
+                if rt_cols is not None:
+                    meta = (getattr(snap, "row_meta", None) or {}).get(
+                        p
+                    ) or {}
+                    rid = F.col(rt_cols[0])
+                    if meta.get("baseRowId") is not None:
+                        rid = F.coalesce(
+                            rid,
+                            (
+                                F.lit(int(meta["baseRowId"]))
+                                + F.col("__dv_ri")
+                            ).cast("long"),
                         )
-                    )
-                    base = (
-                        base.select(
-                            "*",
-                            F.col("_metadata.row_index").alias("__dv_ri"),
+                    rcv = F.col(rt_cols[1])
+                    if meta.get("defaultRowCommitVersion") is not None:
+                        rcv = F.coalesce(
+                            rcv,
+                            F.lit(
+                                int(meta["defaultRowCommitVersion"])
+                            ).cast("long"),
                         )
-                        .join(F.broadcast(pos_df), "__dv_ri", "left_anti")
-                        .drop("__dv_ri")
+                    base = base.withColumn(rt_cols[0], rid).withColumn(
+                        rt_cols[1], rcv
                     )
-                pieces.append(base)
+                if p in dvs:
+                    positions = decode_dv(dvs[p], table, p)
+                    if positions:
+                        pos_df = spark.createDataFrame(
+                            _pd.DataFrame(
+                                {
+                                    "__dv_ri": _pd.array(
+                                        positions, dtype="int64"
+                                    )
+                                }
+                            )
+                        )
+                        base = base.join(
+                            F.broadcast(pos_df), "__dv_ri", "left_anti"
+                        )
+                pieces.append(base.drop("__dv_ri"))
             df = pieces[0]
             for extra in pieces[1:]:
                 df = df.unionByName(extra)
@@ -3929,12 +3992,50 @@ def optimize_delta(
                 cur,
                 [rel for rel, _ in staged],
                 version,
-                data_removing=True,  # compaction breaks STABLE row ids
+                # compaction moves rows between files; with rt_cols the
+                # surviving ids are MATERIALIZED into the compacted
+                # files above, so stable ids hold — only mapped +
+                # enabled (rt_cols None) still refuses
+                data_removing=True,
+                rows_preserved=rt_cols is not None,
             )
             op_params: dict = {"auto": False}
             if zorder_by:
                 op_params["zOrderBy"] = list(zorder_by)
             actions = [_commit_info("OPTIMIZE", op_params)]
+            if rt_meta_update:
+                # lazy materialized-column-name assignment: re-emit
+                # metaData in this same commit; a concurrent writer
+                # having assigned DIFFERENT names makes the staged
+                # files speak the wrong columns — loud conflict
+                stale_keys = {
+                    k: v
+                    for k, v in rt_meta_update.items()
+                    if (cur.config or {}).get(k) not in (None, v)
+                }
+                if stale_keys:
+                    raise CommitConflict(
+                        f"optimize of {table} is stale: a concurrent "
+                        f"commit assigned different values for "
+                        f"{sorted(stale_keys)}"
+                    )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": _uuid.uuid4().hex,
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": cur.schema_json,
+                            "partitionColumns": cur.part_cols,
+                            "configuration": {
+                                **dict(cur.config or {}),
+                                **rt_meta_update,
+                            },
+                        }
+                    }
+                )
             if rt_domain is not None:
                 actions.append(rt_domain)
             for p in removes:

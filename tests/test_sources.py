@@ -6759,3 +6759,107 @@ class TestDVMerge:
         [dv_add2] = [a for a in adds2 if a.get("deletionVector")]
         assert dv_add2["deletionVector"]["cardinality"] == 4  # union
         assert read_delta(spark, t).count() == 19
+
+
+class TestOptimizeRowTracking:
+    """Id-preserving OPTIMIZE on delta.enableRowTracking=true tables
+    (r13): compaction materializes the surviving ids, so enabled tables
+    can compact — and on DV tables, PURGE — without losing stable row
+    identity."""
+
+    def test_optimize_preserves_row_ids_and_purges_dvs(
+        self, spark, tmp_path
+    ):
+        from marketdb_spark.sources.deltadml import (
+            _scan_with_row_ids,
+            delete_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _materialized_rt_cols,
+            _replay,
+            delta_live_files,
+            optimize_delta,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.range(6)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_row_tracking=True,
+            enable_dvs=True,
+        )
+        write_delta(
+            spark.range(10, 12)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1),
+            t,
+        )
+        delete_delta(spark, t, "k IN (1, 4)")  # DV-emitting
+
+        def ids():
+            snap = _replay(t, None)
+            rid, rcv = _materialized_rt_cols(snap)
+            return {
+                r.k: (r[rid], r[rcv])
+                for r in _scan_with_row_ids(
+                    spark, t, snap, snap.live, rid, rcv
+                ).collect()
+            }
+
+        before = ids()
+        assert set(before) == {0, 2, 3, 5, 10, 11}
+        v = optimize_delta(spark, t, min_files=1)
+        assert v is not None
+        snap = _replay(t, None)
+        assert snap.dvs == {}  # purge happened
+        assert len(delta_live_files(t)) == 1  # compacted
+        assert ids() == before  # every surviving id intact
+        assert read_delta(spark, t).count() == 6
+        # the next optimize is a no-op (already compact, no DVs)
+        assert optimize_delta(spark, t, min_files=2) is None
+
+    def test_optimize_assigns_names_lazily(self, spark, tmp_path):
+        """A table enabled WITHOUT materialized column names (mid-life
+        config flip) gets them assigned in the OPTIMIZE commit's own
+        metaData, mirroring the DML path."""
+        import json as _json
+
+        from marketdb_spark.sources.deltalog import (
+            _materialized_rt_cols,
+            _replay,
+            optimize_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        schema = "k long, v string"
+        write_delta(
+            spark.createDataFrame([(1, "a")], schema).coalesce(1), t
+        )
+        write_delta(
+            spark.createDataFrame([(2, "b")], schema).coalesce(1), t
+        )
+        base = _replay(t, None)
+        with open(
+            os.path.join(t, "_delta_log", f"{2:020d}.json"), "w"
+        ) as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["domainMetadata", "rowTracking"],
+            }}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": base.schema_json,
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+            }}) + "\n")
+        assert _materialized_rt_cols(_replay(t, None)) is None
+        assert optimize_delta(spark, t, min_files=2) is not None
+        assert _materialized_rt_cols(_replay(t, None)) is not None
