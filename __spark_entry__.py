@@ -316,11 +316,39 @@ _DRIVER_CHECKED_R12 = frozenset({
     "udf_grouped_minmax_scale", "win_gaps_islands", "win_rolling_median",
 })
 
+# Round-13 window (CORRECTNESS_r13.json): all 50 green — including the five
+# queries added in round 13 (store_delta_cdf_dv, store_delta_dv_delete,
+# store_delta_dv_merge, store_delta_rowid_dml, store_delta_variant) plus
+# re-attestations of the stalest agg_*/join_*/q*/sample_* rows.
+_DRIVER_CHECKED_R13 = frozenset({
+    "agg_approx_distinct", "agg_approx_quantiles", "agg_bitmap_distinct",
+    "agg_collect_ordered", "agg_countmin_freq", "agg_cube_flags",
+    "agg_distinct_counts", "agg_funnel_conversion", "agg_grouping_sets",
+    "agg_heavy_hitters", "agg_minmax_by", "agg_mode_deterministic",
+    "agg_quantiles", "agg_rollup_priority", "agg_salted_two_phase",
+    "agg_sketch_merge", "join_anti_inactive_customers",
+    "join_correlated_avg", "join_dim_enrich",
+    "join_full_outer_nation_profile", "join_interval_overlap",
+    "join_nonequi_balance_pairs", "join_outer_nation_customers",
+    "join_point_in_interval", "join_range_cells", "join_range_price_band",
+    "join_runtime_filter", "join_salted_hotkey",
+    "join_semi_active_customers", "q01_pricing_summary",
+    "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q10_returned_items",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "sample_reservoir_det", "sample_stratified_det", "store_delta_cdf_dv",
+    "store_delta_dv_delete", "store_delta_dv_merge", "store_delta_optimize",
+    "store_delta_partitioned", "store_delta_rowid_dml",
+    "store_delta_vacuum", "store_delta_variant", "stream_delta_source",
+    "stream_queue_capped", "text_pmi_collocations",
+    "unpivot_lineitem_metrics",
+})
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
     | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09 | _DRIVER_CHECKED_R10
-    | _DRIVER_CHECKED_R11 | _DRIVER_CHECKED_R12
+    | _DRIVER_CHECKED_R11 | _DRIVER_CHECKED_R12 | _DRIVER_CHECKED_R13
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
@@ -351,7 +379,7 @@ _ROUND_WINDOWS = (
     _DRIVER_CHECKED_R01_R02, _DRIVER_CHECKED_R03, _DRIVER_CHECKED_R04,
     _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
     _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09, _DRIVER_CHECKED_R10,
-    _DRIVER_CHECKED_R11, _DRIVER_CHECKED_R12,
+    _DRIVER_CHECKED_R11, _DRIVER_CHECKED_R12, _DRIVER_CHECKED_R13,
 )
 
 
