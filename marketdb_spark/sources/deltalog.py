@@ -287,11 +287,19 @@ _SUPPORTED_READER_FEATURES = {
     # schemaString round-trips through StructType.fromJson and parquet
     # stores the spec's (metadata, value) binary group, which Spark's
     # vectorized reader assembles natively; variant_get/to_json work on
-    # the scanned column. SHREDDED variants (variantShredding-preview)
-    # are NOT consumable and stay outside this set — a shredded file
-    # under a blind binary read would be wrong rows.
+    # the scanned column.
     "variantType",
     "variantType-preview",
+    # SHREDDED variants (the parquet variant-shredding spec): files
+    # store a metadata/value/typed_value group with typed subcolumns,
+    # and Spark 4's vectorized reader REASSEMBLES them into variant
+    # values natively when the read schema asks for VariantType
+    # (spark.sql.variant.allowReadingShredded, default true) — the
+    # explicit-schema scans _scan_files issues take exactly that path,
+    # so foreign shredded tables read losslessly
+    # (store_delta_variant_shredded pins the round trip).
+    "variantShredding",
+    "variantShredding-preview",
 }
 
 
@@ -370,6 +378,14 @@ _SUPPORTED_WRITER_FEATURES = {
     # the engine's own type system guarantees
     "variantType",
     "variantType-preview",
+    # the shredding obligation is conditional: a writer MAY stage
+    # unshredded variant binaries into a shredding-enabled table (the
+    # spec's value-only shape), and when Spark's shredded writer IS on
+    # (spark.sql.variant.writeShredding.enabled) the files it stages
+    # follow the spec's typed_value layout — either way the obligation
+    # holds
+    "variantShredding",
+    "variantShredding-preview",
     # honored via domain preservation (PROTOCOL.md "Clustered Table"):
     # the writer obligation is to keep the clustering implementation's
     # delta.clustering domainMetadata intact — replay tracks it,
@@ -1768,12 +1784,29 @@ def read_change_feed(
     # (cdc files are standalone — DV descriptors never attach to them).
     snap_nodv = snap._replace(dvs={})
     out: DataFrame | None = None
+    # Incremental prior-snapshot DV map for the DV-diff derivation
+    # (ADVICE r13): {live path: DV descriptor or None}, initialized by
+    # ONE _replay at the first DV-carrying commit (empty when that
+    # commit is version 0 — nothing precedes it) and rolled forward by
+    # each version's OWN actions (compactions included — dataChange:
+    # false still moves files) instead of re-replaying the full log per
+    # version: O(log) once, not O(range × log).
+    prior: dict[str, dict | None] | None = None
+    last_track: tuple[dict, list] | None = None
     for v in range(from_version, to_version + 1):
         cdcs: dict[str, dict] = {}
         adds: dict[str, dict] = {}
         removed: dict[str, dict] = {}
         add_dvs: dict[str, dict] = {}
         removed_dvs: dict[str, dict] = {}
+        track_adds: dict[str, dict | None] = {}
+        track_removes: list[str] = []
+        if prior is not None and last_track is not None:
+            ta, tr = last_track
+            for p in tr:
+                prior.pop(p, None)
+            prior.update(ta)
+        last_track = None
         with open(entries[v]) as f:
             for line in f:
                 line = line.strip()
@@ -1787,6 +1820,9 @@ def read_change_feed(
                     )
                 elif "add" in action:
                     a = action["add"]
+                    track_adds[_decode_path(a["path"])] = a.get(
+                        "deletionVector"
+                    )
                     if a.get("dataChange") is not False:
                         if a.get("deletionVector"):
                             add_dvs[_decode_path(a["path"])] = a[
@@ -1797,6 +1833,7 @@ def read_change_feed(
                         )
                 elif "remove" in action:
                     r = action["remove"]
+                    track_removes.append(_decode_path(r["path"]))
                     if r.get("dataChange") is not False:
                         if r.get("deletionVector"):
                             # the tombstone's descriptor IS the file's
@@ -1807,6 +1844,7 @@ def read_change_feed(
                         removed[_decode_path(r["path"])] = (
                             r.get("partitionValues") or {}
                         )
+        last_track = (track_adds, track_removes)
         if cdcs:
             # the commit's changes are exactly its change files, which
             # carry _change_type in-band
@@ -1833,16 +1871,23 @@ def read_change_feed(
             if add_dvs:
                 from marketdb_spark.sources.deltadv import decode_dv
 
-                prev = _replay(table, v - 1)
-                prev_dvs = getattr(prev, "dvs", None) or {}
+                if prior is None:
+                    if v == 0:
+                        prior = {}  # nothing precedes version 0
+                    else:
+                        ps = _replay(table, v - 1)
+                        ps_dvs = getattr(ps, "dvs", None) or {}
+                        prior = {
+                            p: ps_dvs.get(p) for p in ps.live
+                        }
                 for path, desc in sorted(add_dvs.items()):
                     try:
                         new_pos = set(decode_dv(desc, table, path))
                         old_pos = (
                             set(
-                                decode_dv(prev_dvs[path], table, path)
+                                decode_dv(prior[path], table, path)
                             )
-                            if path in prev.live and path in prev_dvs
+                            if prior.get(path) is not None
                             else set()
                         )
                     except ValueError as e:
@@ -1850,7 +1895,7 @@ def read_change_feed(
                             f"cannot derive changes for version {v} "
                             f"of {table}: {e}"
                         ) from None
-                    if path not in prev.live:
+                    if path not in prior:
                         # fresh file soft-carrying a DV: its live rows
                         # are the inserts (file minus vector)
                         dv_ins[path] = desc
@@ -2005,20 +2050,28 @@ def _stage_files(
                         f"staged layout {rel_dir!r} does not carry the "
                         f"partition columns {part_cols}"
                     )
-                import pyarrow.parquet as _pq
-
-                try:
-                    empty = (
-                        _pq.read_metadata(
-                            os.path.join(root, f)
-                        ).num_rows
-                        == 0
-                    )
-                except Exception:
-                    # a footer this pyarrow can't parse (e.g. the
-                    # VARIANT logical type) — keep the file; the skip
-                    # is an optimization, never a gate
+                # size short-circuit (ADVICE r13): a 0-row parquet file
+                # is schema-only — near-constant small size — so files
+                # above the bound skip the driver-side footer parse
+                # entirely (serialized I/O that grew with file count on
+                # wide writes); only the rare small file pays it
+                if os.path.getsize(os.path.join(root, f)) > 65536:
                     empty = False
+                else:
+                    import pyarrow.parquet as _pq
+
+                    try:
+                        empty = (
+                            _pq.read_metadata(
+                                os.path.join(root, f)
+                            ).num_rows
+                            == 0
+                        )
+                    except Exception:
+                        # a footer this pyarrow can't parse (e.g. the
+                        # VARIANT logical type) — keep the file; the
+                        # skip is an optimization, never a gate
+                        empty = False
                 if empty:
                     # empty shuffle partition: committing an add for a
                     # 0-row file is pure log noise (and at scale,
@@ -2598,6 +2651,36 @@ def write_delta(
     else:
         phys_of = {}
         stage_df, stage_cols = df, list(part_cols)
+    clus_dom = (
+        (getattr(existing, "domains", None) or {}).get("delta.clustering")
+        if existing is not None
+        else None
+    )
+    if clus_dom and not clus_dom.get("removed"):
+        # PROTOCOL.md "Clustered Table": the spec only OBLIGES domain
+        # preservation, but best-effort means actually clustering when
+        # we can — route the batch through the Morton sort on the
+        # domain's clustering columns before staging (one extra range
+        # exchange; a clustered write pays that sort by definition).
+        # Nested column paths and columns absent from the batch skip
+        # the sort (still legal best-effort). Columns speak the staged
+        # frame's names: physical under mapping, logical otherwise.
+        try:
+            paths = json.loads(
+                clus_dom.get("configuration") or "{}"
+            ).get("clusteringColumns") or []
+        except (TypeError, ValueError):
+            paths = []
+        ccols = [
+            phys_of.get(p[0], p[0])
+            for p in paths
+            if isinstance(p, list) and len(p) == 1
+            and p[0] in df.columns and p[0] not in part_cols
+        ]
+        if ccols and len(ccols) == len(paths):
+            from marketdb_spark.sources.zorder import cluster_frame
+
+            stage_df = cluster_frame(stage_df, ccols)
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     staged = _stage_files(stage_df, table, stage_cols)
     names = [rel for rel, _ in staged]
@@ -2930,6 +3013,24 @@ def write_delta(
                         rf.append("timestampNtz")
                     if _contains_variant(df.schema):
                         rf.append("variantType")
+                        try:
+                            shred = (
+                                str(
+                                    df.sparkSession.conf.get(
+                                        "spark.sql.variant."
+                                        "writeShredding.enabled"
+                                    )
+                                ).lower()
+                                == "true"
+                            )
+                        except Exception:
+                            shred = False
+                        if shred:
+                            # the staged files will carry the spec's
+                            # typed_value groups — declare the
+                            # reader-writer feature so feature-blind
+                            # readers refuse instead of misreading
+                            rf.append("variantShredding-preview")
                     if enable_dvs:
                         rf.append("deletionVectors")
                     if cmode in ("name", "id"):

@@ -99,3 +99,64 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def cluster_frame(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Reorganize a DataFrame by the z-order of ``cols`` WITHOUT
+    writing it — the write-path clustering kernel (PROTOCOL.md
+    "Clustered Table" best-effort): one min/max aggregate over the
+    batch, then a single range exchange + in-partition sort on the
+    Morton value (one column: a plain range sort — the interleave of
+    one column IS its bucketized order, so skip the bucketing loss).
+    ``n_files`` defaults to the batch's current partition count, so a
+    clustered append stages the same number of files it would have
+    unclustered. Used by deltalog.write_delta on tables carrying a
+    ``delta.clustering`` domain, turning legal-but-unclustered appends
+    into actually-clustered ones; per-file min/max tightening is
+    pinned by tests/test_sources.py::TestClusteredTable."""
+    from pyspark.sql import types as T
+
+    if n_files is None:
+        n_files = max(1, df.rdd.getNumPartitions())
+    if len(cols) == 1:
+        return df.repartitionByRange(
+            n_files, cols[0]
+        ).sortWithinPartitions(cols[0])
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    if not all(
+        isinstance(
+            dtypes.get(c),
+            (T.NumericType, T.TimestampType, T.BooleanType),
+        )
+        for c in cols
+    ):
+        # a column with no double cast (string, binary, date): Morton
+        # bucketing has no meaningful cell for it — fall back to a
+        # lexicographic multi-column range cluster, which still
+        # tightens the leading columns' per-file ranges
+        return df.repartitionByRange(
+            n_files, *cols
+        ).sortWithinPartitions(*cols)
+    ranges = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).first()
+
+    def _range(c: str) -> tuple[float, float]:
+        lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
+        return (0.0, 0.0) if lo is None or hi is None else (lo, hi)
+
+    z = interleave_bits(
+        [bucketize(c, *_range(c), bits) for c in cols], bits
+    )
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -1044,6 +1044,58 @@ class DeltaCDFStreamReader(DeltaStreamReader):
         self._units[unit] = fl
         return fl
 
+    def _prior_dv_map(self, version: int) -> dict:
+        """{live path: DV descriptor or None} as of ``version - 1``,
+        maintained INCREMENTALLY across the stream's monotone version
+        walk (ADVICE r13): one full _replay anchors the map (version 0
+        anchors empty — nothing precedes it), then each later call
+        rolls it forward by reading only the commit JSONs in the gap —
+        O(new commits) per micro-batch, not O(log length) per
+        DV-carrying version. Falls back to a fresh replay if the walk
+        ever goes backwards (restart replaying an old unit)."""
+        from marketdb_spark.sources.deltalog import _decode_path, _replay
+
+        cur = getattr(self, "_dv_prior", None)
+        cur_v = getattr(self, "_dv_prior_version", None)
+        if cur is None or cur_v is None or cur_v > version - 1:
+            if version == 0:
+                cur, cur_v = {}, -1
+            else:
+                ps = _replay(self.table, version - 1)
+                ps_dvs = getattr(ps, "dvs", None) or {}
+                cur = {p: ps_dvs.get(p) for p in ps.live}
+                cur_v = version - 1
+        for v in range(cur_v + 1, version):
+            path = _commit_path(self.table, v)
+            try:
+                with open(path) as f:
+                    lines = [l.strip() for l in f if l.strip()]
+            except OSError:
+                # gap commit expired mid-walk: re-anchor with a replay
+                ps = _replay(self.table, version - 1)
+                ps_dvs = getattr(ps, "dvs", None) or {}
+                cur, cur_v = (
+                    {p: ps_dvs.get(p) for p in ps.live},
+                    version - 1,
+                )
+                break
+            rm: list[str] = []
+            ad: dict = {}
+            for line in lines:
+                action = json.loads(line)
+                if "add" in action:
+                    ad[_decode_path(action["add"]["path"])] = action[
+                        "add"
+                    ].get("deletionVector")
+                elif "remove" in action:
+                    rm.append(_decode_path(action["remove"]["path"]))
+            for p in rm:
+                cur.pop(p, None)
+            cur.update(ad)
+            cur_v = v
+        self._dv_prior, self._dv_prior_version = cur, version - 1
+        return cur
+
     def _cdf_tail(self, version: int):
         """One tail commit's CHANGE-SET file list, protocol rules applied
         (cdc authoritative; else derive), with the same mid-stream
@@ -1146,10 +1198,8 @@ class DeltaCDFStreamReader(DeltaStreamReader):
             # inserts the file minus its vector, a SHRINKING vector
             # (un-delete/RESTORE) raises by name.
             from marketdb_spark.sources.deltadv import decode_dv
-            from marketdb_spark.sources.deltalog import _replay
 
-            prev = _replay(self.table, version - 1)
-            prev_dvs = getattr(prev, "dvs", None) or {}
+            prior = self._prior_dv_map(version)
             re_added: set[str] = set()
             tagged_adds: list[tuple[str, dict]] = []
             for rel, pvals in adds:
@@ -1160,8 +1210,8 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                 try:
                     new_pos = set(decode_dv(desc, self.table, rel))
                     old_pos = (
-                        set(decode_dv(prev_dvs[rel], self.table, rel))
-                        if rel in prev.live and rel in prev_dvs
+                        set(decode_dv(prior[rel], self.table, rel))
+                        if prior.get(rel) is not None
                         else set()
                     )
                 except ValueError as e:
@@ -1169,7 +1219,7 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                         f"deltacdf: cannot derive changes for version "
                         f"{version} of {self.table}: {e}"
                     ) from None
-                if rel not in prev.live:
+                if rel not in prior:
                     pv = dict(pvals)
                     pv[_DV_TAG] = json.dumps(desc)
                     tagged_adds.append((rel, pv))
@@ -1187,7 +1237,7 @@ class DeltaCDFStreamReader(DeltaStreamReader):
                 if new_pos - old_pos:
                     pv = dict(pvals)
                     pv[_DV_KEEP_TAG] = json.dumps(
-                        [desc, prev_dvs.get(rel)]
+                        [desc, prior.get(rel)]
                     )
                     dv_deletes.append((rel, pv))
             adds = tagged_adds

@@ -6128,6 +6128,55 @@ class TestDVWriteCreation:
         got = sorted(r.k for r in spark.read.parquet(out).collect())
         assert got == [0, 0, 1, 2, 2, 3, 3, 4, 5, 5]
 
+    def test_dv_path_never_collects_row_positions(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Behavior gate (VERDICT r14 / ADVICE r13 medium): a
+        DV-emitting DELETE / MERGE must never materialize matched row
+        positions on the driver — positions aggregate into per-file
+        roaring bitmaps EXECUTOR-side (_dv_bitmap_blobs) and every
+        driver collect stays file-sized. The spy fails on any collect
+        returning O(matched rows) (thousands here) during the DML.
+        Patches the CLASSIC DataFrame class — on Spark 4 the abstract
+        ``pyspark.sql.DataFrame.collect`` is overridden there, so a
+        parent patch would intercept nothing."""
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            merge_delta,
+        )
+        from marketdb_spark.sources.deltalog import read_delta
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, n=5000)
+        sizes: list[int] = []
+        orig = _DF.collect
+
+        def spy(df):
+            rows = orig(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(_DF, "collect", spy)
+        v = delete_delta(spark, t, "k % 5 < 4")  # 4000 of 5000 rows
+        assert v is not None
+        src = spark.range(5000).selectExpr("id AS k", "'M' AS v").filter(
+            "k % 5 = 4 AND k < 2500"
+        )  # updates 500 of the 1000 surviving rows
+        v2 = merge_delta(
+            spark, t, src, ["k"],
+            when_matched="update", when_not_matched=None,
+        )
+        assert v2 is not None
+        monkeypatch.undo()
+        assert sizes and max(sizes) <= 64, sorted(sizes)[-5:]
+        got = read_delta(spark, t).collect()
+        assert len(got) == 1000 and all(r.k % 5 == 4 for r in got)
+        assert sorted(r.k for r in got if r.v == "M") == list(
+            range(4, 2500, 5)
+        )
+
     def test_enable_dvs_create_time_only(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
             delta_features,
@@ -6338,6 +6387,64 @@ class TestRowTrackingPreservation:
         # already at target: no-op
         assert restore_delta(spark, t, 0) is None
 
+    def test_dv_merge_preserves_ids(self, spark, tmp_path):
+        """Row tracking × deletionVectors (VERDICT r14 item 6): a
+        DV-emitting MERGE re-adds the original file (unchanged rows
+        keep BOTH materialized columns verbatim — same file, same
+        bytes) and stages only the modified rows, which keep their row
+        id but null their materialized commit version so it falls back
+        to the new add's defaultRowCommitVersion = the MERGE's own
+        commit."""
+        import json as _json
+
+        from marketdb_spark.sources.deltadml import merge_delta
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            enable_dvs=True,
+            enable_row_tracking=True,
+        )
+        [rel] = delta_live_files(t)
+        before = self._ids(spark, t)
+        src = spark.createDataFrame(
+            [(2, "M"), (7, "M")], "k long, v string"
+        )
+        v = merge_delta(
+            spark, t, src, ["k"],
+            when_matched="update", when_not_matched=None,
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json")
+        ) as f:
+            acts = [_json.loads(l) for l in f if l.strip()]
+        dv_adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("deletionVector")
+        ]
+        assert (
+            len(dv_adds) == 1
+            and dv_adds[0]["path"] == rel
+            and dv_adds[0]["deletionVector"]["cardinality"] == 2
+        ), dv_adds
+        after = self._ids(spark, t)
+        assert set(after) == set(before)
+        for k, (rid, rcv) in after.items():
+            assert rid == before[k][0], (k, rid, before[k])
+            if k in (2, 7):
+                assert rcv == v, (k, rcv, v)
+            else:
+                assert rcv == before[k][1], (k, rcv, before[k])
+
 
 class TestV2SidecarWriter:
     """Sidecar-emitting v2 checkpoint writer (VERDICT r13 item 5): the
@@ -6512,6 +6619,89 @@ class TestClusteredTable:
         assert _replay(t, None).domains["delta.clustering"]
         assert sorted(r.k for r in read_delta(spark, t).collect()) == [2]
 
+    def test_append_actually_clusters(self, spark, tmp_path):
+        """Write-path clustering (VERDICT r14 item 7): an append to a
+        table carrying a delta.clustering domain routes through the
+        Morton sort on the clustering columns (zorder.cluster_frame),
+        so per-file min/max ranges tighten vs the unsorted batch —
+        parquet stats then prune scans on BOTH clustering columns.
+        Asserted from the staged files' real footers."""
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.createDataFrame([(0, 0, 0)], "x long, y long, v long"),
+            t,
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["clusteredTable", "domainMetadata"],
+            }}) + "\n")
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [["x"], ["y"]]}
+                ),
+                "removed": False,
+            }}) + "\n")
+        # an adversarial batch: x and y independently shuffled, 8
+        # partitions — unclustered staging would give every file the
+        # full range of both columns
+        n = 4096
+        batch = (
+            spark.range(n)
+            .selectExpr(
+                # try_add: nullable-typed, matching the table schema
+                "try_add(pmod(id * 2654435761, 4096), 0) AS x",
+                "try_add(pmod(id * 40503, 4096), 0) AS y",
+                "try_add(id, 0) AS v",
+            )
+            .repartition(8)
+        )
+        write_delta(batch, t)
+        rels = [r for r in delta_live_files(t)]
+        spans_x, spans_y, total_rows = [], [], 0
+        for rel in rels:
+            md = pq.read_metadata(os.path.join(t, rel))
+            if md.num_rows <= 1:
+                continue
+            total_rows += md.num_rows
+            lo_x = hi_x = lo_y = hi_y = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "x":
+                        lo_x = st.min if lo_x is None else min(lo_x, st.min)
+                        hi_x = st.max if hi_x is None else max(hi_x, st.max)
+                    elif name == "y":
+                        lo_y = st.min if lo_y is None else min(lo_y, st.min)
+                        hi_y = st.max if hi_y is None else max(hi_y, st.max)
+            spans_x.append((hi_x - lo_x) / 4096)
+            spans_y.append((hi_y - lo_y) / 4096)
+        assert total_rows >= n
+        # 8 z-ordered files over 2 dims: each should cover well under
+        # the full range of each dimension (~8^(-1/2) ≈ 0.35 ideal;
+        # gate loosely at 0.75 — an unsorted layout sits at ~1.0)
+        import statistics
+
+        assert statistics.mean(spans_x) < 0.75, spans_x
+        assert statistics.mean(spans_y) < 0.75, spans_y
+        assert read_delta(spark, t).count() == n + 1
+
 
 class TestDeltaVariant:
     """variantType table feature (PROTOCOL.md "Variant Data Type" /
@@ -6573,23 +6763,69 @@ class TestDeltaVariant:
                 schema,
             )
 
-    def test_shredded_variant_stays_unconsumable(self, spark, tmp_path):
-        from marketdb_spark.sources.deltalog import read_delta, write_delta
+    def test_shredded_variant_round_trip(self, spark, tmp_path):
+        """variantShredding-preview (VERDICT r14 item 4): with Spark's
+        shredded variant writer on, write_delta stages the spec's
+        metadata/value/typed_value groups, DECLARES the reader-writer
+        feature, and the scan reassembles them losslessly (Spark 4's
+        vectorized reader; allowReadingShredded default-on). A foreign
+        shredding-declared table with UNSHREDDED binaries (the spec's
+        value-only shape) reads through the same gate."""
+        from pyspark.sql import functions as F
+
+        from marketdb_spark.sources.deltalog import (
+            delta_features,
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
 
         t = str(tmp_path / "tbl")
-        write_delta(
-            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        df = spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "y"}')],
+            "k long, js string",
+        ).select("k", F.parse_json("js").alias("v"))
+        spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+        spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+        try:
+            write_delta(df.coalesce(1), t)
+        finally:
+            spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+            spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+        feats = delta_features(t)["protocol"]
+        for side in ("readerFeatures", "writerFeatures"):
+            assert "variantShredding-preview" in feats[side], feats
+        [rel] = delta_live_files(t)
+        with open(os.path.join(t, rel), "rb") as fh:
+            assert b"typed_value" in fh.read(), "file is not shredded"
+        got = sorted(
+            (r.k, r.a, r.b)
+            for r in read_delta(spark, t)
+            .select(
+                "k",
+                F.variant_get("v", "$.a", "int").alias("a"),
+                F.variant_get("v", "$.b", "string").alias("b"),
+            )
+            .collect()
         )
+        assert got == [(1, 1, "x"), (2, 2, "y")]
+        # a foreign table declaring shredding over UNSHREDDED binaries
+        # (legal per the spec) reads too
+        t2 = str(tmp_path / "plainshred")
+        write_delta(df.coalesce(1), t2)
         with open(
-            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+            os.path.join(t2, "_delta_log", f"{1:020d}.json"), "w"
         ) as f:
             f.write(json.dumps({"protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["variantShredding-preview"],
-                "writerFeatures": ["variantShredding-preview"],
+                "readerFeatures": [
+                    "variantType", "variantShredding-preview",
+                ],
+                "writerFeatures": [
+                    "variantType", "variantShredding-preview",
+                ],
             }}) + "\n")
-        with pytest.raises(ValueError, match="variantShredding"):
-            read_delta(spark, t)
+        assert read_delta(spark, t2).count() == 2
 
 
 class TestCDFDVDiffMapped:
@@ -6678,6 +6914,162 @@ class TestCDFDVDiffMapped:
         assert sorted(r.k for r in read_delta(spark, t).collect()) == [
             0, 2, 5,
         ]
+
+
+class TestDVMapped:
+    """DV-emitting DML on COLUMN-MAPPED tables (VERDICT r14 item 3):
+    the pre-round-14 copy-on-write fallback is gone — predicates speak
+    logical names, descriptors key physical paths, positions are
+    parquet row indexes (mapping-blind), and the position scans read
+    physical columns renamed back to logical (_phys_read)."""
+
+    @pytest.mark.parametrize("cmode", ["name", "id"])
+    def test_mapped_dml_emits_dvs(self, spark, tmp_path, cmode):
+        from marketdb_spark.sources.deltadml import (
+            delete_delta,
+            merge_delta,
+            update_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            delta_live_files,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / f"tbl_{cmode}")
+        write_delta(
+            spark.range(100)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            column_mapping=cmode,
+            enable_dvs=True,
+        )
+        [rel] = delta_live_files(t)
+        for ver, action in (
+            (1, lambda: delete_delta(spark, t, "k % 3 = 0")),
+            (
+                2,
+                lambda: merge_delta(
+                    spark,
+                    t,
+                    spark.range(100)
+                    .selectExpr("id AS k", "'M' AS v")
+                    .filter("k % 7 = 1"),
+                    ["k"],
+                    when_matched="update",
+                    when_not_matched=None,
+                ),
+            ),
+            (3, lambda: update_delta(spark, t, "k % 11 = 2", {"v": "'U'"})),
+        ):
+            got_v = action()
+            assert got_v == ver
+            with open(
+                os.path.join(t, "_delta_log", f"{ver:020d}.json")
+            ) as f:
+                acts = [json.loads(l) for l in f if l.strip()]
+            dv_adds = [
+                a["add"]
+                for a in acts
+                if "add" in a and a["add"].get("deletionVector")
+            ]
+            assert (
+                len(dv_adds) == 1
+                and dv_adds[0]["path"] == rel
+                and dv_adds[0]["deletionVector"]["storageType"] == "u"
+            ), (ver, dv_adds)
+        rows = {r.k: r.v for r in read_delta(spark, t).collect()}
+        assert set(rows) == {k for k in range(100) if k % 3 != 0}
+        for k, v in rows.items():
+            want = (
+                "M"
+                if k % 7 == 1
+                else ("U" if k % 11 == 2 else str(k))
+            )
+            assert v == want, (k, v, want)
+
+    def test_mapped_partitioned_dv_delete(self, spark, tmp_path):
+        """Partition columns are physically KEYED in partitionValues
+        under mapping — the position scan must re-attach them under
+        logical names for the predicate."""
+        from marketdb_spark.sources.deltadml import delete_delta
+        from marketdb_spark.sources.deltalog import (
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(40).selectExpr(
+                "id AS k", "id % 2 AS p", "CAST(id AS STRING) AS v"
+            ),
+            t,
+            partition_by=["p"],
+            column_mapping="name",
+            enable_dvs=True,
+        )
+        v = delete_delta(spark, t, "p = 0 AND k % 4 = 0")
+        assert v == 1
+        got = sorted(r.k for r in read_delta(spark, t).collect())
+        assert got == [k for k in range(40) if not (k % 2 == 0 and k % 4 == 0)]
+
+    def test_mapped_rt_dv_compose(self, spark, tmp_path):
+        """columnMapping + rowTracking + deletionVectors — the modern
+        Databricks default shape — all three at once: ids stay stable
+        across a DV-emitting DELETE then MERGE (the materialized
+        columns store under their configured names verbatim, next to
+        the col-<uuid> physical data columns)."""
+        from marketdb_spark.sources.deltadml import (
+            _scan_with_row_ids,
+            delete_delta,
+            merge_delta,
+        )
+        from marketdb_spark.sources.deltalog import (
+            _materialized_rt_cols,
+            _replay,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(30)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+            .sortWithinPartitions("k"),
+            t,
+            column_mapping="name",
+            enable_dvs=True,
+            enable_row_tracking=True,
+        )
+
+        def ids():
+            snap = _replay(t, None)
+            rid, rcv = _materialized_rt_cols(snap)
+            return {
+                r.k: r[rid]
+                for r in _scan_with_row_ids(
+                    spark, t, snap, snap.live, rid, rcv
+                ).collect()
+            }
+
+        before = ids()
+        delete_delta(spark, t, "k % 2 = 0")
+        merge_delta(
+            spark,
+            t,
+            spark.range(30).selectExpr("id AS k", "'M' AS v").filter(
+                "k % 5 = 1"
+            ),
+            ["k"],
+            when_matched="update",
+            when_not_matched=None,
+        )
+        after = ids()
+        assert set(after) == {k for k in range(30) if k % 2 == 1}
+        for k, rid in after.items():
+            assert rid == before[k], (k, rid, before[k])
 
 
 class TestDVMerge:

@@ -2373,9 +2373,10 @@ class TestDeltaStreamAdmission:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            # variantType became consumable in r13 —
-                            # shredding stays a genuinely unknown one
-                            "readerFeatures": ["variantShredding-preview"],
+                            # variantType became consumable in r13 and
+                            # variantShredding in r14 — a synthetic
+                            # name stays unknown forever
+                            "readerFeatures": ["futureRowLayout-preview"],
                         }
                     }
                 )
