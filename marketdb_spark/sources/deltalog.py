@@ -386,6 +386,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # holds
     "variantShredding",
     "variantShredding-preview",
+    # honored in clean_log (PROTOCOL.md "Checkpoint Protection"): the
+    # feature's one writer obligation is the metadata-cleanup rule —
+    # history before delta.requireCheckpointProtectionBeforeVersion
+    # may only vanish in a truncation reaching the boundary, which
+    # clean_log enforces by refusing an anchor inside the protected
+    # range; ordinary commits carry no extra obligation
+    "checkpointProtection",
     # honored via domain preservation (PROTOCOL.md "Clustered Table"):
     # the writer obligation is to keep the clustering implementation's
     # delta.clustering domainMetadata intact — replay tracks it,
@@ -3740,13 +3747,38 @@ def clean_log(table: str) -> list[str]:
     log-retention cleanup, safe ONLY because the checkpoint fully
     describes that prefix (write_checkpoint first). Time travel to
     versions below the checkpoint is gone after this, exactly as with
-    snapshot.vacuum's log checkpointing. Returns deleted paths."""
+    snapshot.vacuum's log checkpointing. Returns deleted paths.
+
+    Honors ``checkpointProtection`` (PROTOCOL.md "Checkpoint
+    Protection"): on tables declaring the feature, history before
+    ``delta.requireCheckpointProtectionBeforeVersion`` may only vanish
+    in one truncation that reaches the protected boundary — a cleanup
+    whose checkpoint anchor stops INSIDE the protected range would
+    strip commits another writer's recovery depends on, so it raises
+    by name (write a checkpoint at or past the boundary first)."""
     ckpts = _checkpoint_versions(table)
     if not ckpts:
         raise ValueError(
             f"{table} has no checkpoint; write_checkpoint before clean_log"
         )
     anchor = ckpts[-1]
+    snap = _replay(table, None)
+    if "checkpointProtection" in set(
+        (snap.protocol or {}).get("writerFeatures") or ()
+    ):
+        protect = int(
+            (snap.config or {}).get(
+                "delta.requireCheckpointProtectionBeforeVersion", 0
+            )
+        )
+        if anchor + 1 < protect:
+            raise ValueError(
+                f"cannot clean_log {table}: checkpointProtection "
+                f"requires history before version {protect} to be "
+                f"truncated in one step, but the latest checkpoint is "
+                f"at {anchor} — write_checkpoint at version "
+                f">= {protect - 1} first"
+            )
     deleted = []
     for v, path in _log_entries(table):
         if v <= anchor:
@@ -3813,6 +3845,37 @@ def optimize_delta(
     dvs = getattr(snap, "dvs", None) or {}
     part_cols, live = snap.part_cols, snap.live
     schema = T.StructType.fromJson(json.loads(snap.schema_json))
+    if zorder_by is None:
+        # clustered tables (PROTOCOL.md "Clustered Table"): a bare
+        # OPTIMIZE re-clusters on the delta.clustering domain's
+        # columns, matching delta-spark's behavior on clustered tables
+        # — callers can still pass zorder_by explicitly to override
+        clus = (getattr(snap, "domains", None) or {}).get(
+            "delta.clustering"
+        )
+        if clus and not clus.get("removed"):
+            try:
+                paths = json.loads(
+                    clus.get("configuration") or "{}"
+                ).get("clusteringColumns") or []
+            except (TypeError, ValueError):
+                paths = []
+            bucketable = {
+                f.name
+                for f in schema.fields
+                if isinstance(
+                    f.dataType,
+                    (T.NumericType, T.TimestampType, T.BooleanType),
+                )
+            }
+            cand = [
+                p[0]
+                for p in paths
+                if isinstance(p, list) and len(p) == 1
+                and p[0] in bucketable and p[0] not in part_cols
+            ]
+            if cand and len(cand) == len(paths):
+                zorder_by = cand
     if zorder_by:
         bad = [
             c for c in zorder_by

@@ -6702,6 +6702,103 @@ class TestClusteredTable:
         assert statistics.mean(spans_y) < 0.75, spans_y
         assert read_delta(spark, t).count() == n + 1
 
+    def test_bare_optimize_reclusters_on_domain(self, spark, tmp_path):
+        """A bare OPTIMIZE on a clustered table re-clusters on the
+        delta.clustering domain's columns (delta-spark's clustered-
+        table OPTIMIZE), recorded as zOrderBy in commitInfo."""
+        from marketdb_spark.sources.deltalog import (
+            delta_history,
+            optimize_delta,
+            read_delta,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(
+            spark.range(100).selectExpr("id AS x", "id % 10 AS y"), t
+        )
+        with open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["clusteredTable", "domainMetadata"],
+            }}) + "\n")
+            f.write(json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [["x"], ["y"]]}
+                ),
+                "removed": False,
+            }}) + "\n")
+        v = optimize_delta(spark, t)
+        assert v is not None
+        ops = {
+            h["version"]: h.get("operationParameters") or {}
+            for h in delta_history(t)
+        }
+        assert json.loads(ops[v].get("zOrderBy") or "[]") == ["x", "y"]
+        assert read_delta(spark, t).count() == 100
+
+
+class TestCheckpointProtection:
+    """checkpointProtection writer feature (PROTOCOL.md "Checkpoint
+    Protection"): metadata cleanup must not strip history inside the
+    protected range unless the truncation reaches the boundary."""
+
+    def test_clean_log_honors_protection(self, spark, tmp_path):
+        from marketdb_spark.sources.deltalog import (
+            clean_log,
+            read_delta,
+            write_checkpoint,
+            write_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(spark.range(3).selectExpr("id AS k"), t)
+        for v in (1, 2, 3):
+            write_delta(
+                spark.range(3).selectExpr(f"id + {3 * v} AS k"), t
+            )
+        # foreign enablement: protocol declares the feature, config
+        # protects history before version 3
+        with open(
+            os.path.join(t, "_delta_log", f"{4:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["checkpointProtection"],
+            }}) + "\n")
+            f.write(json.dumps({"metaData": {
+                "id": "cp-tbl",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": [{
+                        "name": "k", "type": "long",
+                        "nullable": True, "metadata": {},
+                    }]}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta."
+                    "requireCheckpointProtectionBeforeVersion": "3",
+                },
+            }}) + "\n")
+        # checkpoint INSIDE the protected range: cleanup must refuse
+        write_checkpoint(t, version=1)
+        with pytest.raises(ValueError, match="checkpointProtection"):
+            clean_log(t)
+        # checkpoint at the boundary: one-step truncation is legal
+        write_checkpoint(t)
+        assert clean_log(t)
+        assert read_delta(spark, t).count() == 12
+        # ordinary commits carry no extra obligation — the feature is
+        # writer-granted, so appends keep working
+        write_delta(
+            spark.range(2).selectExpr("try_add(id, 100) AS k"), t
+        )
+        assert read_delta(spark, t).count() == 14
+
 
 class TestDeltaVariant:
     """variantType table feature (PROTOCOL.md "Variant Data Type" /
