@@ -2606,55 +2606,67 @@ def store_delta_dv_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     work = tempfile.mkdtemp(prefix="store_dvmapped_")
-    outs = []
-    try:
-        for cmode in ("name", "id"):
-            t = f"{work}/tbl_{cmode}"
-            write_delta(
-                orders.coalesce(1).sortWithinPartitions("o_orderkey"),
-                t,
-                column_mapping=cmode,
-                enable_dvs=True,
-            )
-            [rel] = delta_live_files(t)
-            v1 = delete_delta(spark, t, "o_orderkey % 3 = 0")
-            upd = orders.filter(F.col("o_orderkey") % 11 == 0).select(
-                "o_orderkey",
-                "o_orderpriority",
-                (F.col("o_totalprice") * 2).alias("o_totalprice"),
-            )
-            v2 = merge_delta(
-                spark, t, upd, ["o_orderkey"],
-                when_matched="update", when_not_matched=None,
-            )
-            for v in (v1, v2):
-                with open(
-                    _os.path.join(t, "_delta_log", f"{v:020d}.json")
-                ) as f:
-                    acts = [_json.loads(l) for l in f if l.strip()]
-                dv_adds = [
-                    a["add"]
-                    for a in acts
-                    if "add" in a and a["add"].get("deletionVector")
-                ]
-                if not (
-                    len(dv_adds) == 1
-                    and dv_adds[0]["path"] == rel
-                    and dv_adds[0]["deletionVector"]["storageType"] == "u"
-                ):
-                    raise AssertionError(
-                        f"{cmode}-mode DML at v{v} did not re-add {rel} "
-                        f"with an on-disk vector: {dv_adds}"
-                    )
-            outs.append(
-                read_delta(spark, t)
-                .groupBy(F.col("o_orderpriority").alias("pri"))
-                .agg(
-                    F.count("*").alias("n_orders"),
-                    dsum("o_totalprice", scale=6).alias("sum_price"),
+
+    def leg(cmode: str) -> DataFrame:
+        """One mode's full write→DELETE→MERGE→read cycle. The two legs
+        touch disjoint table dirs and share no driver state, so they run
+        as concurrent driver threads (spark_optimization_guide §2.6:
+        each leg is ~25 tiny metadata-bound jobs whose per-job driver
+        latency, not data, is the cost — overlapping the chains hides
+        it; Spark schedules concurrent jobs FIFO and back-fills idle
+        cores)."""
+        t = f"{work}/tbl_{cmode}"
+        write_delta(
+            orders.coalesce(1).sortWithinPartitions("o_orderkey"),
+            t,
+            column_mapping=cmode,
+            enable_dvs=True,
+        )
+        [rel] = delta_live_files(t)
+        v1 = delete_delta(spark, t, "o_orderkey % 3 = 0")
+        upd = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        v2 = merge_delta(
+            spark, t, upd, ["o_orderkey"],
+            when_matched="update", when_not_matched=None,
+        )
+        for v in (v1, v2):
+            with open(
+                _os.path.join(t, "_delta_log", f"{v:020d}.json")
+            ) as f:
+                acts = [_json.loads(l) for l in f if l.strip()]
+            dv_adds = [
+                a["add"]
+                for a in acts
+                if "add" in a and a["add"].get("deletionVector")
+            ]
+            if not (
+                len(dv_adds) == 1
+                and dv_adds[0]["path"] == rel
+                and dv_adds[0]["deletionVector"]["storageType"] == "u"
+            ):
+                raise AssertionError(
+                    f"{cmode}-mode DML at v{v} did not re-add {rel} "
+                    f"with an on-disk vector: {dv_adds}"
                 )
-                .select(F.lit(cmode).alias("mode"), "pri", "n_orders", "sum_price")
+        return (
+            read_delta(spark, t)
+            .groupBy(F.col("o_orderpriority").alias("pri"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice", scale=6).alias("sum_price"),
             )
+            .select(F.lit(cmode).alias("mode"), "pri", "n_orders", "sum_price")
+        )
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            outs = list(pool.map(leg, ("name", "id")))
         return outs[0].unionByName(outs[1]).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -284,6 +284,32 @@ def _dv_bitmap_blobs(
     return out
 
 
+def _discover_and_count(
+    spark: SparkSession, table: str, snap: _Snapshot, cond
+) -> dict[str, tuple[int, int]]:
+    """ONE DV-filtered pass over the live set: {rel: (live rows, live
+    MATCHED rows)} per file. File discovery, the DV-vs-rewrite policy
+    and the new-vector cardinalities all read off this single aggregate
+    — the pre-r14-optimization shape was two scans (a distinct-file
+    collect for discovery, then a per-file counts aggregate inside
+    _dv_split), i.e. one redundant full pass per predicate DML commit.
+    Soft-deleted rows never reach this scan, so ``m`` IS the exact new
+    cardinality a DV for that file would add."""
+    stats_rows = (
+        _tagged_scan(spark, table, snap)
+        .groupBy(_FILE_COL)
+        .agg(
+            F.count(F.lit(1)).alias("__live"),
+            F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias("__m"),
+        )
+        .collect()
+    )
+    return {
+        _rel_of_uri(table, r[0]): (int(r[1]), int(r[2] or 0))
+        for r in stats_rows
+    }
+
+
 def _dv_split(
     spark: SparkSession,
     table: str,
@@ -293,39 +319,27 @@ def _dv_split(
     snap_dvs: dict,
     dv_max_fraction: float,
     full_to_rewrite: bool,
+    stats: dict[str, tuple[int, int]],
 ) -> tuple[dict[str, dict], list[str], str | None]:
     """DV-vs-rewrite policy for a predicate DML over ``subset``
     ({rel: partitionValues}, every file known to hold ≥1 live matching
-    row): returns (dv_descs, rewrite_rels, dv_file_abs). Two passes,
-    both executor-sized:
+    row): returns (dv_descs, rewrite_rels, dv_file_abs).
 
-    1. COUNTS — one aggregate over the DV-filtered scan of the matched
-       files: live rows and live MATCHED rows per file (exact new-DV
-       cardinalities, since soft-deleted rows never reach this scan).
-       Fully-matched files become plain removes (``full_to_rewrite``
-       False — DELETE) or rewrites (True — UPDATE transforms every
-       row); files above ``dv_max_fraction`` rewrite. The copy-on-write
-       fallback therefore never pays a position pass, and no parquet
-       footer is read (live counts replace pq.read_metadata).
+    1. COUNTS — ``stats`` ({rel: (live, matched)}) comes from the
+       caller's single discovery aggregate (_discover_and_count): live
+       rows and live MATCHED rows per file (exact new-DV cardinalities,
+       since soft-deleted rows never reach that scan). Fully-matched
+       files become plain removes (``full_to_rewrite`` False — DELETE)
+       or rewrites (True — UPDATE transforms every row); files above
+       ``dv_max_fraction`` rewrite. The copy-on-write fallback
+       therefore never pays a position pass, and no parquet footer is
+       read (live counts replace pq.read_metadata).
     2. BITMAPS — only the files that WILL carry a vector scan again for
        positions, aggregated into per-file roaring blobs executor-side
        (_dv_bitmap_blobs) and framed into one shared .bin
        (write_dv_frames)."""
     from marketdb_spark.sources.deltadv import dv_file_path, write_dv_frames
 
-    stats_rows = (
-        _scan_files(spark, table, snap, subset)
-        .withColumn(_FILE_COL, F.input_file_name())
-        .groupBy(_FILE_COL)
-        .agg(
-            F.count(F.lit(1)).alias("__live"),
-            F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias("__m"),
-        )
-        .collect()
-    )
-    stats = {
-        _rel_of_uri(table, r[0]): (int(r[1]), int(r[2])) for r in stats_rows
-    }
     rewrite_rels: list[str] = []
     dv_rels: list[str] = []
     for rel in sorted(subset):
@@ -781,14 +795,13 @@ def delete_delta(
     for CDF readers, so our own DV deletes never need the DV diff)."""
     snap = _table_state(table)
     cond = F.expr(condition)
-    tagged = _tagged_scan(spark, table, snap)
-    matched_uris = [
-        r[0]
-        for r in tagged.filter(cond).select(_FILE_COL).distinct().collect()
-    ]
-    if not matched_uris:
+    # one pass discovers the matched files AND their per-file live/
+    # matched counts (_discover_and_count) — discovery and the DV policy
+    # used to be two separate scans
+    stats = _discover_and_count(spark, table, snap, cond)
+    matched_rels = sorted(r for r, (_l, m) in stats.items() if m > 0)
+    if not matched_rels:
         return None
-    matched_rels = sorted(_rel_of_uri(table, u) for u in matched_uris)
     subset = {p: snap.live[p] for p in matched_rels}
     logical_cols = [
         f.name
@@ -799,12 +812,12 @@ def delete_delta(
     rewrite_rels = matched_rels
     dv_file: str | None = None
     if _dv_write_enabled(snap, table):
-        # counts first (the rewrite fallback never pays a position
-        # pass), then per-file bitmaps aggregated EXECUTOR-side — the
-        # driver never holds row positions (_dv_split)
+        # counts came with discovery (the rewrite fallback never pays a
+        # position pass), then per-file bitmaps aggregated EXECUTOR-side
+        # — the driver never holds row positions (_dv_split)
         dv_descs, rewrite_rels, dv_file = _dv_split(
             spark, table, snap, subset, cond, snap_dvs,
-            dv_max_fraction, full_to_rewrite=False,
+            dv_max_fraction, full_to_rewrite=False, stats=stats,
         )
     rt_cols, rt_updates = _rt_preservation(snap, table)
     rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
@@ -903,14 +916,11 @@ def update_delta(
     # updating a PARTITION column is supported: the rewritten rows simply
     # stage into their new Hive dirs with new partitionValues
     cond = F.expr(condition)
-    tagged = _tagged_scan(spark, table, snap)
-    matched_uris = [
-        r[0]
-        for r in tagged.filter(cond).select(_FILE_COL).distinct().collect()
-    ]
-    if not matched_uris:
+    # one pass: matched files + per-file live/matched counts
+    stats = _discover_and_count(spark, table, snap, cond)
+    matched_rels = sorted(r for r, (_l, m) in stats.items() if m > 0)
+    if not matched_rels:
         return None
-    matched_rels = sorted(_rel_of_uri(table, u) for u in matched_uris)
     subset = {p: snap.live[p] for p in matched_rels}
     logical_cols = [f.name for f in schema.fields]
     hit = F.coalesce(cond, F.lit(False))
@@ -919,11 +929,12 @@ def update_delta(
     rewrite_rels = matched_rels
     dv_file: str | None = None
     if _dv_write_enabled(snap, table):
-        # counts first, bitmaps executor-side (_dv_split); a fully-
-        # matched file is a whole-file UPDATE → copy-on-write rewrite
+        # counts came with discovery, bitmaps executor-side (_dv_split);
+        # a fully-matched file is a whole-file UPDATE → copy-on-write
+        # rewrite
         dv_descs, rewrite_rels, dv_file = _dv_split(
             spark, table, snap, subset, cond, snap_dvs,
-            dv_max_fraction, full_to_rewrite=True,
+            dv_max_fraction, full_to_rewrite=True, stats=stats,
         )
     rt_cols, rt_updates = _rt_preservation(snap, table)
     rewrite_subset = {p: snap.live[p] for p in rewrite_rels}
@@ -1181,51 +1192,44 @@ def merge_delta(
                 f"columns in {not_matched_by_source_condition!r}: there "
                 f"is no source row in a NOT MATCHED BY SOURCE clause"
             ) from None
-    if nmbs is None:
-        # semi-join keeps only rows the (conditional) matched clause
-        # actually touches — a file whose matched rows all fail the
-        # condition is not rewritten
-        matched_uris = [
-            r[0]
-            for r in tagged.join(
-                src, key_cond + [_true(matched_condition)], "left_semi"
-            )
-            .select(_FILE_COL)
-            .distinct()
-            .collect()
-        ]
-        matched_rels = sorted(
-            {_rel_of_uri(table, u) for u in matched_uris}
+    # ONE pass tags every live file with its per-clause applied-row
+    # COUNTS (rows the clause kind + its CONDITION lets through) — file
+    # discovery for both clause kinds AND the DV-vs-rewrite policy read
+    # off this single aggregate (the pre-r14-optimization shape was a
+    # discovery join plus a second counts join over the matched subset).
+    # NOT MATCHED BY SOURCE may touch files the matched clause never
+    # would. The source side stays key-only unless the matched
+    # condition needs source columns; the dup-key guard above makes the
+    # left join row-preserving, so __live is the per-file live count.
+    is_m_tag = F.col(f"src.{on[0]}").isNotNull()
+    tag_src = (
+        src if matched_condition is not None
+        else source.select(on).alias("src")
+    )
+    apply_m_tag = is_m_tag & _true(matched_condition)
+    apply_u_tag = (~is_m_tag) & _true(not_matched_by_source_condition)
+    stats_rows = (
+        tagged.join(tag_src, key_cond, "left")
+        .groupBy(_FILE_COL)
+        .agg(
+            F.count(F.lit(1)).alias("__live"),
+            F.sum(apply_m_tag.cast("long")).alias("__m"),
+            F.sum(apply_u_tag.cast("long")).alias("__u"),
         )
-        unmatched_rels: list[str] = []
-    else:
-        # one pass tags every file with whether it holds matched and/or
-        # unmatched rows the respective clause CONDITION lets through —
-        # NOT MATCHED BY SOURCE may touch files the matched clause never
-        # would. The source side stays key-only unless the matched
-        # condition needs source columns.
-        is_m = F.col(f"src.{on[0]}").isNotNull()
-        tag_src = (
-            src if matched_condition is not None
-            else source.select(on).alias("src")
+        .collect()
+    )
+    stats = {
+        _rel_of_uri(table, r[0]): (
+            int(r[1]), int(r[2] or 0), int(r[3] or 0)
         )
-        apply_m = is_m & _true(matched_condition)
-        apply_u = (~is_m) & _true(not_matched_by_source_condition)
-        tags = (
-            tagged.join(tag_src, key_cond, "left")
-            .groupBy(_FILE_COL)
-            .agg(
-                F.max(apply_m.cast("int")).alias("m"),
-                F.max(apply_u.cast("int")).alias("u"),
-            )
-            .collect()
-        )
-        matched_rels = sorted(
-            {_rel_of_uri(table, r[0]) for r in tags if r[1] == 1}
-        )
-        unmatched_rels = sorted(
-            {_rel_of_uri(table, r[0]) for r in tags if r[2] == 1}
-        )
+        for r in stats_rows
+    }
+    matched_rels = sorted(r for r, (_l, m, _u) in stats.items() if m > 0)
+    unmatched_rels = (
+        sorted(r for r, (_l, _m, u) in stats.items() if u > 0)
+        if nmbs is not None
+        else []
+    )
     inserts = (
         src.join(
             _scan_files(spark, table, snap, snap.live)
@@ -1400,30 +1404,28 @@ def merge_delta(
                 # per-file affected positions: files below the
                 # threshold soft-delete those positions and stage ONLY
                 # their modified rows; the rest copy-on-write rewrite.
-                # Counts decide the policy first (one aggregate —
-                # ``joined`` is DV-filtered, so the affected count IS
-                # the new vector's cardinality and the per-file row
-                # count IS the live count, no footer reads); then the
-                # DV files' positions aggregate into roaring bitmaps
-                # EXECUTOR-side — the driver never collects row-level
-                # coordinates (_dv_bitmap_blobs).
+                # The policy counts come from the discovery aggregate
+                # above (the scans are both DV-filtered, so the
+                # clause-applied count IS the new vector's cardinality
+                # and the per-file row count IS the live count, no
+                # footer reads); then the DV files' positions aggregate
+                # into roaring bitmaps EXECUTOR-side — the driver never
+                # collects row-level coordinates (_dv_bitmap_blobs).
                 from marketdb_spark.sources.deltadv import (
                     dv_file_path,
                     write_dv_frames,
                 )
 
-                counts = (
-                    joined.groupBy("__dml_rel")
-                    .agg(
-                        F.count(F.lit(1)).alias("__live"),
-                        F.sum(affected.cast("long")).alias("__new"),
-                    )
-                    .collect()
-                )
                 dv_rels: list[str] = []
                 classic_rels: list[str] = []
-                for r in counts:
-                    rel, live, new = r[0], int(r[1]), int(r[2] or 0)
+                for rel in rewrite_rels:
+                    live, m_cnt, u_cnt = stats.get(rel, (0, 0, 0))
+                    # rows an active clause applies to (modified or
+                    # deleted) — apply_m/apply_u are disjoint, and a
+                    # clause that is None never applies
+                    new = (m_cnt if when_matched is not None else 0) + (
+                        u_cnt if nmbs is not None else 0
+                    )
                     if (
                         not new
                         or new >= live
@@ -1432,10 +1434,6 @@ def merge_delta(
                         classic_rels.append(rel)
                         continue
                     dv_rels.append(rel)
-                seen = {r[0] for r in counts}
-                classic_rels.extend(
-                    rel for rel in rewrite_rels if rel not in seen
-                )
                 if dv_rels:
                     hits = joined.filter(
                         affected & F.col("__dml_rel").isin(dv_rels)

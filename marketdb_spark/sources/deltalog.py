@@ -3969,19 +3969,26 @@ def optimize_delta(
         )
 
     # rewrite each loose partition into one file; the read-coalesce is
-    # per-partition-tuple, so a 1000-partition optimize is 1000
-    # independent single-partition jobs (parallelizable by the caller;
-    # at scale delta-spark bins by target file size the same way)
+    # per-partition-tuple, so the rewrites are independent
+    # single-partition jobs — submitted from a small driver thread pool
+    # (spark_optimization_guide §2.6: serial submission makes per-job
+    # scheduler latency, not data, the cost floor when many small
+    # partitions are loose; Spark schedules concurrent jobs fine, same
+    # device as sources/store.compact_store). Results are re-assembled
+    # in the deterministic sorted-partition order below so the staged
+    # add order — and with it row-id baseRowId assignment — is
+    # identical to the serial loop's.
     import shutil as _shutil
 
     staged: list[tuple[str, dict]] = []
     removes: list[str] = []
     tmp = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
-    try:
-        for key, paths in sorted(
-            todo.items(),
-            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
-        ):
+    ordered = sorted(
+        todo.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    )
+
+    def _rewrite_one(key, paths):
             # the staged add's partitionValues (and the cosmetic dirs)
             # are keyed the way the table keys them: physical under
             # column mapping, logical otherwise
@@ -4111,6 +4118,29 @@ def optimize_delta(
             dest = os.path.join(table, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(out_dir, one), dest)
+            return rel, pvals
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(ordered)))
+        ) as pool:
+            futs = [pool.submit(_rewrite_one, k, p) for k, p in ordered]
+            results: list[tuple[str, dict] | None] = []
+            first_err: BaseException | None = None
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except BaseException as e:  # noqa: BLE001 — re-raised
+                    results.append(None)
+                    if first_err is None:
+                        first_err = e
+        if first_err is not None:
+            # unstage every rewrite that DID land before failing the op
+            _unstage(table, [r for r, _ in filter(None, results)])
+            raise first_err
+        for (key, paths), (rel, pvals) in zip(ordered, results):
             staged.append((rel, pvals))
             removes.extend(paths)
     except BaseException:

@@ -6177,6 +6177,48 @@ class TestDVWriteCreation:
             range(4, 2500, 5)
         )
 
+    def test_discover_and_count_single_pass(self, spark, tmp_path):
+        """r14 optimization gate: predicate DML discovers its matched
+        files and the DV-policy counts in ONE aggregate
+        (_discover_and_count) — per-file (live, matched) counts are
+        DV-filtered (soft-deleted rows count in neither), and a DELETE
+        on a DV table runs exactly two row-returning collects total:
+        the discovery aggregate and the executor-side bitmap blobs
+        (before: a distinct-file discovery scan PLUS a counts scan PLUS
+        the bitmap pass)."""
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        from marketdb_spark.sources.deltadml import (
+            _discover_and_count,
+            _table_state,
+            delete_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, n=20)
+        # grow a DV first so the counts must be DV-filtered
+        assert delete_delta(spark, t, "k < 4") is not None  # DV: 0-3
+        snap = _table_state(t)
+        stats = _discover_and_count(
+            spark, t, snap, F.expr("k % 2 = 0")
+        )
+        # 16 live rows (4 soft-deleted), 8 of them even (4,6,...,18)
+        assert list(stats.values()) == [(16, 8)]
+        n_collects = 0
+        orig = _DF.collect
+
+        def spy(df):
+            nonlocal n_collects
+            n_collects += 1
+            return orig(df)
+
+        _DF.collect = spy
+        try:
+            assert delete_delta(spark, t, "k % 2 = 0") is not None
+        finally:
+            _DF.collect = orig
+        assert n_collects == 2, n_collects
+
     def test_enable_dvs_create_time_only(self, spark, tmp_path):
         from marketdb_spark.sources.deltalog import (
             delta_features,
