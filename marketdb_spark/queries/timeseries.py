@@ -723,49 +723,54 @@ def _bracket_obs(rows):
     """Attach backward/forward observation brackets (t1, v1, t2, v2) to
     every row of a union frame with columns (user_id, ts, value, is_obs):
     t1/v1 = the latest observation at-or-before the row's ts, t2/v2 = the
-    earliest at-or-after. The shared kernel of ts_resample_interp and
-    ts_asof_nearest. Requires at most ONE observation row per
-    (user_id, ts) — both callers dedup their obs side first.
+    earliest at-or-after (both INCLUSIVE). The kernel of ts_asof_nearest.
+    Requires at most ONE observation row per (user_id, ts) — the caller
+    dedups its obs side first.
 
     Brackets are carried as (ts, value) STRUCTS from one observation row
-    — bracketing ts and value with separate last/first(ignorenulls)
-    calls would desynchronize them when a matched observation's value is
-    NULL (ignorenulls skips past it to an OLDER observation's value
-    while the timestamp stays put).
+    — bracketing ts and value with separate last(ignorenulls) calls
+    would desynchronize them when a matched observation's value is NULL
+    (ignorenulls skips past it to an OLDER observation's value while the
+    timestamp stays put).
 
-    Plan shape: ONE sort. Both frames use the SAME (ts asc, is_obs asc)
-    order — grid-first at equal ts — so Spark plans Exchange → Sort →
-    Window → Window: the two frame specs stay separate Window nodes but
-    SHARE the single sort, which is the actual win (r7 profiling showed
-    the previous opposite-tie-order form paying a second full Sort of
-    the union for nothing; the plan gate pins exactly this shape). With grid-first ties the inclusive FORWARD frame
-    (currentRow→following) is exact, while the backward frame misses an
-    observation AT the row's own ts — recovered without a second sort:
-    when the forward bracket lands exactly on ts, it IS the inclusive
-    backward bracket too (at most one obs per (user_id, ts))."""
+    Plan shape: BOTH frames are running (unboundedPreceding→currentRow)
+    frames — Spark's UnboundedPrecedingWindowFunctionFrame updates its
+    aggregate incrementally, O(rows) per partition. The forward bracket
+    comes from the same running frame over the REVERSED order (ts desc):
+    "last observation at-or-before current, walking from the partition
+    end" IS "first observation at-or-after current" in ascending time.
+    The r13 form computed it over the ascending order with a
+    (currentRow→unboundedFollowing) frame instead — Spark's
+    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate
+    over the whole remaining frame FOR EVERY ROW, O(rows²) per user
+    partition: invisible at sf0.1 (~10²-10³ rows/user) and fatal at
+    100 TB (10⁶ events/user → 10¹² frame evaluations). The price of the
+    fix is a second sortWithinPartitions of the union (no new
+    Exchange); the plan gate pins Sort→Window→Sort→Window on one
+    exchange. Tie order makes both frames inclusive directly: obs
+    sorts BEFORE the query row at equal ts under both orders
+    (is_obs desc), so the old forward-hit backfill is gone."""
     from pyspark.sql import Window as W
 
     obs = F.when(
         F.col("is_obs") == 1,
         F.struct(F.col("ts").alias("t"), F.col("value").alias("v")),
     )
-    order = [F.col("ts").asc(), F.col("is_obs").asc()]
     w_back = (
         W.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_fwd = (
         W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("is_obs").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    hit = F.col("__f.t") == F.col("ts")  # obs exactly at this row's ts
     return (
         rows.withColumn("__b", F.last(obs, ignorenulls=True).over(w_back))
-        .withColumn("__f", F.first(obs, ignorenulls=True).over(w_fwd))
-        .withColumn("t1", F.when(hit, F.col("__f.t")).otherwise(F.col("__b.t")))
-        .withColumn("v1", F.when(hit, F.col("__f.v")).otherwise(F.col("__b.v")))
+        .withColumn("__f", F.last(obs, ignorenulls=True).over(w_fwd))
+        .withColumn("t1", F.col("__b.t"))
+        .withColumn("v1", F.col("__b.v"))
         .withColumn("t2", F.col("__f.t"))
         .withColumn("v2", F.col("__f.v"))
         .drop("__b", "__f")
@@ -828,20 +833,29 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division is the one step two engines may round differently;
     every emitted column is integer/timestamp, so the hash gate checks
     the interpolation itself, not a rounding convention. Grid points
-    coinciding with an observation get (v1u, 1). Shape: ONE-PASS union +
-    double window — observations and grid points union, then backward
-    (last obs ≤ g) and forward (first obs ≥ g) brackets come from two
-    window frames sharing ONE sort order (_bracket_obs: Exchange → Sort
-    → single Window node), vs the 3 shuffles (two as-of joins + an
-    equi-join of the enrichments) of the naive composition. The leading
-    repartition(user_id) is deliberate: hash partitioning on user_id
-    SATISFIES the clustering the (user_id, ts) dedup and the per-user
-    span agg require (subset rule), so the dedup, the span/grid
-    derivation and the window all ride the same single exchange —
-    r7 profiling showed the groupBy-planned (user_id, ts) exchange +
-    second window sort costing ~2× the whole remaining query. Points
-    before the first observation have no backward bracket and drop
-    (inner semantics), mirroring ffill."""
+    coinciding with an observation get (v1u, 1). Shape: SINGLE PASS over
+    the observations only — dedup to (user_id, ts, value), lead() to the
+    next observation, then each CONSECUTIVE OBSERVATION PAIR emits
+    exactly the hour-aligned grid points it brackets
+    (t_i ≤ g < t_{i+1}, plus g = t_n for the aligned last observation).
+    Equivalent to the r13 union+double-window form — the grid is the
+    hour-aligned points of [min(ts), max(ts)] per user (the leading
+    floor-hour points of the oracle's generate_series drop for lack of
+    a backward bracket), and the pair holding g IS its bracket — but:
+    ONE scan + ONE exchange instead of two (the span/grid branch
+    re-scanned events because SQL plans have no subtree reuse), the
+    sort/window carry only the ~N obs rows instead of N+grid rows, the
+    bracket is an O(1) lead() (OffsetWindowFunctionFrame) instead of a
+    (currentRow→unboundedFollowing) frame that Spark re-evaluates per
+    row — O(rows²) per user partition, ~0.9 G frame evaluations at
+    sf0.1, growing quadratically with per-user density — and grid rows
+    are born with their brackets attached AFTER the window instead of
+    being sorted through it. The leading repartition(user_id) still
+    makes the dedup and the window ride one exchange (subset rule).
+    Points before the first observation have no backward bracket and
+    drop (inner semantics), mirroring ffill."""
+    from pyspark.sql import Window as W
+
     par = spark.sparkContext.defaultParallelism
     ev = (
         load(spark, sf_dir, "events")
@@ -849,27 +863,54 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("mn"),
-        F.max("ts").alias("mx"),
-    )
-    grid = spans.select(
+    w = W.partitionBy("user_id").orderBy("ts")
+    hour = F.expr("interval 1 hour")
+    pairs = ev.select(
         "user_id",
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
-            "ts"
-        ),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(0).alias("is_obs"),
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("value").over(w).alias("nval"),
     )
-    rows = ev.withColumn("is_obs", F.lit(1)).unionByName(grid)
-    bracketed = (
-        _bracket_obs(rows)
-        .filter(
-            (F.col("is_obs") == 0)
-            & F.col("t1").isNotNull()
-            & F.col("t2").isNotNull()
+    # hour-aligned grid points g with ts <= g < nts (the last obs of a
+    # user, nts NULL, contributes only g == ts when hour-aligned):
+    # start = ceil_hour(ts), stop = largest aligned point STRICTLY
+    # before nts; an empty [start, stop] yields no rows (explode of
+    # the empty array), never a reversed sequence() error.
+    trunc_ts = F.date_trunc("hour", F.col("ts"))
+    start = F.when(trunc_ts == F.col("ts"), F.col("ts")).otherwise(
+        trunc_ts + hour
+    )
+    trunc_nxt = F.date_trunc("hour", F.col("nts"))
+    stop = F.when(
+        F.col("nts").isNull(), trunc_ts
+    ).otherwise(
+        F.when(trunc_nxt == F.col("nts"), trunc_nxt - hour).otherwise(
+            trunc_nxt
         )
-        .withColumnRenamed("ts", "grid_ts")
+    )
+    grid = F.when(
+        start <= stop, F.sequence(start, stop, hour)
+    ).otherwise(F.array().cast("array<timestamp>"))
+    bracketed = (
+        pairs.select(
+            "user_id", "ts", "value", "nts", "nval",
+            F.explode(grid).alias("grid_ts"),
+        )
+        .withColumn("t1", F.col("ts"))
+        .withColumn("v1", F.col("value"))
+        .withColumn(
+            "t2",
+            F.when(F.col("grid_ts") == F.col("ts"), F.col("ts")).otherwise(
+                F.col("nts")
+            ),
+        )
+        .withColumn(
+            "v2",
+            F.when(F.col("grid_ts") == F.col("ts"), F.col("value")).otherwise(
+                F.col("nval")
+            ),
+        )
     )
 
     def secs(c):  # epoch seconds: integer div, never a float round-trip

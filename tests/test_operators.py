@@ -866,3 +866,74 @@ class TestVideoFrames:
         )
         rows = sample_frames_real(clipped, n_frames=4).collect()
         assert [r.frame_idx for r in rows] == [0]
+
+
+class TestResampleInterpEdgeCases:
+    """The r14 single-pass rewrite of ts_resample_interp (consecutive
+    observation pairs emit their bracketed hour-aligned grid points via
+    lead(), replacing the union + double-window + second-scan form) must
+    stay bit-identical to the DuckDB oracle on the boundary geometry the
+    rewrite handles explicitly: observations exactly ON hour boundaries
+    (grid point coincides with an obs → den=0 exact-value row),
+    sub-second and same-second neighboring observations (den=0 via the
+    seconds floor, NOT via t1==t2), single-observation users (aligned →
+    one den=0 row; unaligned → no rows), pairs within one hour (no grid
+    points between), and duplicate (user_id, ts) rows (deduped before
+    lead, so pairs stay strictly increasing)."""
+
+    def test_oracle_on_boundary_geometry(self, spark, tmp_path):
+        from datetime import datetime
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marketdb_spark.oracle import compare
+        from marketdb_spark.queries import REGISTRY
+
+        def ts(s):
+            return datetime.fromisoformat(s)
+
+        rows = [
+            # obs on an hour boundary + a same-second pair
+            (1, ts("2024-01-01 10:00:00"), 5.0),
+            (1, ts("2024-01-01 12:30:00.250000"), 7.5),
+            (1, ts("2024-01-01 12:30:00.750000"), 9.0),
+            # single obs, hour-aligned → exactly one (v1u, 1) row
+            (2, ts("2024-02-01 00:00:00"), 1.0),
+            # single obs, unaligned → zero rows
+            (3, ts("2024-02-01 00:30:00"), 2.0),
+            # two obs inside one hour, both unaligned → zero rows
+            (4, ts("2024-03-01 05:10:00"), 3.0),
+            (4, ts("2024-03-01 05:50:00"), 4.0),
+            # same-second *seconds floor* across an hours-long gap
+            (5, ts("2024-03-02 01:59:59.100000"), 1.5),
+            (5, ts("2024-03-02 04:00:00"), 2.5),
+            # duplicate (user_id, ts) → deduped by max(value) before lead
+            (6, ts("2024-04-01 00:00:00"), 1.0),
+            (6, ts("2024-04-01 00:00:00"), 3.0),
+            (6, ts("2024-04-01 02:00:00"), 2.0),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        df["event_id"] = range(len(df))
+        df["event_type"] = "view"
+        df["props"] = "{}"
+        tbl = pa.Table.from_pandas(df)
+        schema = tbl.schema.set(
+            tbl.schema.get_field_index("ts"), pa.field("ts", pa.timestamp("ns"))
+        )
+        pq.write_table(tbl.cast(schema), str(tmp_path / "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        spec = REGISTRY["ts_resample_interp"]
+        r = compare(
+            "ts_resample_interp",
+            spec.fn(spark, str(tmp_path)),
+            spec.oracle,
+            con,
+        )
+        assert r.ok, str(r)

@@ -377,23 +377,46 @@ def test_cusum_windows_share_one_user_exchange(spark):
     assert count_shuffles(df) == 2
 
 
-def test_resample_brackets_one_sort_two_exchanges(spark):
-    """ts_resample_interp's backward+forward brackets must come from ONE
-    sort (both frames share the grid-first order — _bracket_obs), and
-    the whole query from two exchanges: the explicit
-    user_id repartition (which the (user,ts) dedup and the span agg
-    both ride via the subset rule) and the post-union window exchange.
-    The r7 shape — opposite tie orders → Sort→Window→Sort→Window and a
-    groupBy-planned (user_id, ts) exchange — cost ~2× the whole query."""
+def test_resample_single_pass_plan(spark):
+    """ts_resample_interp must be ONE pass over the observations: one
+    events scan, one exchange (the user_id repartition the dedup and
+    the lead() window both ride), one sort, one Window whose only
+    function is lead() (an O(1) OffsetWindowFunctionFrame — never a
+    running or unbounded-following frame), grid rows generated AFTER
+    the window with their brackets attached. The r13 union+double-
+    window form paid a second scan+exchange for the span/grid branch
+    and an UnboundedFollowing frame Spark re-evaluates per row —
+    O(rows²) per user partition at scale."""
     from marketdb_spark.plans.inspect import formatted_plan
 
     df = REGISTRY["ts_resample_interp"].fn(spark, SF_SMALL)
-    assert count_shuffles(df) == 2
+    assert count_shuffles(df) == 1
     plan = formatted_plan(df)
-    # two Window nodes (distinct frames aren't fused) but they share
-    # the ONE sort — no Sort between them
-    assert plan.count(") Window") == 2
+    # one scan: explain("formatted") names each scan twice (tree line
+    # + detail block) but gives each ONE "Location:" detail
+    assert plan.count("Location:") == 1
+    assert plan.count(") Window") == 1
     assert plan.count(") Sort") == 1
+    assert plan.count(") Union") == 0
+    assert "lead(" in plan
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_asof_nearest_incremental_frames(spark):
+    """ts_asof_nearest's two bracket frames must both be running
+    (unboundedpreceding→currentRow) frames — Spark updates those
+    incrementally, O(rows) per partition. The forward bracket rides
+    the REVERSED sort order; the r13 (currentRow→unboundedFollowing)
+    form re-evaluated its aggregate per row, O(rows²) per user
+    partition. Two Sorts (asc + desc within the same exchange) is the
+    deliberate price; still exactly one exchange feeds both."""
+    from marketdb_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["ts_asof_nearest"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count(") Window") == 2
+    assert plan.count(") Sort") == 2
+    assert "unboundedfollowing" not in plan.lower()
 
 
 def test_pmi_collocations_plan(spark):
