@@ -229,20 +229,18 @@ def _signatures_from_hashed(shh: DataFrame, k: int) -> DataFrame:
     identical values to _signatures_from_sh (the affine transforms apply
     to token_hash64 % p either way), but reading the shared cached hash
     array instead of re-hashing the shingle strings."""
+    # SQL strings, not k nested Column lambdas: each F.transform(lambda)
+    # costs ~20 ms of driver-side py4j expression building, so the k-slot
+    # loop alone was ~0.3 s of driver time per query; one selectExpr
+    # parses JVM-side in a single call. Values are identical (same long
+    # arithmetic; hash-verified against the unchanged oracle).
     mins = [
-        F.array_min(
-            F.transform(
-                "hs",
-                lambda h: (
-                    F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * (h % MINHASH_P)
-                    + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
-                )
-                % MINHASH_P,
-            )
-        ).alias(f"m{i}")
+        f"array_min(transform(hs, h -> "
+        f"({MINHASH_A0 + MINHASH_A_STEP * i}L * (h % {MINHASH_P}L) "
+        f"+ {MINHASH_B0 + MINHASH_B_STEP * i}L) % {MINHASH_P}L)) AS m{i}"
         for i in range(k)
     ]
-    return shh.select("id", *mins)
+    return shh.selectExpr("id", *mins)
 
 
 def _metric_on_candidates(
@@ -357,20 +355,15 @@ def _signatures_from_sh(sh: DataFrame, k: int) -> DataFrame:
         "id",
         F.transform("sh", lambda s: token_hash64(s) % MINHASH_P).alias("hs"),
     )
+    # SQL strings for the k-slot loop (same driver-side py4j economy as
+    # _signatures_from_hashed; hs is pre-reduced mod P here)
     mins = [
-        F.array_min(
-            F.transform(
-                "hs",
-                lambda h: (
-                    F.lit(MINHASH_A0 + MINHASH_A_STEP * i) * h
-                    + F.lit(MINHASH_B0 + MINHASH_B_STEP * i)
-                )
-                % MINHASH_P,
-            )
-        ).alias(f"m{i}")
+        f"array_min(transform(hs, h -> "
+        f"({MINHASH_A0 + MINHASH_A_STEP * i}L * h "
+        f"+ {MINHASH_B0 + MINHASH_B_STEP * i}L) % {MINHASH_P}L)) AS m{i}"
         for i in range(k)
     ]
-    return hashed.select("id", *mins)
+    return hashed.selectExpr("id", *mins)
 
 
 def minhash_lsh_pairs(
@@ -396,24 +389,14 @@ def _lsh_pairs_from_sigs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
     # so outer ≡ inner — but inner explode would let InferFiltersFromGenerate
     # re-inline the whole signature expression into a pushed-down filter
     # (see minhash_signatures docstring; measured 2× the pipeline).
-    banded = sigs.select(
-        "id",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[F.col(f"m{b * rows + r}") for r in range(rows)],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+    band_structs = ", ".join(
+        f"struct(CAST({b} AS INT) AS band_id, md5(concat_ws(',', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash)"
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "id", f"explode_outer(array({band_structs})) AS band"
     ).select("id", "band.band_id", "band.band_hash")
     a = banded.select(
         F.col("id").alias("id_a"), "band_id", "band_hash"
@@ -710,8 +693,22 @@ def simhash_bits(hashed_col: Column | str, n_bits: int = 32) -> Column:
     be re-evaluated once per bit by Catalyst (32× the md5 work — measured).
 
     n_bits=32 keeps the per-row work (tokens × bits) codegen-friendly and
-    the fingerprint comfortably inside a positive BIGINT."""
-    hashed = F.col(hashed_col) if isinstance(hashed_col, str) else hashed_col
+    the fingerprint comfortably inside a positive BIGINT.
+
+    When given a column NAME, the n_bits-term expression is built as one
+    SQL string parsed JVM-side — the per-bit Column-lambda loop cost
+    ~0.5 s of driver-side py4j expression building per use (n_bits
+    aggregate() lambdas); same long arithmetic, identical values. A
+    Column argument keeps the original construction path."""
+    if isinstance(hashed_col, str):
+        terms = " + ".join(
+            f"(CASE WHEN aggregate({hashed_col}, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(n_bits)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    hashed = hashed_col
 
     # Per-bit ±1 vote sums. j is a Python int (F.shiftright requires a
     # literal shift), so this unrolls to n_bits aggregate expressions —
@@ -744,5 +741,5 @@ def simhash_fingerprints(
         "id", F.transform("toks", token_hash64).alias("hs")
     )
     return hashed.select(
-        F.col("id").alias(id_col), simhash_bits(F.col("hs"), n_bits).alias("simhash")
+        F.col("id").alias(id_col), simhash_bits("hs", n_bits).alias("simhash")
     )

@@ -46,17 +46,37 @@ def write_partitioned(
     """Write a trade-shaped frame partitioned by (market, date), sorted by
     (security, time) within files, deduped by the natural key.
 
+    ONE exchange, not two: equal keys always share a (market, date) —
+    market is in the key and date is a function of the key's time — so
+    the dedup does not need its own full-key shuffle ahead of the
+    placement shuffle. Rows are hash-placed by (market, date) once, the
+    file-order sort (security, time, <id>) doubles as the dedup sort
+    (it covers every varying key column, making same-key rows adjacent
+    within a placement partition), and a lag() comparison drops the
+    adjacent duplicates. Ingest appends are the hot write path at scale;
+    this halves their shuffled bytes.
+
     Parquet bloom filters on the event-id column give point-lookup
     row-group skipping — parity with the reference's HBase ROW bloom
     (install/create_tables.sh:36-39); min/max stats already cover the
     sorted (security, time) prefix."""
+    from pyspark.sql import Window as W
+
     key_cols = key_cols or TRADE_KEY
     bloom_cols = key_cols[-1:] if bloom_cols is None else bloom_cols
+    # every key column except market varies within a placement partition;
+    # ordering by all of them keeps the (security, time) file contract and
+    # makes full-key duplicates adjacent (market/date are constant per
+    # window partition, so the full key is covered)
+    order_cols = [c for c in key_cols if c != "market"]
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+    w = W.partitionBy("market", "date").orderBy(*order_cols)
     out = (
-        df.dropDuplicates(key_cols)
-        .withColumn("date", F.col("time").cast("date"))
+        df.withColumn("date", F.col("time").cast("date"))
         .repartition("market", "date")
-        .sortWithinPartitions("security", "time")
+        .withColumn("__prev_key", F.lag(key_struct).over(w))
+        .filter(~F.col("__prev_key").eqNullSafe(key_struct))
+        .drop("__prev_key")
     )
     writer = out.write.partitionBy("market", "date").mode(mode)
     for c in bloom_cols:

@@ -220,6 +220,34 @@ class TestDedup:
         ham = lambda a, b: bin(a ^ b).count("1")
         assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
+    def test_simhash_bits_string_and_column_paths_agree(self, spark):
+        """The SQL-string construction path (column name, one JVM parse)
+        and the Column-lambda path must produce bit-identical
+        fingerprints — the string path exists only to cut driver-side
+        expression-building time."""
+        from pyspark.sql import functions as F
+
+        from marketdb_spark.operators.dedup import simhash_bits, tokenized
+        from marketdb_spark.functions.text import token_hash64
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five six seven"),
+                (3, "x"),
+            ],
+            "doc_id long, text string",
+        )
+        hashed = tokenized(df, "doc_id", "text").select(
+            "id", F.transform("toks", token_hash64).alias("hs")
+        )
+        out = hashed.select(
+            "id",
+            simhash_bits("hs").alias("s_str"),
+            simhash_bits(F.col("hs")).alias("s_col"),
+        )
+        assert out.filter(F.col("s_str") != F.col("s_col")).count() == 0
+
     def test_connected_components_path_and_singleton(self, spark):
         # Path 1-2-3-4-5 (diameter 4 → several propagation rounds), a
         # separate pair 10-11, and singleton 20 from the node universe.

@@ -281,6 +281,42 @@ class TestStore:
         )._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan or "partitionFilters" in plan.lower()
 
+    def test_write_partitioned_dedups_within_frame(self, spark, tmp_path):
+        """Dedup-on-write by the natural key, now computed on the single
+        placement exchange (no separate full-key shuffle): exact duplicate
+        keys collapse — including null key fields compared nulls-equal,
+        dropDuplicates semantics — and each (market, date) partition dir
+        still holds one file per append."""
+        import glob
+
+        rows = [
+            ("RTS", "A", "2013-02-01 10:00:00", 1, 10.0),
+            ("RTS", "A", "2013-02-01 10:00:00", 1, 10.0),  # exact dup key
+            ("RTS", "A", "2013-02-01 10:00:00", 2, 11.0),
+            ("FX", "B", "2013-02-02 09:00:00", 3, 12.0),
+            ("FX", None, "2013-02-02 09:00:00", 3, 13.0),  # null key field
+            ("FX", None, "2013-02-02 09:00:00", 3, 14.0),  # dup via nulls-equal
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "market string, security string, time string, "
+            "trade_id long, price double",
+        ).withColumn("time", F.col("time").cast("timestamp"))
+        path = str(tmp_path / "store")
+        write_partitioned(df, path)
+        back = read_store(spark, path)
+        assert back.count() == 4  # 6 in, 2 dups dropped
+        # one surviving row per distinct key
+        assert (
+            back.select("market", "security", "time", "trade_id")
+            .distinct()
+            .count()
+            == 4
+        )
+        # one file per (market, date) dir per append
+        for d in glob.glob(f"{path}/market=*/date=*"):
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
     def test_bloom_filter_written(self, spark, trades_df, tmp_path):
         """Bloom filters on the event id (HBase ROW-bloom parity,
         create_tables.sh:36-39): same rows written with blooms must carry
