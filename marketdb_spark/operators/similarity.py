@@ -172,17 +172,50 @@ def lsh_bucketed(
     )
 
 
-def dot(a: Column, b: Column) -> Column:
+# SQL-text twins of the fold helpers: a dot/norm/cosine over PLAIN COLUMN
+# NAMES builds as one expression string parsed JVM-side in a single py4j
+# call, where the Column-lambda path costs ~5 higher-order-function
+# round-trip groups (~0.1-0.2 s of driver latency per cosine, repeated by
+# every similarity-family query construction — the operators/dedup.py §10
+# device). The parsed expressions are identical (same casts, same fold
+# order, same 0.0 init), so values are bit-for-bit unchanged; the Column
+# path stays for composite expressions (struct fields, lambda variables).
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(aggregate(transform({a}, x -> "
+    "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_DOT_SQL.format(a=a, b=b))
     return _fold_sum(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_NORM_SQL.format(a=a))
     return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            _DOT_SQL.format(a=a, b=b)
+            + " / ("
+            + _NORM_SQL.format(a=a)
+            + " * "
+            + _NORM_SQL.format(a=b)
+            + ")"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -205,7 +238,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine_sim", cosine("q_vec", "c_vec"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (
@@ -259,7 +292,7 @@ def ivf_assign(
     )
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     scored = c.join(F.broadcast(centroids)).withColumn(
-        "cell_sim", cosine(F.col("vec"), F.col("centroid"))
+        "cell_sim", cosine("vec", "centroid")
     )
     w = W.partitionBy("id").orderBy(F.desc("cell_sim"), "cell_id")
     assigned = (
@@ -292,7 +325,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     q_scored = q.join(F.broadcast(centroids)).withColumn(
-        "cell_sim", cosine(F.col("q_vec"), F.col("centroid"))
+        "cell_sim", cosine("q_vec", "centroid")
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell_id")
     probes = (
@@ -303,7 +336,7 @@ def ivf_topk(
     cand = assigned.join(
         F.broadcast(probes), on="cell_id"
     ).filter(F.col("id") != F.col("query_id"))
-    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("vec")))
+    scored = cand.withColumn("cosine_sim", cosine("q_vec", "vec"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -396,7 +429,6 @@ def kmeans_refine(
     the flat argmin; both engines agree bit-for-bit on WHICH
     approximation).
     """
-    scale = float(1 << 46)
     pts = corpus.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     )
@@ -427,15 +459,20 @@ def kmeans_refine(
             ).alias("__cents")
         )
 
-    def _d2(v: Column, c: Column) -> Column:
-        """The assignment distance fold — identical expression on both
-        engines (the oracle's list_reduce template)."""
-        return _fold_sum(
-            F.zip_with(
-                v, c, lambda x, cc: (x.cast("double") - cc)
-                * (x.cast("double") - cc)
-            )
-        )
+    # The per-round expression trees below are built as SQL STRINGS
+    # parsed JVM-side in one call each (selectExpr), not as nested
+    # Column-lambda compositions: the Column path cost ~4,000 py4j
+    # round-trips (~0.7-2.2 s of pure driver latency) PER kmeans_refine
+    # construction — the same O(expression count) py4j chatter the
+    # LSH/simhash family shed in operators/dedup.py. The parsed
+    # expressions are identical (same functions, same casts, same fold
+    # order), so assignments are bit-for-bit unchanged — pinned by
+    # test_kmeans_two_level_* and every kmeans-backed oracle hash.
+    _D2_SQL = (
+        "aggregate(zip_with({v}, {c}, (x, cc) -> "
+        "(CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
     def pack_two_level(cents: DataFrame) -> DataFrame:
         """k rows → ONE row whose array<struct<ccid, cc, members>> is the
@@ -451,74 +488,41 @@ def kmeans_refine(
         filter on the winning ccid measured 6× SLOWER than the flat
         argmin for exactly that reason). Still one scalar subquery per
         round — one execution of the centroid plan."""
-        h2 = F.pmod(
-            F.pmod(F.col("cid").cast("long"), F.lit(m)) * F.lit(506952113),
-            F.lit(m),
+        ranked = cents.selectExpr(
+            "cid",
+            "c",
+            f"pmod(pmod(CAST(cid AS BIGINT), {m}) * 506952113, {m}) AS h2",
+        ).selectExpr(
+            "cid",
+            "c",
+            "row_number() OVER (ORDER BY h2, cid) AS crk",
+            "count(*) OVER () AS kk",
+        ).selectExpr(
+            "cid",
+            "c",
+            "crk <= CAST(ceil(sqrt(CAST(kk AS DOUBLE))) AS BIGINT)"
+            " AS is_coarse",
         )
-        ranked = (
-            cents.select("cid", "c", h2.alias("h2"))
-            .withColumn("crk", F.row_number().over(W.orderBy("h2", "cid")))
-            .withColumn("kk", F.count("*").over(W.partitionBy()))
-            .withColumn(
-                "is_coarse",
-                F.col("crk")
-                <= F.ceil(F.sqrt(F.col("kk").cast("double"))).cast("long"),
-            )
-        )
-        raw = ranked.agg(
-            F.sort_array(
-                F.collect_list(F.struct("cid", "c", "is_coarse"))
-            ).alias("__s")
+        raw = ranked.selectExpr(
+            "sort_array(collect_list(named_struct("
+            "'cid', cid, 'c', c, 'is_coarse', is_coarse))) AS __s"
         )
         # element-wise nearest coarse cell for one centroid struct
-        def _ccid_of(s):
-            return (
-                F.array_min(
-                    F.transform(
-                        F.filter(
-                            F.col("__s"), lambda t: t.getField("is_coarse")
-                        ),
-                        lambda t: F.struct(
-                            _d2(s.getField("c"), t.getField("c")).alias(
-                                "d2"
-                            ),
-                            t.getField("cid").alias("cid"),
-                        ),
-                    )
-                )
-                .getField("cid")
-            )
-
-        fine = raw.select(
-            F.col("__s"),
-            F.transform(
-                "__s",
-                lambda s: F.struct(
-                    s.getField("cid").alias("cid"),
-                    _ccid_of(s).alias("ccid"),
-                    s.getField("c").alias("c"),
-                ),
-            ).alias("__f"),
+        ccid_of = (
+            "array_min(transform(filter(__s, t -> t.is_coarse), "
+            "t -> named_struct('d2', " + _D2_SQL.format(v="s.c", c="t.c")
+            + ", 'cid', t.cid))).cid"
         )
-        return fine.select(
-            F.transform(
-                F.filter(F.col("__s"), lambda t: t.getField("is_coarse")),
-                lambda co: F.struct(
-                    co.getField("cid").alias("ccid"),
-                    co.getField("c").alias("cc"),
-                    F.transform(
-                        F.filter(
-                            F.col("__f"),
-                            lambda mmb: mmb.getField("ccid")
-                            == co.getField("cid"),
-                        ),
-                        lambda mmb: F.struct(
-                            mmb.getField("cid").alias("cid"),
-                            mmb.getField("c").alias("c"),
-                        ),
-                    ).alias("members"),
-                ),
-            ).alias("__cents")
+        fine = raw.selectExpr(
+            "__s",
+            "transform(__s, s -> named_struct("
+            "'cid', s.cid, 'ccid', " + ccid_of + ", 'c', s.c)) AS __f",
+        )
+        return fine.selectExpr(
+            "transform(filter(__s, t -> t.is_coarse), co -> named_struct("
+            "'ccid', co.cid, 'cc', co.c, "
+            "'members', transform(filter(__f, mmb -> mmb.ccid = co.cid), "
+            "mmb -> named_struct('cid', mmb.cid, 'c', mmb.c)))) AS __cents"
         )
 
     def assign_two_level(cents_row: DataFrame) -> DataFrame:
@@ -538,28 +542,17 @@ def kmeans_refine(
             )
         finally:
             spark.catalog.dropTempView(vname)
-        best_cell = F.array_min(
-            F.transform(
-                F.col("__cents"),
-                lambda cell: F.struct(
-                    _d2(F.col("vec"), cell.getField("cc")).alias("d2"),
-                    cell.getField("ccid").alias("ccid"),
-                    cell.getField("members").alias("members"),
-                ),
-            )
+        best_cell = (
+            "array_min(transform(__cents, cell -> named_struct("
+            "'d2', " + _D2_SQL.format(v="vec", c="cell.cc")
+            + ", 'ccid', cell.ccid, 'members', cell.members)))"
         )
-        best = F.array_min(
-            F.transform(
-                best_cell.getField("members"),
-                lambda mmb: F.struct(
-                    _d2(F.col("vec"), mmb.getField("c")).alias("d2"),
-                    mmb.getField("cid").alias("cid"),
-                ),
-            )
+        best = (
+            "array_min(transform((" + best_cell + ").members, "
+            "mmb -> named_struct('d2', " + _D2_SQL.format(v="vec", c="mmb.c")
+            + ", 'cid', mmb.cid)))"
         )
-        return joined.select(
-            "id", "vec", best.getField("cid").alias("cid")
-        )
+        return joined.selectExpr("id", "vec", "(" + best + ").cid AS cid")
 
     def assign(cents_row: DataFrame) -> DataFrame:
         """MAP-SIDE argmin: the one-row centroid pack rides in as a scalar
@@ -617,16 +610,12 @@ def kmeans_refine(
         # per partition, so the shuffle volume is the same k·dims cells
         # either way — integer adds in a different grouping, identical
         # sums.
-        ex = assigned.select(
+        scale_sql = f"CAST({1 << 46} AS DOUBLE)"  # exact power of two
+        ex = assigned.selectExpr(
             "cid",
-            F.posexplode(
-                F.transform(
-                    "vec",
-                    lambda x: (x.cast("double") * F.lit(scale))
-                    .cast("bigint")
-                    .cast("decimal(38,0)"),
-                )
-            ).alias("dim", "sv"),
+            "posexplode(transform(vec, x -> CAST(CAST(CAST(x AS DOUBLE) * "
+            + scale_sql
+            + " AS BIGINT) AS DECIMAL(38,0)))) AS (dim, sv)",
         )
         upd = ex.groupBy("cid", "dim").agg(
             F.sum("sv").alias("s"), F.count("*").alias("n")
@@ -638,16 +627,12 @@ def kmeans_refine(
                     F.collect_list(F.struct("dim", "s", "n"))
                 ).alias("a")
             )
-            .select(
+            # same expression ORDER as the oracle: s → double, / n,
+            # / scale — identical IEEE doubles
+            .selectExpr(
                 "cid",
-                F.transform(
-                    "a",
-                    # same expression ORDER as the oracle: s → double,
-                    # / n, / scale — identical IEEE doubles
-                    lambda t: t.getField("s").cast("double")
-                    / t.getField("n").cast("double")
-                    / F.lit(scale),
-                ).alias("c"),
+                "transform(a, t -> CAST(t.s AS DOUBLE) / "
+                "CAST(t.n AS DOUBLE) / " + scale_sql + ") AS c",
             )
         )
         assigned = _assign(_pack(new_cents))

@@ -371,7 +371,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_side,
             (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine_sim", cosine("vec_a", "vec_b"))
         .filter(F.col("cosine_sim") >= 0.35)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -81,7 +81,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm profile per label (decimal-exact sum of norms)."""
     emb = load(spark, sf_dir, "embeddings")
-    n = norm(F.col("embedding"))
+    n = norm("embedding")
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.min(n).alias("min_norm"),
@@ -180,7 +180,7 @@ def sim_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c,
         (F.col("bucket") == F.col("c_bucket"))
         & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    ).withColumn("cosine_sim", cosine("q_vec", "c_vec"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -665,7 +665,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         c,
         (F.col("bucket") == F.col("c_bucket"))
         & (F.col("src") != F.col("dst")),
-    ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    ).withColumn("cosine_sim", cosine("q_vec", "c_vec"))
     w = W.partitionBy("src").orderBy(F.desc("cosine_sim"), "dst")
     knn = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -773,7 +773,7 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("vec_id"),
             "cluster_id",
             "embedding",
-            norm(F.col("embedding")).alias("nrm"),
+            norm("embedding").alias("nrm"),
         )
         .localCheckpoint()
     )
@@ -797,7 +797,7 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "cosine_sim",
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            dot("va", "vb") / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cosine_sim") >= 0.18)
         .select("id_a", "id_b", "cluster_id", "cosine_sim")

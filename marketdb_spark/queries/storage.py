@@ -171,13 +171,23 @@ def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     try:
-        write_bucketed(
-            orders, t_orders, "o_orderkey", n_buckets=16,
-            path=f"{work}/orders",
-        )
-        write_bucketed(
-            li, t_li, "l_orderkey", n_buckets=16, path=f"{work}/lineitem"
-        )
+        # The two bucketed writes are independent (distinct tables, distinct
+        # paths) — overlap them so the smaller write's tail back-fills the
+        # larger one's idle cores (guide §2.6), same device as the
+        # store_delta_dv_mapped legs and compact_store's partition pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as wpool:
+            fo = wpool.submit(
+                write_bucketed, orders, t_orders, "o_orderkey",
+                n_buckets=16, path=f"{work}/orders",
+            )
+            fl = wpool.submit(
+                write_bucketed, li, t_li, "l_orderkey",
+                n_buckets=16, path=f"{work}/lineitem",
+            )
+            fo.result()
+            fl.result()
         out = (
             bucketed_join(
                 spark, t_orders, t_li,

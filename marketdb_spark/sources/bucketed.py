@@ -28,9 +28,19 @@ def write_bucketed(
     sort_col: str | None = None,
     path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed catalog table (overwrites)."""
+    """Persist ``df`` as a bucketed catalog table (overwrites).
+
+    The input is hash-repartitioned by the bucket column into exactly
+    ``n_buckets`` partitions first: repartition and the bucket spec use
+    the same HashPartitioning (murmur3 pmod n), so write partition i
+    holds exactly bucket i — each task sorts and writes ONE bucket file
+    in parallel instead of one task emitting all buckets, and the table
+    lands as exactly n_buckets files rather than (input tasks × buckets)
+    small files (guide §6: without the cluster-before-write every scan
+    task opens a writer per bucket it sees)."""
     writer = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, bucket_col)
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(sort_col or bucket_col)

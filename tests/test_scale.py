@@ -40,6 +40,34 @@ class TestBucketed:
         expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
         assert joined.count() == expect
 
+    def test_bucketed_write_one_file_per_bucket(self, spark, tmp_path):
+        """The pre-write repartition(n_buckets, key) clusters each bucket
+        into its own write task: the table lands as exactly one data file
+        per non-empty bucket instead of (input tasks × buckets) files —
+        the file-count invariant the repartition exists for."""
+        import os
+
+        spark.sql("DROP TABLE IF EXISTS b_layout")
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        write_bucketed(
+            orders, "b_layout", "o_orderkey", 8, path=str(tmp_path / "bx")
+        )
+        try:
+            files = [
+                f
+                for f in os.listdir(tmp_path / "bx")
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            # one file per bucket; every file names a distinct bucket id
+            # (the _00000 suffix in Spark's bucketed file naming)
+            assert len(files) <= 8, files
+            buckets = {f.rsplit("_", 1)[-1].split(".")[0] for f in files}
+            assert len(buckets) == len(files), files
+            n = spark.table("b_layout").count()
+            assert n == orders.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_layout")
+
     def test_unbucketed_join_does_exchange(self, spark):
         """Control: the same join on plain parquet shuffles (so the
         assertion above is actually measuring bucketing)."""
