@@ -344,11 +344,59 @@ _DRIVER_CHECKED_R13 = frozenset({
     "unpivot_lineitem_metrics",
 })
 
+# Round-14 window (CORRECTNESS_r14.json): all 50 green — including the two
+# queries added by the inherited r14 build (store_delta_dv_mapped,
+# store_delta_variant_shredded) plus re-attestations of the stalest
+# doc_*/ts_*/win_*/TPC-H rows.
+_DRIVER_CHECKED_R14 = frozenset({
+    "doc_fingerprint", "doc_language_id", "doc_length_histogram",
+    "doc_pack_sequences", "doc_pii_redact", "doc_quality_score",
+    "doc_repetition_ratio", "doc_text_stats", "doc_token_bpe_est",
+    "doc_token_totals", "doc_vocab_topwords", "q02_best_supplier",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q11_important_stock", "q12_priority_lines", "q13_customer_distribution",
+    "q19_discounted_revenue", "q20_promo_suppliers", "q21_sole_supplier_waits",
+    "q22_global_sales_opportunity", "set_intersect_keys",
+    "set_union_all_parties", "store_delta_convert", "store_delta_dv_mapped",
+    "store_delta_replacewhere", "store_delta_variant_shredded",
+    "stream_delta_capped", "stream_delta_changes", "stream_delta_starting",
+    "ts_asof_forward", "ts_asof_join", "ts_asof_tolerance",
+    "ts_interval_days", "ts_merge_series", "ts_ohlc_daily_rollup",
+    "ts_ohlc_hourly", "ts_scan_series", "ts_session_gaps",
+    "ts_similarity_paa", "ts_tumbling_window", "udf_pandas_lcg_buckets",
+    "win_cume_percent", "win_first_last_range", "win_lag_lead_price",
+    "win_moving_avg", "win_rank_dense_ntile", "win_running_total",
+    "win_topk_orders_per_customer",
+})
+
+# Queries REWRITTEN by the round-14/15 optimization work whose driver rows
+# predate the rewrite (the r14 verdict's item 1): their equivalence so far
+# rests on the builder's full-registry DuckDB emulation + pytest gates, so
+# they jump the queue — ahead of never-checked and stalest — until the
+# driver's own oracle re-attests the current form. r14 rewrites:
+# ts_resample_interp (single-pass lead() algorithm), ts_asof_nearest
+# (reversed incremental frame), store_compact_retention/store_merge_upsert
+# (write_partitioned one-exchange dedup), store_bucketed_join (parallel
+# one-file-per-bucket writes), store_delta_merge/store_delta_dv_merge
+# (one-pass merge discovery), dedup/sim expression builders
+# (dedup_semantic_pairs, dedup_simhash_pairs, dedup_minhash_pairs,
+# sim_cosine_topk, pipeline_clean_corpus). r15 rewrites are appended as
+# they land (join_nonequi_balance_pairs band-bucketing, dedup_cluster_chain
+# round construction, stream schema/start hygiene).
+_RECHECK_R15_TOUCHED = (
+    "ts_resample_interp", "ts_asof_nearest", "store_compact_retention",
+    "store_merge_upsert", "store_bucketed_join", "store_delta_merge",
+    "store_delta_dv_merge", "dedup_semantic_pairs", "dedup_simhash_pairs",
+    "dedup_minhash_pairs", "sim_cosine_topk", "pipeline_clean_corpus",
+    "join_nonequi_balance_pairs",
+)
+
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_R02 | _DRIVER_CHECKED_R03 | _DRIVER_CHECKED_R04
     | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06 | _DRIVER_CHECKED_R07
     | _DRIVER_CHECKED_R08 | _DRIVER_CHECKED_R09 | _DRIVER_CHECKED_R10
     | _DRIVER_CHECKED_R11 | _DRIVER_CHECKED_R12 | _DRIVER_CHECKED_R13
+    | _DRIVER_CHECKED_R14
 ) - (_RECHECK_R05 - _DRIVER_CHECKED_R05)
 
 
@@ -380,6 +428,7 @@ _ROUND_WINDOWS = (
     _DRIVER_CHECKED_R05, _DRIVER_CHECKED_R06, _DRIVER_CHECKED_R07,
     _DRIVER_CHECKED_R08, _DRIVER_CHECKED_R09, _DRIVER_CHECKED_R10,
     _DRIVER_CHECKED_R11, _DRIVER_CHECKED_R12, _DRIVER_CHECKED_R13,
+    _DRIVER_CHECKED_R14,
 )
 
 
@@ -391,14 +440,18 @@ def _last_checked(name: str) -> int:
 
 
 def _ordered_names() -> list[str]:
-    """Never-driver-checked queries first (priority prefixes, then registry
-    order), then proven ones stalest-first (oldest last-checked round)."""
+    """Optimization-rewritten queries first (their driver rows predate the
+    rewrite — re-attest NOW), then never-driver-checked queries (priority
+    prefixes, then registry order), then proven ones stalest-first (oldest
+    last-checked round)."""
     names = list(REGISTRY)
-    unchecked = [n for n in names if n not in _DRIVER_CHECKED]
+    touched = [n for n in _RECHECK_R15_TOUCHED if n in REGISTRY]
+    rest = [n for n in names if n not in touched]
+    unchecked = [n for n in rest if n not in _DRIVER_CHECKED]
     unchecked.sort(key=lambda n: (_rank(n), names.index(n)))
-    checked = [n for n in names if n in _DRIVER_CHECKED]
+    checked = [n for n in rest if n in _DRIVER_CHECKED]
     checked.sort(key=lambda n: (_last_checked(n), names.index(n)))
-    return unchecked + checked
+    return touched + unchecked + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -192,9 +192,21 @@ _NORM_SQL = (
 )
 
 
+def _quoted(name: str) -> str:
+    """Backtick-quote a column NAME for interpolation into the SQL twins:
+    without it a name with a dot ('a.b') silently parses as a struct-field
+    access and one with a space/hyphen breaks the parse. Embedded backticks
+    escape by doubling, per Spark's identifier grammar."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
+    # a lone str normalizes to a Column rather than silently falling
+    # through to the py4j-heavy lambda path both args being str avoids
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_DOT_SQL.format(a=a, b=b))
+        return F.expr(_DOT_SQL.format(a=_quoted(a), b=_quoted(b)))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return _fold_sum(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     )
@@ -202,18 +214,19 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm(a: Column | str) -> Column:
     if isinstance(a, str):
-        return F.expr(_NORM_SQL.format(a=a))
+        return F.expr(_NORM_SQL.format(a=_quoted(a)))
     return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _quoted(a), _quoted(b)
         return F.expr(
-            _DOT_SQL.format(a=a, b=b)
+            _DOT_SQL.format(a=qa, b=qb)
             + " / ("
-            + _NORM_SQL.format(a=a)
+            + _NORM_SQL.format(a=qa)
             + " * "
-            + _NORM_SQL.format(a=b)
+            + _NORM_SQL.format(a=qb)
             + ")"
         )
     return dot(a, b) / (norm(a) * norm(b))

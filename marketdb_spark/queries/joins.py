@@ -396,23 +396,51 @@ def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def join_nonequi_balance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure non-equi self-join (no equality key at all → broadcast
-    nested-loop): supplier pairs with near-identical balances. The BNLJ is
-    quadratic by nature — at scale, band-bucket the balance first
-    (join_range_price_band shows the equi+band hybrid that replaces this
-    when a bucketing key exists)."""
+    """Pure non-equi self-join — supplier pairs with near-identical
+    balances — band-bucketed into a HASH join (the same manufactured-
+    equi-key device as operators/rangejoin.py, on a value grid instead
+    of a time grid): each row keys by an exact integer balance band
+    (cents div 2000 — a 20-unit band, twice the 10-unit predicate radius,
+    so float rounding at the band edge can never split a qualifying
+    pair further than ADJACENT bands), one side explodes to its
+    {band-1, band, band+1} candidates, the join runs on band equality
+    and the EXACT |Δ|<10 + key-order predicate filters the candidates.
+    Each pair meets exactly once (a's own band is a single value), so no
+    post-join dedup. Work is O(rows + candidate pairs) instead of the
+    old BroadcastNestedLoopJoin's O(rows²) — the shape that ships at
+    100 TB, where the all-pairs loop cannot (band cardinality scales
+    with the value range, so the hash spreads; a hot band is AQE
+    skew-join territory, not a different algorithm)."""
     supp = load(spark, sf_dir, "supplier")
+    # exact integer band: round(bal*100) is the unique cent count for
+    # 2-decimal money (and for arbitrary doubles is within 1 cent), so
+    # |a_bal - b_bal| < 10 bounds the cent distance by 1001 < 2000 —
+    # adjacent-band containment holds with a full band of margin
+    # floor(cents / 2000): exact — a cent count divisible by 2000 divides
+    # exactly in IEEE double (both operands and the integer quotient are
+    # representable), and any other quotient sits ≥ 1/2000 from an
+    # integer, far beyond double rounding error, so floor never flips
+    band = F.floor(F.round(F.col("s_acctbal") * 100) / 2000)
     a = supp.select(
-        F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal")
+        F.col("s_suppkey").alias("a_key"),
+        F.col("s_acctbal").alias("a_bal"),
+        band.alias("__band"),
     )
     b = supp.select(
-        F.col("s_suppkey").alias("b_key"), F.col("s_acctbal").alias("b_bal")
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("__band"),
     )
-    return a.join(
-        F.broadcast(b),
-        (F.col("a_key") < F.col("b_key"))
-        & (F.abs(F.col("a_bal") - F.col("b_bal")) < 10.0),
-    ).select("a_key", "b_key", "a_bal", "b_bal")
+    return (
+        a.join(b, "__band")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_bal") - F.col("b_bal")) < 10.0)
+        )
+        .select("a_key", "b_key", "a_bal", "b_bal")
+    )
 
 
 @query(

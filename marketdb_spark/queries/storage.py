@@ -175,6 +175,11 @@ def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # paths) — overlap them so the smaller write's tail back-fills the
         # larger one's idle cores (guide §2.6), same device as the
         # store_delta_dv_mapped legs and compact_store's partition pool.
+        # Concurrent saveAsTable is safe ONLY with the in-memory session
+        # catalog this engine runs on; a Hive/Derby metastore serializes
+        # CREATE TABLE behind a lock and can throw — if Hive support is
+        # ever enabled, write the data in parallel but register the two
+        # tables sequentially.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as wpool:

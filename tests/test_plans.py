@@ -115,6 +115,21 @@ def test_range_cells_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_nonequi_balance_pairs_band_hash_join(spark):
+    """join_nonequi_balance_pairs (pure |Δbal|<10 non-equi self-join) must
+    plan as a HASH join on the manufactured 20-unit balance band — the
+    naive plan for a band predicate with no equi key is the O(rows²)
+    BroadcastNestedLoopJoin that cannot ship at 100 TB."""
+    from marketdb_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["join_nonequi_balance_pairs"].fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — band is the key
+
+
 def test_kmeans_assignment_is_map_only(spark):
     """kmeans_refine attaches the k centroids as a scalar subquery, so the
     assignment over the corpus is a pure projection: the MAIN plan (the
@@ -261,9 +276,6 @@ BNLJ_EXEMPT = {
     "sim_ivf_topk",
     # all-pairs over per-KEY PAA sketches (~100s of series keys, not rows)
     "ts_similarity_paa",
-    # the deliberate pure-non-equi demo over the supplier dim; docstring
-    # points at join_range_price_band for the equi+band replacement
-    "join_nonequi_balance_pairs",
     # 1-row scalar-aggregate attach (global threshold / corpus size)
     "q11_important_stock",
     "q22_global_sales_opportunity",

@@ -59,9 +59,18 @@ class TestBucketed:
                 if f.endswith(".parquet") and not f.startswith("_")
             ]
             # one file per bucket; every file names a distinct bucket id
-            # (the _00000 suffix in Spark's bucketed file naming)
+            # (the _00000 suffix in Spark's bucketed file naming,
+            # part-<n>-<uuid>_<bucket>.c000...). Anchored regex: a naming
+            # change across Spark versions must FAIL here loudly, not make
+            # the distinct-bucket assertion vacuous.
+            import re
+
             assert len(files) <= 8, files
-            buckets = {f.rsplit("_", 1)[-1].split(".")[0] for f in files}
+            buckets = set()
+            for f in files:
+                m = re.search(r"_(\d{5})\.", f)
+                assert m, f"no bucket suffix in bucketed file name: {f}"
+                buckets.add(m.group(1))
             assert len(buckets) == len(files), files
             n = spark.table("b_layout").count()
             assert n == orders.count()
