@@ -1167,15 +1167,14 @@ def merge_delta(
             f"merge keys {bad} must exist in both the table "
             f"({logical_cols}) and the source ({source.columns})"
         )
-    # delta's nondeterminism guard: no duplicate source keys
+    # delta's nondeterminism guard: no duplicate source keys. The guard
+    # job OVERLAPS the discovery aggregate below (guide §2.6) — both are
+    # side-effect-free reads, nothing commits until both return, and the
+    # guard's raise still precedes any USE of the stats (a dup-key source
+    # inflates __live, but that result is discarded by the raise).
     dup = (
         source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
     )
-    if dup.count() > 0:
-        raise ValueError(
-            f"MERGE source has duplicate keys on {on}: multiple source "
-            f"rows would match one target row (nondeterministic merge)"
-        )
     src = source.alias("src")
     tagged = _tagged_scan(spark, table, snap).alias("tgt")
     key_cond = [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on]
@@ -1208,7 +1207,7 @@ def merge_delta(
     )
     apply_m_tag = is_m_tag & _true(matched_condition)
     apply_u_tag = (~is_m_tag) & _true(not_matched_by_source_condition)
-    stats_rows = (
+    stats_df = (
         tagged.join(tag_src, key_cond, "left")
         .groupBy(_FILE_COL)
         .agg(
@@ -1216,8 +1215,19 @@ def merge_delta(
             F.sum(apply_m_tag.cast("long")).alias("__m"),
             F.sum(apply_u_tag.cast("long")).alias("__u"),
         )
-        .collect()
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        dup_f = pool.submit(dup.count)
+        stats_f = pool.submit(stats_df.collect)
+        n_dup = dup_f.result()
+        stats_rows = stats_f.result()
+    if n_dup > 0:
+        raise ValueError(
+            f"MERGE source has duplicate keys on {on}: multiple source "
+            f"rows would match one target row (nondeterministic merge)"
+        )
     stats = {
         _rel_of_uri(table, r[0]): (
             int(r[1]), int(r[2] or 0), int(r[3] or 0)
