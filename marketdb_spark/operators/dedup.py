@@ -497,7 +497,10 @@ def connected_components(
     (marketdb-core/.../model/Trade.scala:56-57); this generalizes it to
     similarity-based identity ([N] mandate).
     """
-    par = pairs.sparkSession.sparkContext.defaultParallelism
+    import uuid as _uuid
+
+    spark = pairs.sparkSession
+    par = spark.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -509,50 +512,72 @@ def connected_components(
     labels = nodes.select(
         F.col(node_id).alias("id"), F.col(node_id).alias("label")
     ).localCheckpoint()
+    # One propagation round as a single SQL string over temp views of the
+    # (fixed) edge checkpoint and the previous round's label checkpoint:
+    # the per-round DataFrame-API construction cost ~0.1 s of driver-side
+    # py4j round-trips repeated every iteration (the queries/llm_* §10
+    # single-parse device applied to the loop body; same operators, same
+    # order, so values are identical). min(label) = propagated label;
+    # min(prev) = the key's old label (present only on the self row) —
+    # carrying it through the same aggregation makes the convergence check
+    # a filter on the checkpointed result instead of a second join.
+    tag = _uuid.uuid4().hex[:8]
+    _ev, _lv = f"__cc_edges_{tag}", f"__cc_labels_{tag}"
+    edges.createOrReplaceTempView(_ev)
+    _ROUND_SQL = f"""
+    SELECT id, min(label) AS label, min(prev) AS prev
+    FROM (
+      SELECT id, label, label AS prev FROM {_lv}
+      UNION ALL
+      SELECT e.dst AS id, l.label AS label, CAST(NULL AS BIGINT) AS prev
+      FROM {_ev} e JOIN {_lv} l ON e.src = l.id
+    )
+    GROUP BY id
+    """
     prev_ckpt = labels
-    for _ in range(max_iter):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("prev")
-        )
-        self_rows = labels.select("id", "label", F.col("label").alias("prev"))
-        # min(label) = propagated label; min(prev) = the key's old label
-        # (present only on the self row) — carrying it through the same
-        # aggregation makes the convergence check a filter on the
-        # checkpointed result instead of a second join.
-        new_labels = (
-            self_rows.union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
-            .localCheckpoint(eager=False)
-        )
-        # ONE driver round-trip per iteration: the lazy checkpoint is
-        # materialized BY the convergence count — the filter needs every
-        # partition of new_labels, so this single job computes, persists
-        # (truncating lineage), and counts in one pass. (A full count, not
-        # limit(1): an early-exit limit could leave checkpoint partitions
-        # uncomputed, and the job count is what we're minimizing anyway.)
-        changed = new_labels.filter(F.col("label") < F.col("prev")).count()
-        # the superseded round's checkpoint blocks are dead now that the
-        # new checkpoint is materialized — release them, or a long-lived
-        # session pins O(iterations) copies of the label table
-        _unpersist_checkpoint(prev_ckpt)
-        prev_ckpt = new_labels
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
-    else:
-        # Exhausting the budget without a fixpoint would return silently
-        # WRONG labels (partially propagated) — fail loudly instead. Only
-        # long-chain graphs hit this (propagation moves one hop per round);
-        # dedup graphs are near-cliques and converge in a handful.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph has a component with diameter > max_iter — raise "
-            "max_iter, or use a large-star/small-star formulation for "
-            "adversarial chain-shaped graphs"
-        )
-    _unpersist_checkpoint(edges)
-    return labels
+    try:
+        for _ in range(max_iter):
+            labels.createOrReplaceTempView(_lv)
+            new_labels = spark.sql(_ROUND_SQL).localCheckpoint(eager=False)
+            # ONE driver round-trip per iteration: the lazy checkpoint is
+            # materialized BY the convergence count — the filter needs
+            # every partition of new_labels, so this single job computes,
+            # persists (truncating lineage), and counts in one pass. (A
+            # full count, not limit(1): an early-exit limit could leave
+            # checkpoint partitions uncomputed, and the job count is what
+            # we're minimizing anyway.)
+            changed = new_labels.filter(
+                F.col("label") < F.col("prev")
+            ).count()
+            # the superseded round's checkpoint blocks are dead now that
+            # the new checkpoint is materialized — release them, or a
+            # long-lived session pins O(iterations) copies of the labels
+            _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                break
+        else:
+            # Exhausting the budget without a fixpoint would return
+            # silently WRONG labels (partially propagated) — fail loudly
+            # instead. Only long-chain graphs hit this (propagation moves
+            # one hop per round); dedup graphs are near-cliques and
+            # converge in a handful.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the graph has a component with diameter > "
+                "max_iter — raise max_iter, or use a large-star/"
+                "small-star formulation for adversarial chain-shaped "
+                "graphs"
+            )
+        _unpersist_checkpoint(edges)
+        return labels
+    finally:
+        for v in (_ev, _lv):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
 
 
 def connected_components_star(
@@ -582,6 +607,9 @@ def connected_components_star(
     O(log n); prefer this for deep graphs, the min-label loop for
     near-clique dedup graphs.
     """
+    import uuid as _uuid
+
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -589,40 +617,56 @@ def connected_components_star(
         .localCheckpoint()
     )
 
+    # One large-star + small-star ROUND as a single SQL string over a temp
+    # view of the previous round's checkpoint: the per-round DataFrame-API
+    # construction cost ~0.2 s of driver-side py4j round-trips (~40 Column
+    # ops), repeated every scheduler round and scaling with nothing — the
+    # queries/llm_* §10 single-parse device applied to the loop body. The
+    # resolved plan is the same operators in the same order:
+    #   large-star: sym = e ∪ reverse(e); m = per-u least(min(v), u);
+    #     emit (v → m) for v > u, drop self edges — NO distinct (duplicates
+    #     are harmless to the small-star pass that always follows; its
+    #     min-aggregation ignores them and its own distinct bounds the
+    #     round's output — dropping the exchange saves one full shuffle per
+    #     round; the chain-graph query's cost is scheduler rounds, not rows)
+    #   small-star: le = sym₂ filtered v <= u; m = per-u least(min(v), u);
+    #     rewired (v → m) ∪ self (u → m), drop self edges, ONE distinct.
+    # least(min(v), first(u)) ≡ least(min(v), u) under GROUP BY u — the
+    # group key is constant within its group.
+    _view = f"__cc_star_{_uuid.uuid4().hex[:8]}"
+    _ROUND_SQL = f"""
+    WITH sym AS (
+      SELECT u, v FROM {_view}
+      UNION ALL
+      SELECT v AS u, u AS v FROM {_view}
+    ),
+    lm AS (SELECT u, least(min(v), u) AS m FROM sym GROUP BY u),
+    ls AS (
+      SELECT s.v AS u, lm.m AS v
+      FROM sym s JOIN lm ON s.u = lm.u
+      WHERE s.v > s.u AND s.v <> lm.m
+    ),
+    sym2 AS (
+      SELECT u, v FROM ls
+      UNION ALL
+      SELECT v AS u, u AS v FROM ls
+    ),
+    le AS (SELECT u, v FROM sym2 WHERE v <= u),
+    sm AS (SELECT u, least(min(v), u) AS m FROM le GROUP BY u),
+    uni AS (
+      SELECT le.v AS u, sm.m AS v FROM le JOIN sm ON le.u = sm.u
+      UNION ALL
+      SELECT u, m AS v FROM sm
+    )
+    SELECT DISTINCT u, v FROM uni WHERE u <> v
+    """
+
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    def _large_star(e: DataFrame) -> DataFrame:
-        sym = _sym(e)
-        m = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        # no .distinct() here: duplicates are harmless to the small-star
-        # pass that always follows (its min-aggregation ignores them and
-        # its own distinct bounds the round's output), and dropping the
-        # exchange saves one full shuffle per round — the chain-graph
-        # query's cost is scheduler rounds, not rows
-        return (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-
-    def _small_star(e: DataFrame) -> DataFrame:
-        # group each node's smaller-or-equal neighbors; include the self
-        # pair so u itself re-attaches to the local minimum
-        le = _sym(e).filter(F.col("v") <= F.col("u"))
-        m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        rewired = le.join(m, "u").select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        self_edges = m.select(F.col("u"), F.col("m").alias("v"))
-        return (
-            rewired.union(self_edges)
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    def _round(e: DataFrame) -> DataFrame:
+        e.createOrReplaceTempView(_view)
+        return spark.sql(_ROUND_SQL)
 
     def _fingerprint(e: DataFrame):
         # xor-fold of row hashes: order-independent and overflow-free
@@ -643,36 +687,42 @@ def connected_components_star(
         return (row.n, row.h)
 
     fp = _fingerprint(edges)
-    for _ in range(max_rounds):
-        # one job per round: the fingerprint aggregation scans every
-        # partition, so it materializes the lazy checkpoint in the same
-        # pass (same fold as connected_components' convergence count)
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        new_fp = _fingerprint(new_edges)
-        _unpersist_checkpoint(edges)
-        edges = new_edges
-        if new_fp == fp:
-            break
-        fp = new_fp
-    else:
-        raise RuntimeError(
-            f"star rounds did not converge in {max_rounds} iterations"
-        )
+    try:
+        for _ in range(max_rounds):
+            # one job per round: the fingerprint aggregation scans every
+            # partition, so it materializes the lazy checkpoint in the same
+            # pass (same fold as connected_components' convergence count)
+            new_edges = _round(edges).localCheckpoint(eager=False)
+            new_fp = _fingerprint(new_edges)
+            _unpersist_checkpoint(edges)
+            edges = new_edges
+            if new_fp == fp:
+                break
+            fp = new_fp
+        else:
+            raise RuntimeError(
+                f"star rounds did not converge in {max_rounds} iterations"
+            )
 
-    centers = (
-        _sym(edges)
-        .groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
-        .select(F.col("u").alias("id"), "label")
-    )
-    labels = (
-        nodes.select(F.col(node_id).alias("id"))
-        .join(centers, "id", "left")
-        .select("id", F.coalesce("label", F.col("id")).alias("label"))
-    )
-    out = labels.localCheckpoint()
-    _unpersist_checkpoint(edges)
-    return out
+        centers = (
+            _sym(edges)
+            .groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+            .select(F.col("u").alias("id"), "label")
+        )
+        labels = (
+            nodes.select(F.col(node_id).alias("id"))
+            .join(centers, "id", "left")
+            .select("id", F.coalesce("label", F.col("id")).alias("label"))
+        )
+        out = labels.localCheckpoint()
+        _unpersist_checkpoint(edges)
+        return out
+    finally:
+        try:
+            spark.catalog.dropTempView(_view)
+        except Exception:
+            pass
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
