@@ -388,7 +388,8 @@ _RECHECK_R15_TOUCHED = (
     "store_merge_upsert", "store_bucketed_join", "store_delta_merge",
     "store_delta_dv_merge", "dedup_semantic_pairs", "dedup_simhash_pairs",
     "dedup_minhash_pairs", "sim_cosine_topk", "pipeline_clean_corpus",
-    "join_nonequi_balance_pairs",
+    "join_nonequi_balance_pairs", "dedup_cluster_chain",
+    "dedup_cluster_docs", "dedup_canonical_docs",
 )
 
 _DRIVER_CHECKED = (

@@ -833,9 +833,16 @@ def store_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = write_delta(orders.filter(F.col("o_orderkey") % 2 == 1), t)
         assert (v0, v1) == (0, 1), (v0, v1)
         # time travel BEFORE compaction (v0 predates the checkpoint and
-        # is unreachable after clean_log — by design)
-        n_evens = evens.count()
-        assert read_delta(spark, t, version=0).count() == n_evens
+        # is unreachable after clean_log — by design). The raw-side count
+        # and the time-travel count are independent read jobs — overlap
+        # them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            n_evens_f = pool.submit(evens.count)
+            v0_f = pool.submit(read_delta(spark, t, version=0).count)
+            n_evens, n_v0 = n_evens_f.result(), v0_f.result()
+        assert n_v0 == n_evens
         assert write_checkpoint(t) == 1
         removed = clean_log(t)
         assert len(removed) == 2 and delta_versions(t) == []
@@ -994,7 +1001,6 @@ def store_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) == 0
         claimed = sorted(os.path.join(t, rel) for rel in delta_live_files(t))
         assert claimed == plain_files  # zero data movement
-        n0 = orders.count()
         # partition discovery orders the converted schema data-cols-first,
         # partition-cols-last; appenders adopt the TABLE's column order
         tbl_cols = read_delta(spark, t).columns
@@ -1002,7 +1008,14 @@ def store_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.limit(0).select(*tbl_cols),
             t,  # empty append: proves the table is live
         )
-        assert read_delta(spark, t, version=0).count() == n0
+        # raw-side count and time-travel count are independent read jobs —
+        # overlap them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            n0_f = pool.submit(orders.count)
+            v0_f = pool.submit(read_delta(spark, t, version=0).count)
+            assert v0_f.result() == n0_f.result()
         out = (
             read_delta(spark, t)
             .groupBy("o_orderpriority")
@@ -2055,8 +2068,14 @@ def store_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert delete_delta(spark, t, "o_orderkey % 7 = 0") == 2
         assert restore_delta(spark, t, 0) == 3
         assert delta_live_files(t) == files_v0  # exact snapshot, no copies
-        # the damaged intermediate is still reachable
-        assert read_delta(spark, t, version=2).count() < orders.count()
+        # the damaged intermediate is still reachable; its count and the
+        # raw-side count are independent read jobs — overlap them (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            v2_f = pool.submit(read_delta(spark, t, version=2).count)
+            raw_f = pool.submit(orders.count)
+            assert v2_f.result() < raw_f.result()
         out = (
             read_delta(spark, t)
             .groupBy("o_orderpriority")

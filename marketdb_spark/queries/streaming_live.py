@@ -655,10 +655,18 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         n_versions = latest_version(table) + 1
         assert n_versions == 3, f"expected 3 commits, got {n_versions}"
-        # incremental consumers see exactly the later batches' rows
-        incr = read_changes(spark, table, from_version=0).count()
+        # incremental consumers see exactly the later batches' rows; the
+        # three counts are independent read jobs — overlap them (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
         full = read_snapshot(spark, table)
-        assert incr == full.count() - read_snapshot(spark, table, 0).count()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            incr_f = pool.submit(
+                read_changes(spark, table, from_version=0).count
+            )
+            full_f = pool.submit(full.count)
+            v0_f = pool.submit(read_snapshot(spark, table, 0).count)
+            assert incr_f.result() == full_f.result() - v0_f.result()
         out = full.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             dsum("value", scale=6).alias("sum_value"),
@@ -1039,7 +1047,10 @@ def stream_queue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(spool, f"{i:04d}.ndjson"),
             )
         parsed = (
+            # explicit schema: skips the engine's per-load schema-
+            # resolution worker spawn on the Python DataSource lane
             spark.readStream.format("spoolqueue_dist")
+            .schema("segment string, line_no long, value string")
             .load(spool)
             .select(
                 F.from_json(
@@ -1125,7 +1136,10 @@ def stream_queue_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(stage, part), os.path.join(spool, "0001.ndjson")
         )
         parsed = (
+            # explicit schema: skips the engine's per-load schema-
+            # resolution worker spawn on the Python DataSource lane
             spark.readStream.format("spoolqueue_dist")
+            .schema("segment string, line_no long, value string")
             .option("maxLinesPerTrigger", cap)
             .load(spool)
             .select(

@@ -124,7 +124,10 @@ def read_rts_zip_distributed(
     quarantined)."""
     register_zip_source(spark)
     lines = (
+        # explicit schema: skips the engine's per-load schema-resolution
+        # worker spawn on the Python DataSource lane
         spark.read.format("rtszip")
+        .schema("archive string, entry string, line string")
         .option("suffix", entry_suffix)
         .load(zip_glob)
         .filter(F.length("line") > 0)

@@ -930,12 +930,28 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(DeltaStreamDataSource)
 
 
+def _logical_schema(table: str) -> T.StructType:
+    """The table's logical schema, computed DRIVER-side (one in-process
+    log replay). Passing it to ``.schema(...)`` lets ``load()`` skip the
+    engine's schema-resolution worker spawn — measured ~0.1 s per query
+    start on the Python DataSource lane — instead of round-tripping to a
+    fresh Python worker that runs the same replay."""
+    from marketdb_spark.sources.deltalog import _strip_field_metadata
+
+    snap = _replay(table, None)
+    return _strip_field_metadata(
+        T.StructType.fromJson(json.loads(snap.schema_json))
+    )
+
+
 def read_delta_stream(spark: SparkSession, table: str, **options):
     """Convenience: register + open the stream on ``table``. Keyword
     options pass through (maxFilesPerTrigger, maxBytesPerTrigger,
     ignoreDeletes, ignoreChanges, skipChangeCommits)."""
     register_delta_stream_source(spark)
-    reader = spark.readStream.format("deltastream")
+    reader = spark.readStream.format("deltastream").schema(
+        _logical_schema(table)
+    )
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(table)
@@ -1397,7 +1413,11 @@ def read_delta_cdf_stream(spark: SparkSession, table: str, **options):
     pass through (startingVersion, startingTimestamp,
     maxFilesPerTrigger, maxBytesPerTrigger)."""
     spark.dataSource.register(DeltaCDFDataSource)
-    reader = spark.readStream.format("deltacdf")
+    reader = spark.readStream.format("deltacdf").schema(
+        T.StructType(
+            list(_logical_schema(table).fields) + _CDF_EXTRA_FIELDS
+        )
+    )
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(table)
